@@ -1,0 +1,205 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB shape:
+  *
+  *  - exact dedup: hash-groupBy — one shuffle on a 64/128-bit content
+  *    hash, never on the full text;
+  *  - MinHash + LSH banding: shingle → k minhashes → b bands → bucket
+  *    self-join. The candidate join is an equi-join on (band, bandHash),
+  *    so Spark shuffles O(docs·b) small keys instead of comparing
+  *    O(docs²) pairs;
+  *  - SimHash: 64-bit signature + banded key join, Hamming verify;
+  *  - token/n-gram Jaccard: inverted-index self-join (explode → equi-join
+  *    on token → per-pair intersection counts) — the classic
+  *    similarity-join; prune with a length filter;
+  *  - embedding near-dup: cosine threshold over LSH or brute candidates
+  *    (see [[graft.similarity.Similarity]]).
+  *
+  * All signatures are built from seeded hash mixes (xxhash64 + affine
+  * remix) — fully deterministic, no RNG state, order-independent.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Groups of byte-identical documents (by normalized-content hash).
+    * Returns (fingerprint, n, doc_ids). */
+  def exactDupGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(text).as("fingerprint"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(id)).as("doc_ids"))
+      .filter(col("n") > 1)
+
+  /** Keep one representative per identical-content group (min id wins —
+    * deterministic, unlike dropDuplicates' arbitrary first row). */
+  def dropExactDups(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(text)).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------- minhash
+
+  /** Deterministic affine remix constants for hash function j (splitmix64
+    * of the seed — public-domain mix, Steele et al. 2014). */
+  private def mixConstants(k: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until k).map { _ =>
+      // a: odd, < 2^31 so a*h32 never overflows a signed long
+      ((next() & 0x7fffffffL) | 1L, next() & 0xffffffffL)
+    }
+  }
+
+  /** MinHash signature from a pre-materialized array of 32-bit shingle
+    * hashes: minhash_j = min over shingles of ((a_j·h + b_j) mod 2^32).
+    * Keep the h32 array in its own projection (see [[withMinhashSignature]])
+    * so CollapseProject cannot inline — and re-evaluate — the expensive
+    * shingle-hashing subtree into all k min expressions. */
+  def minhashSignatureFromHashes(h32: Column, numHashes: Int, seed: Long): Column =
+    array(mixConstants(numHashes, seed).map { case (a, b) =>
+      array_min(transform(h32, h => (h * lit(a) + lit(b)).bitwiseAND(lit(0xffffffffL))))
+    }: _*)
+
+  /** 32-bit shingle hashes (low halves of xxhash64 over n-token shingles). */
+  def shingleHashes32(text: Column, shingleSize: Int): Column =
+    transform(TextAnalysis.shingleHashes(text, shingleSize),
+      h => h.bitwiseAND(lit(0xffffffffL)))
+
+  /** df + `sig` column: two-stage projection — shingle hashing runs once
+    * per row, then k cheap affine min-folds over the cached array. */
+  def withMinhashSignature(df: DataFrame, id: Column, text: Column,
+                           numHashes: Int = 64, shingleSize: Int = 3,
+                           seed: Long = 42L): DataFrame =
+    df.select(id.as("id"), shingleHashes32(text, shingleSize).as("__h32"))
+      .select(col("id"), minhashSignatureFromHashes(col("__h32"), numHashes, seed).as("sig"))
+
+  /** LSH banding: explode the signature into `bands` (band, bandHash)
+    * keys. Two docs sharing any band key are candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * rows + 1, rows)).as("bh"))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across
+    * bands. `bands × rows` must equal the signature length. The join is
+    * a plain equi-join on the band key: at scale this is the only
+    * shuffle, keyed by tiny (int, bigint) pairs. */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+                        numHashes: Int = 64, shingleSize: Int = 3,
+                        bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val keyed = withMinhashSignature(df, id, text, numHashes, shingleSize, seed)
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for given pairs (verification step after
+    * LSH): joins the token sets back and computes |∩| / |∪|. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
+                    threshold: Double): DataFrame = {
+    val sets = docs.select(id.as("vid"), array_distinct(TextAnalysis.tokens(text)).as("toks"))
+    pairs
+      .join(sets.withColumnsRenamed(Map("vid" -> "__ida", "toks" -> "toks_a")),
+        col("id_a") === col("__ida"))
+      .join(sets.withColumnsRenamed(Map("vid" -> "__idb", "toks" -> "toks_b")),
+        col("id_b") === col("__idb"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs, LSH-candidates then exact-verified. */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+                      threshold: Double = 0.8, numHashes: Int = 64,
+                      shingleSize: Int = 3, bands: Int = 16): DataFrame =
+    jaccardVerify(minhashCandidates(df, id, text, numHashes, shingleSize, bands),
+      df, id, text, threshold)
+
+  // ---------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over tokens: per bit i, sum ±1 weighted votes of
+    * each token's hash bit; signature bit = sign. Expressed as column
+    * algebra: 64 aggregate() folds over the token-hash array (one text
+    * pass after tokenize; codegen'd, no UDF). */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash")
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * keys (any match → candidate; catches all pairs within Hamming
+    * distance 3), then verify Hamming ≤ maxHamming via bit_count(xor). */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(id.as("id"), simhash64(text).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------- token-jaccard sim-join
+
+  /** Exact all-pairs token Jaccard ≥ threshold via inverted-index
+    * self-join: explode distinct tokens, equi-join on token, count
+    * intersections per pair, then Jaccard from set sizes. The shuffle
+    * key is the token — at 100 TB add a document-frequency cut
+    * (drop tokens in >p% of docs) to bound the hottest posting lists;
+    * the LSH path above is the preferred scale route. */
+  def jaccardSimJoin(df: DataFrame, id: Column, text: Column,
+                     threshold: Double): DataFrame = {
+    val toks = df.select(id.as("id"), array_distinct(TextAnalysis.tokens(text)).as("toks"))
+    val sizes = toks.select(col("id"), size(col("toks")).as("sz"))
+    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val pairs = inv.alias("a")
+      .join(inv.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes).withColumnsRenamed(Map("id" -> "__ia", "sz" -> "sz_a")),
+        col("id_a") === col("__ia"))
+      .join(broadcast(sizes).withColumnsRenamed(Map("id" -> "__ib", "sz" -> "sz_b")),
+        col("id_b") === col("__ib"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis)
+  * over the `documents` and `embeddings` tables. Queries with DuckDB
+  * oracles follow the determinism rules in [[Relational]]; the LSH /
+  * language-ID queries are not ANSI-SQL-expressible and get the driver's
+  * rows-only check (their correctness is covered by ScalaTest instead).
+  */
+object TextSim {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cap the pairwise (O(n²)-candidate) demos at a fixed doc window so
+    * bench cost is scale-invariant; the LSH variants are the scale path. */
+  private val PairDocCap = 500
+
+  // ---------------------------------------------------------------- q25
+  // Token counting + length stats per document (both tokenizers).
+  val q25_text_stats: Q = (s, dir) => {
+    val t = TextAnalysis.tokens(col("text"))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      size(t).as("n_tokens"),
+      round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 6)
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val q25_sql: String =
+    """SELECT doc_id, length(text) AS n_chars2,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |          t -> length(t))) AS DOUBLE)
+      |        / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  // Quality scoring: stopword / punctuation ratios (LLM-corpus filters).
+  val q26_text_quality: Q = (s, dir) =>
+    TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), col("text"))
+      .select("doc_id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio")
+      .orderBy("doc_id")
+
+  val q26_sql: String = {
+    val stop = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, length(text) AS n_chars,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |  round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |          t -> lower(t) IN ($stop))) AS DOUBLE)
+       |        / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text), 6) AS punct_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+  // Exact deduplication census: total rows vs distinct normalized text.
+  val q27_dedup_exact: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(TextAnalysis.fingerprint(col("text")))).as("n_dups"))
+  }
+
+  val q27_sql: String =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct,
+      |  count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_dups
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // Exact token-set Jaccard similarity join (inverted-index self-join).
+  val q28_jaccard_pairs: Q = (s, dir) =>
+    Dedup.jaccardSimJoin(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+      col("doc_id"), col("text"), 0.95)
+      .orderBy("id_a", "id_b")
+
+  val q28_sql: String =
+    s"""WITH d AS (SELECT * FROM documents WHERE doc_id < $PairDocCap),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM d),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.95
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  // Document fingerprinting (stable content hash of normalized text).
+  val q29_fingerprint: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val q29_sql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  // Cosine similarity of every embedding against vector 0 (zip_with +
+  // aggregate dot product, double accumulation, left-to-right on both
+  // engines → bit-identical before rounding).
+  val q30_vector_dot: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  val q30_sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_sum(list_transform(generate_series(1, len(embedding)),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), 6) AS sim
+      |FROM embeddings, q ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  // Brute-force exact k-NN for the first 20 query vectors (ANN baseline).
+  val q31_knn_brute: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val q31_sql: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, sim FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------- no-oracle queries
+  // (not ANSI-SQL-expressible → driver rows-only check; exactness is
+  //  covered by ScalaTest: LSH candidates ⊇ exact high-similarity pairs.)
+
+  val q32_minhash_neardups: Q = (s, dir) =>
+    Dedup.minhashNearDups(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+      col("doc_id"), col("text"), threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val q33_simhash_neardups: Q = (s, dir) =>
+    Dedup.simhashNearDups(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+      col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  val q34_langid: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val q35_ann_lsh: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 3, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  val q36_embed_neardups: Q = (s, dir) =>
+    Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"),
+      threshold = 0.4, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  val all: Map[String, Q] = Map(
+    "q25_text_stats" -> q25_text_stats,
+    "q26_text_quality" -> q26_text_quality,
+    "q27_dedup_exact" -> q27_dedup_exact,
+    "q28_jaccard_pairs" -> q28_jaccard_pairs,
+    "q29_fingerprint" -> q29_fingerprint,
+    "q30_vector_dot" -> q30_vector_dot,
+    "q31_knn_brute" -> q31_knn_brute,
+    "q32_minhash_neardups" -> q32_minhash_neardups,
+    "q33_simhash_neardups" -> q33_simhash_neardups,
+    "q34_langid" -> q34_langid,
+    "q35_ann_lsh" -> q35_ann_lsh,
+    "q36_embed_neardups" -> q36_embed_neardups)
+
+  val oracle: Map[String, String] = Map(
+    "q25_text_stats" -> q25_sql,
+    "q26_text_quality" -> q26_sql,
+    "q27_dedup_exact" -> q27_sql,
+    "q28_jaccard_pairs" -> q28_sql,
+    "q29_fingerprint" -> q29_sql,
+    "q30_vector_dot" -> q30_sql,
+    "q31_knn_brute" -> q31_sql)
+}

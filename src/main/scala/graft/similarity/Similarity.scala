@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(Q·N·d) — fine when the
+  * query set is small and the corpus side is scanned once). Scale path:
+  * signed-random-projection LSH — each vector gets b banded bucket keys,
+  * candidates come from an equi-join on the bucket key, and only
+  * candidates pay the exact-cosine cost. At 100 TB the bucket join
+  * shuffles O(N·bands) small keys, never O(N²) pairs.
+  *
+  * All math is plain column algebra (`zip_with` + `aggregate`, double
+  * accumulation) — codegen'd, no UDFs. Hyperplanes are deterministic
+  * ±1 vectors derived from splitmix64, not RNG state.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns, accumulated in
+    * double, left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * corpus vectors by cosine. Rank on ROUNDED similarity (6 dp) with an
+    * id tie-break — fully deterministic across engines and runs.
+    * The (small) query side is broadcast; the corpus streams through
+    * once with no shuffle before the per-query top-k window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Deterministic ±1 hyperplane matrix: planes × dim. */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Int]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(planes) {
+      Array.fill(dim)(if ((next() & 1L) == 0L) 1 else -1)
+    }
+  }
+
+  /** Signed-random-projection signature: `planes` sign bits, banded into
+    * `bands` bucket keys (array<struct<band:int, bh:bigint>>). */
+  def srpBandKeys(vec: Column, dim: Int, planes: Int = 16, bands: Int = 4,
+                  seed: Long = 42L): Column = {
+    require(planes % bands == 0)
+    val rows = planes / bands
+    val hp = hyperplanes(planes, dim, seed)
+    val bits: Seq[Column] = hp.toSeq.map { plane =>
+      val planeCol = array(plane.map(v => lit(v.toDouble)): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    array((0 until bands).map { b =>
+      val key = (0 until rows).map(r => bits(b * rows + r) * lit(1L << r))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bh"))
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one SRP
+    * band with the query; exact cosine ranks the candidates. Recall is
+    * tuned by (planes, bands); cost is the bucket equi-join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              planes: Int = 16, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def keyed(df: DataFrame, id: String, v: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(v),
+        explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
+      .select(col(id), col(v), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val c = keyed(corpus, "neighbor_id", "cv")
+    val q = keyed(queries, "query_id", "qv")
+    val cand = c.join(q, Seq("band", "bh"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, SRP-candidate
+    * generation + exact verify (id_a < id_b). */
+  def embeddingNearDups(df: DataFrame, threshold: Double, dim: Int,
+                        planes: Int = 16, bands: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    keyed.alias("a")
+      .join(keyed.alias("b"), col("a.band") === col("b.band") &&
+        col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
