@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Stats
+import graft.etl.Clean
+
+class CleanStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    ("a", Some(1.0), 10.0), ("b", Some(2.0), 20.0), ("c", Some(3.0), 30.0),
+    ("d", Some(4.0), 40.0), ("e", None, 50.0), ("f", Some(100.0), 60.0)
+  ).toDF("k", "x", "y")
+
+  test("dropNulls drops exactly the null-bearing rows") {
+    assert(Clean.dropNulls(df, Seq("x", "y")).count() === 5)
+  }
+
+  test("nullCensus counts nulls per column, descending") {
+    val rows = Clean.nullCensus(df, Seq("x", "y")).collect()
+    assert(rows.head.getString(0) === "x" && rows.head.getLong(1) === 1L)
+    assert(rows(1).getString(0) === "y" && rows(1).getLong(1) === 0L)
+  }
+
+  test("winsorize clips to the quantile fences and preserves rows") {
+    val w = Clean.winsorize(df, Seq("x"), 0.1, 0.9)
+    assert(w.count() === df.count())
+    val stats = w.agg(max("x"), min("x")).head()
+    assert(stats.getDouble(0) < 100.0) // clipped down
+    assert(stats.getDouble(1) >= 1.0)
+  }
+
+  test("iqrFilter removes the outlier, keeps nulls (null-pass semantics)") {
+    val kept = Clean.iqrFilter(df, Seq("x"))
+    val keys = kept.select("k").collect().map(_.getString(0)).toSet
+    assert(!keys.contains("f")) // 100.0 is outside the fences
+    assert(keys.contains("e")) // null passes
+  }
+
+  test("zscoreFilter drops |z| > k rows (population stddev)") {
+    val kept = Clean.zscoreFilter(df, Seq("x"), 1.5)
+    assert(!kept.select("k").collect().map(_.getString(0)).contains("f"))
+  }
+
+  test("iqrOutlierCensus reports per-feature outlier counts") {
+    val row = Clean.iqrOutlierCensus(df, Seq("x")).head()
+    assert(row.getAs[String]("feature") === "x")
+    assert(row.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("corrMatrix: perfectly correlated columns → corr 1.0") {
+    val d = (1 to 50).map(i => (i.toDouble, 2.0 * i, -3.0 * i)).toDF("a", "b", "c")
+    val m = Stats.corrMatrix(d, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) === 1.0)
+    assert(m(("a", "c")) === -1.0)
+  }
+
+  test("describe: exact interpolating quartiles match pandas semantics") {
+    val d = (1 to 5).map(_.toDouble).toDF("v") // q25 of 1..5 = 2.0 (linear interp)
+    val row = Stats.describe(d, Seq("v")).head()
+    assert(row.getAs[Double]("q25") === 2.0)
+    assert(row.getAs[Double]("q50") === 3.0)
+    assert(row.getAs[Double]("q75") === 4.0)
+    assert(row.getAs[Double]("std_pop") === 1.414214) // ddof=0, 6dp-rounded
+  }
+
+  test("withZScores standardizes with population stddev") {
+    val d = Seq(1.0, 2.0, 3.0).toDF("v")
+    val z = Stats.withZScores(d, Seq("v")).agg(round(sum("z_v"), 9)).head().getDouble(0)
+    assert(z === 0.0)
+  }
+}

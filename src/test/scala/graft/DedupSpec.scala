@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // crafted corpus: 0≡1 identical, 2 near-dup of 0 (one token changed),
+  // 3 unrelated, 4 near-dup of 3
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark query engines at scale now"),
+    (4L, "completely different content about spark query engines at scale here")
+  ).toDF("doc_id", "text")
+
+  test("exact dup groups find the identical pair, deterministically") {
+    val g = Dedup.exactDupGroups(docs, col("doc_id"), col("text")).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Seq[Long]]("doc_ids") === Seq(0L, 1L))
+  }
+
+  test("dropExactDups keeps min-id representative") {
+    val kept = Dedup.dropExactDups(docs, col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 3L, 4L))
+  }
+
+  test("jaccardSimJoin computes exact token-set jaccard") {
+    val pairs = Dedup.jaccardSimJoin(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("minhash LSH candidates contain every true high-jaccard pair") {
+    val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+      numHashes = 64, shingleSize = 2, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)))
+    assert(cand.contains((0L, 2L)) || cand.contains((1L, 2L)))
+    assert(cand.contains((3L, 4L)))
+  }
+
+  test("minhashNearDups verifies candidates with exact jaccard") {
+    val nd = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+      threshold = 0.99, shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd === Set((0L, 1L))) // only the identical pair survives 0.99
+  }
+
+  test("minhash signature is deterministic across plans") {
+    val s1 = Dedup.withMinhashSignature(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s2 = Dedup.withMinhashSignature(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s1 === s2)
+    assert(s1(0L) === s1(1L)) // identical docs → identical signatures
+    assert(s1(0L) !== s1(3L))
+  }
+
+  test("simhash: identical docs same signature; near-dups within hamming 3") {
+    val pairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("shingleHashes: n-gram count = tokens − n + 1") {
+    val n = docs.filter(col("doc_id") === 0)
+      .select(size(TextAnalysis.shingleHashes(col("text"), 3))).head().getInt(0)
+    val toks = docs.filter(col("doc_id") === 0)
+      .select(size(TextAnalysis.tokens(col("text")))).head().getInt(0)
+    assert(n === toks - 2)
+  }
+}

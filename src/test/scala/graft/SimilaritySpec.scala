@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(0.98f, 0.15f, 0.05f, 0.0f)) // near 0
+  ).toDF("vec_id", "embedding")
+
+  test("dot / l2Norm / cosine column algebra") {
+    val r = vecs.filter(col("vec_id") === 0)
+      .crossJoin(vecs.filter(col("vec_id") === 3).select(col("embedding").as("b")))
+      .select(
+        Similarity.dot(col("embedding"), col("b")).as("d"),
+        Similarity.l2Norm(col("embedding")).as("n"),
+        Similarity.cosine(col("embedding"), col("b")).as("c")).head()
+    assert(r.getDouble(0) === -1.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top.toSeq === Seq((0L, 1, 1L), (0L, 2, 4L)))
+  }
+
+  test("LSH topK finds the exact nearest neighbor for clustered vectors") {
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 1,
+      dim = 4, planes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // vec 1 shares nearly every hyperplane side with vec 0 → must appear
+    assert(got.nonEmpty && got.head === (0L -> 1L))
+  }
+
+  test("embeddingNearDups finds the near-identical pairs only") {
+    val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.95, dim = 4,
+      planes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("LSH recall vs brute force on real embeddings (sf0.001)") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, k = 1)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lsh = Similarity.lshTopK(e, q, k = 5, dim = 64, planes = 16, bands = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, rs) => k2 -> rs.map(_.getLong(2)).toSet }
+    // generous banding (8 bands of 2 bits) → top-1 should usually be found;
+    // assert at least half the queries recall their true nearest neighbor
+    val hits = brute.count { case (qid, nn) => lsh.getOrElse(qid, Set.empty).contains(nn) }
+    assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Clean, Normalize}
+import graft.ml.Ols
+import graft.streaming.{CountryStatsStream, ScoringPipeline, UpsertSink, Welford}
+
+/** Streaming semantics (SURVEY §2.9, §5 test plan #5): wire-format
+  * round-trip, idempotent upsert under replay (T4 exactly-once story),
+  * Welford running stats ≡ two-pass batch metrics.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wire round-trip: toWire → parseWire preserves rows; corrupt dropped") {
+    val df = Seq(
+      ("France", 2018, 1.3, 1.4, 0.9, 0.5, 0.2, 6.4, 1, 0),
+      ("Chad", 2019, 0.3, 0.6, 0.2, 0.1, 0.05, 4.3, 0, 1))
+      .toDF(ScoringPipeline.wireSchema.fieldNames: _*)
+    val wire = ScoringPipeline.toWire(df)
+    val back = ScoringPipeline.parseWire(wire, col("value"))
+    assert(back.count() === 2)
+    assert(back.columns.toSeq === ScoringPipeline.wireSchema.fieldNames.toSeq)
+    val corrupt = Seq("not json at all", """{"Year": 2020}""").toDF("value")
+    assert(ScoringPipeline.parseWire(corrupt, col("value")).count() === 0)
+  }
+
+  test("parquet merge upsert is idempotent and key-resolving") {
+    val dir = Files.createTempDirectory("graft_upsert").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    val b1 = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("k", "y", "v")
+    val b2 = Seq(("b", 1, 99.0), ("c", 1, 30.0)).toDF("k", "y", "v")
+    UpsertSink.ParquetMergeSink.merge(b1, path, Seq("k", "y"))
+    UpsertSink.ParquetMergeSink.merge(b2, path, Seq("k", "y"))
+    UpsertSink.ParquetMergeSink.merge(b2, path, Seq("k", "y")) // replay
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rows.size === 3)
+    assert(rows(("b", 1)) === 99.0) // new batch wins
+  }
+
+  test("ON CONFLICT SQL matches the reference's upsert shape") {
+    val sql = UpsertSink.onConflictSql("predictions",
+      Seq("country", "year", "y_pred"), Seq("country", "year"))
+    assert(sql.contains("""ON CONFLICT ("country", "year") DO UPDATE"""))
+    assert(sql.contains(""""y_pred" = EXCLUDED."y_pred""""))
+    assert(!sql.contains("""country" = EXCLUDED."country"""))
+  }
+
+  test("full stream: happiness wire records → score → idempotent warehouse") {
+    val unified = Clean.dropNulls(
+      Normalize.loadUnified(spark, TestSpark.refData), Normalize.Canonical)
+    val flagged = Ols.withSplitFlags(unified, Seq("Country", "Year"))
+      .withColumn("y_true", col("Happiness Score"))
+    val model = Ols.fit(flagged.filter(col("is_train") === 1),
+      Normalize.Features, Normalize.Target)
+    val wire = ScoringPipeline.toWire(flagged).as[String].collect().toSeq
+
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    val table = s"${dir.getAbsolutePath}/predictions"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().withColumnRenamed("value", "value")
+      .writeStream
+      .foreachBatch(ScoringPipeline.processBatch(model, table) _)
+      .option("checkpointLocation", s"${dir.getAbsolutePath}/ckpt")
+      .start()
+    mem.addData(wire)
+    q.processAllAvailable()
+    mem.addData(wire) // replay every record — upsert must absorb it
+    q.processAllAvailable()
+    q.stop()
+
+    val warehouse = spark.read.parquet(table)
+    assert(warehouse.count() === 781) // T4: replay-safe exactly-once
+    assert(warehouse.filter(col("y_pred").isNull).count() === 0)
+  }
+
+  test("Welford running stats ≡ two-pass batch metrics") {
+    val data = (1 to 100).map { i =>
+      Welford.In(if (i % 2 == 0) "FR" else "TD", i.toDouble, i + (i % 7) - 3.0)
+    }
+    // streaming-style fold per key
+    val streamed = data.groupBy(_.key).map { case (k, rows) =>
+      k -> rows.foldLeft(Welford.Buf.zero)((b, r) => b.update(r.y, r.yPred))
+    }
+    // two-pass reference computation
+    data.groupBy(_.key).foreach { case (k, rows) =>
+      val n = rows.size
+      val meanY = rows.map(_.y).sum / n
+      val ssTot = rows.map(r => math.pow(r.y - meanY, 2)).sum
+      val ssRes = rows.map(r => math.pow(r.y - r.yPred, 2)).sum
+      val mae = rows.map(r => math.abs(r.y - r.yPred)).sum / n
+      val buf = streamed(k)
+      assert(math.abs(buf.mae.get - mae) < 1e-9)
+      assert(math.abs(buf.r2.get - (1 - ssRes / ssTot)) < 1e-9)
+    }
+    // merge in arbitrary split points ≡ sequential (mergeability)
+    val (l, r) = data.splitAt(37)
+    def fold(xs: Seq[Welford.In]) =
+      xs.foldLeft(Welford.Buf.zero)((b, x) => b.update(x.y, x.yPred))
+    val merged = fold(l).merge(fold(r))
+    val seq = fold(data)
+    assert(math.abs(merged.m2 - seq.m2) < 1e-6)
+    assert(merged.n === seq.n)
+  }
+
+  test("stateful streaming per-key stats accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Welford.In]
+    val out = CountryStatsStream.runningStats(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("country_stats")
+      .outputMode("update").start()
+    mem.addData(Welford.In("FR", 6.0, 5.5), Welford.In("FR", 7.0, 7.5))
+    q.processAllAvailable()
+    mem.addData(Welford.In("FR", 6.5, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("country_stats")
+      .orderBy(col("n").desc).head()
+    assert(last.getAs[Long]("n") === 3L) // state carried across batches
+    spark.sql("DROP TABLE IF EXISTS country_stats")
+  }
+}
