@@ -96,12 +96,19 @@ object Similarity {
       .select(col(id), col(v), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val c = keyed(corpus, "neighbor_id", "cv")
     val q = keyed(queries, "query_id", "qv")
-    val cand = c.join(q, Seq("band", "bh"))
+    // candidate dedup on IDS ONLY — never shuffle the float arrays —
+    // then join the vectors back for the exact-cosine verify.
+    val cand = c.drop("cv").join(q.drop("qv"), Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -112,18 +119,24 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold, SRP-candidate
     * generation + exact verify (id_a < id_b). */
   def embeddingNearDups(df: DataFrame, threshold: Double, dim: Int,
-                        planes: Int = 16, bands: Int = 4,
+                        planes: Int = 24, bands: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // band keys only — the self-join and candidate dedup shuffle just
+    // (band, bh, id); vectors rejoin once for the exact verify.
     val keyed = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
+      .select(col(idCol).as("id"),
         explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    keyed.alias("a")
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = keyed.alias("a")
       .join(keyed.alias("b"), col("a.band") === col("b.band") &&
         col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
