@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.all ++
       graft.queries.Analytic.all ++
-      graft.queries.TextSim.all
+      graft.queries.TextSim.all ++
+      graft.queries.Sessions.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Analytic.oracle ++
-      graft.queries.TextSim.oracle
+      graft.queries.TextSim.oracle ++
+      graft.queries.Sessions.oracle
 }

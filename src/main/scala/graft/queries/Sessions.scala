@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream shaping: sessionization and pivot — the classic
+  * clickstream operators at warehouse scale. One shuffle on user_id
+  * serves both windows in q37; the pivot is a single groupBy with
+  * conditional counts fanned into columns.
+  */
+object Sessions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gap-based sessionization (30-min inactivity boundary): lag →
+    * session-start flags → running sum = session id → per-session
+    * aggregates. Integer second arithmetic end-to-end so both engines
+    * agree exactly. */
+  val q37_sessionize: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+    val isStart = when(gap.isNull || gap > 1800, 1).otherwise(0)
+    val sessions = e
+      .withColumn("session_id",
+        sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+      .orderBy("user_id", "session_id")
+    sessions
+  }
+
+  val q37_sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  date_diff('second', min(ts), max(ts)) AS duration_s
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: daily event counts fanned into one column per event type
+    * (explicit value list — never let pivot scan for distinct values at
+    * scale). */
+  val q38_pivot: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy("day")
+
+  val q38_sql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n  ")
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |  $cols
+       |FROM events GROUP BY day ORDER BY day""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "q37_sessionize" -> q37_sessionize,
+    "q38_pivot" -> q38_pivot)
+
+  val oracle: Map[String, String] = Map(
+    "q37_sessionize" -> q37_sql,
+    "q38_pivot" -> q38_sql)
+}
