@@ -19,17 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns, accumulated in
-    * double, left-to-right (deterministic). */
+  /** Dot product — native codegen'd expression (one fused loop; see
+    * [[graft.expressions.DotProduct]]). Accumulates in double,
+    * left-to-right: bit-identical to the HOF form below. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vector_dot(a, b)
+
+  /** Cosine — single-pass native expression (dot + both norms in one
+    * loop instead of three array walks). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine_sim(a, b)
+
+  def l2Norm(a: Column): Column =
+    sqrt(graft.expressions.VectorExpressions.vector_dot(a, a))
+
+  /** Reference HOF formulations (kept for equivalence testing — the
+    * native expressions must match these bitwise). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosineHof(a: Column, b: Column): Column = {
+    def norm(c: Column) =
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dotHof(a, b) / (norm(a) * norm(b))
+  }
 
   /** Exact brute-force top-k: for each query vector, the k nearest
     * corpus vectors by cosine. Rank on ROUNDED similarity (6 dp) with an
