@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Analytic.all ++
       graft.queries.TextSim.all ++
-      graft.queries.Sessions.all
+      graft.queries.Sessions.all ++
+      graft.queries.SetOps.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Analytic.oracle ++
       graft.queries.TextSim.oracle ++
-      graft.queries.Sessions.oracle
+      graft.queries.Sessions.oracle ++
+      graft.queries.SetOps.oracle
 }

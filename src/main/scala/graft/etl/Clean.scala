@@ -80,6 +80,30 @@ object Clean {
       .orderBy("feature")
   }
 
+  /** Grouped IQR outlier census (EDA cell 14, A10): fences computed
+    * WITHIN each group, one aggregate per feature over grouped
+    * percentiles — all group×feature fences in `cols.size` passes. */
+  def iqrOutlierCensusBy(df: DataFrame, cols: Seq[String], groupCols: Seq[String],
+                         k: Double = 1.5): DataFrame = {
+    val rows = cols.map { c =>
+      val q1 = expr(s"percentile(`$c`, 0.25)")
+      val q3 = expr(s"percentile(`$c`, 0.75)")
+      val fences = df.groupBy(groupCols.map(col): _*)
+        .agg((q1 - (q3 - q1) * k).as("__lo"), (q3 + (q3 - q1) * k).as("__hi"))
+      df.join(broadcast(fences), groupCols)
+        .groupBy(groupCols.map(col): _*)
+        .agg(
+          first(lit(c)).as("feature"),
+          count(col(c)).as("n"),
+          sum(when(!col(c).between(col("__lo"), col("__hi")), 1).otherwise(0))
+            .as("n_outliers"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("pct_outliers",
+        round(col("n_outliers").cast("double") / col("n") * 100, 6))
+      .orderBy((col("feature") +: groupCols.map(col)): _*)
+  }
+
   /** Flag/drop rows where any |z| > k, population stddev (pandas ddof=0,
     * EDA cell 4 — SURVEY §7.4.3). */
   def zscoreFilter(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Set operations, grouping sets and the SQL front end (SURVEY §2.7 +
+  * extension surface). */
+object SetOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q39
+  // INTERSECT (distinct row-level set intersection).
+  val q39_intersect: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    c.filter(col("c_nationkey") <= 5).select("c_mktsegment")
+      .intersect(c.filter(col("c_nationkey") > 5).select("c_mktsegment"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q39_sql: String =
+    """SELECT c_mktsegment FROM customer WHERE c_nationkey <= 5
+      |INTERSECT
+      |SELECT c_mktsegment FROM customer WHERE c_nationkey > 5
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  // EXCEPT (distinct set difference): nations where every supplier
+  // holds a balance ≥ 2000.
+  val q40_except: Q = (s, dir) => {
+    val sup = Tables.load(s, dir, "supplier")
+    sup.select("s_nationkey")
+      .except(sup.filter(col("s_acctbal") < 2000.0).select("s_nationkey"))
+      .orderBy("s_nationkey")
+  }
+
+  val q40_sql: String =
+    """SELECT s_nationkey FROM supplier
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal < 2000.0
+      |ORDER BY s_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // CUBE over (region, segment): all 4 grouping-set combinations.
+  val q41_cube: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  val q41_sql: String =
+    """SELECT r_name, c_mktsegment, count(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, c_mktsegment)
+      |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  // The engine's SQL front end: correlated IN-subquery planned by
+  // Catalyst (rewritten to a semi join) — identical SQL text on both
+  // engines.
+  val q42_sql_frontend: Q = (s, dir) => {
+    Tables.names.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > 350000.0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q42_sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |  AND o_totalprice > 350000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  // Scale-path cardinality estimation: HyperLogLog++ approximate
+  // distinct vs exact. Rows-only (sketch estimates differ per engine —
+  // never oracle-hash approximations; SURVEY §7.4.4).
+  val q43_approx_distinct: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
+  val all: Map[String, Q] = Map(
+    "q39_intersect" -> q39_intersect,
+    "q40_except" -> q40_except,
+    "q41_cube" -> q41_cube,
+    "q42_sql_frontend" -> q42_sql_frontend,
+    "q43_approx_distinct" -> q43_approx_distinct)
+
+  val oracle: Map[String, String] = Map(
+    "q39_intersect" -> q39_sql,
+    "q40_except" -> q40_sql,
+    "q41_cube" -> q41_sql,
+    "q42_sql_frontend" -> q42_sql)
+}

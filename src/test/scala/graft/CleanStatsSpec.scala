@@ -49,6 +49,15 @@ class CleanStatsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_outliers") === 1L)
   }
 
+  test("iqrOutlierCensusBy: fences computed within groups") {
+    val d = ((1 to 20).map(i => ("g1", i.toDouble)) ++
+      Seq(("g1", 1000.0)) ++ (1 to 20).map(i => ("g2", i * 100.0))).toDF("g", "x")
+    val census = Clean.iqrOutlierCensusBy(d, Seq("x"), Seq("g"))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("n_outliers")).toMap
+    assert(census("g1") === 1L) // 1000.0 is an outlier within g1
+    assert(census("g2") === 0L) // g2's scale is its own baseline
+  }
+
   test("corrMatrix: perfectly correlated columns → corr 1.0") {
     val d = (1 to 50).map(i => (i.toDouble, 2.0 * i, -3.0 * i)).toDF("a", "b", "c")
     val m = Stats.corrMatrix(d, Seq("a", "b", "c"))

@@ -10,9 +10,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // LSH / langid queries are intentionally rows-only (not SQL-expressible)
+    // LSH / langid / sketch queries are intentionally rows-only
+    // (not SQL-expressible, or approximations that must not be hashed)
     assert(noOracle.forall(k => k.contains("lsh") || k.contains("langid") ||
-      k.contains("minhash") || k.contains("simhash") || k.contains("neardups")),
+      k.contains("minhash") || k.contains("simhash") || k.contains("neardups") ||
+      k.contains("approx")),
       s"unexplained oracle omissions: $noOracle")
   }
 

@@ -109,6 +109,30 @@ class StreamingSpec extends SparkSpec {
     assert(merged.n === seq.n)
   }
 
+  test("watermarked tumbling-window aggregation (event-time, append mode)") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.format("memory").queryName("windowed")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "click", 1.0), (t(1), "click", 2.0), (t(7), "view", 3.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the first windows
+    mem.addData((t(30), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("windowed")
+      .selectExpr("date_format(window.start, 'HH:mm') AS s", "event_type", "n", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.toSet === Set(("10:00", "click", 2L, 3.0), ("10:05", "view", 1L, 3.0)))
+    spark.sql("DROP TABLE IF EXISTS windowed")
+  }
+
   test("stateful streaming per-key stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Welford.In]

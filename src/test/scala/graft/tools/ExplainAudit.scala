@@ -1,0 +1,27 @@
+// Plan audit: run with  sbt -batch "Test/runMain graft.tools.ExplainAudit"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val interesting = args.headOption
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q01_scan_filter", "q04_group_agg", "q05_star_join",
+        "q08_window_rank", "q10_topk", "q16_kpi_global", "q31_knn_brute"))
+    interesting.foreach { q =>
+      println(s"\n========== $q ==========")
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
