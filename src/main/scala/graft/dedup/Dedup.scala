@@ -62,12 +62,11 @@ object Dedup {
     }
   }
 
-  /** MinHash signature from a pre-materialized array of 32-bit shingle
-    * hashes: minhash_j = min over shingles of ((a_j·h + b_j) mod 2^32).
-    * Keep the h32 array in its own projection (see [[withMinhashSignature]])
-    * so CollapseProject cannot inline — and re-evaluate — the expensive
-    * shingle-hashing subtree into all k min expressions. */
-  def minhashSignatureFromHashes(h32: Column, numHashes: Int, seed: Long): Column =
+  /** Reference column-algebra MinHash (one transform+array_min tree per
+    * hash function) — kept for the native-vs-algebra equivalence spec;
+    * production path is the fused [[graft.expressions.MinHashSignature]].
+    */
+  def minhashSignatureHof(h32: Column, numHashes: Int, seed: Long): Column =
     array(mixConstants(numHashes, seed).map { case (a, b) =>
       array_min(transform(h32, h => (h * lit(a) + lit(b)).bitwiseAND(lit(0xffffffffL))))
     }: _*)
@@ -78,12 +77,17 @@ object Dedup {
       h => h.bitwiseAND(lit(0xffffffffL)))
 
   /** df + `sig` column: two-stage projection — shingle hashing runs once
-    * per row, then k cheap affine min-folds over the cached array. */
+    * per row, then ONE fused native loop computes all k mins
+    * ([[graft.expressions.MinHashSignature]]; empty docs hash to the
+    * 2^32−1 sentinel per slot). */
   def withMinhashSignature(df: DataFrame, id: Column, text: Column,
                            numHashes: Int = 64, shingleSize: Int = 3,
-                           seed: Long = 42L): DataFrame =
+                           seed: Long = 42L): DataFrame = {
+    val (as, bs) = mixConstants(numHashes, seed).unzip
     df.select(id.as("id"), shingleHashes32(text, shingleSize).as("__h32"))
-      .select(col("id"), minhashSignatureFromHashes(col("__h32"), numHashes, seed).as("sig"))
+      .select(col("id"), graft.expressions.HashExpressions
+        .minhash_signature(col("__h32"), as.toArray, bs.toArray).as("sig"))
+  }
 
   /** LSH banding: explode the signature into `bands` (band, bandHash)
     * keys. Two docs sharing any band key are candidates. */
@@ -140,10 +144,16 @@ object Dedup {
   // ---------------------------------------------------------- simhash
 
   /** 64-bit SimHash over tokens: per bit i, sum ±1 weighted votes of
-    * each token's hash bit; signature bit = sign. Expressed as column
-    * algebra: 64 aggregate() folds over the token-hash array (one text
-    * pass after tokenize; codegen'd, no UDF). */
-  def simhash64(text: Column): Column = {
+    * each token's hash bit; signature bit = sign. One fused native loop
+    * ([[graft.expressions.SimHash64Expr]]) over the token-hash array. */
+  def simhash64(text: Column): Column =
+    graft.expressions.HashExpressions
+      .simhash64(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+      .as("simhash")
+
+  /** Column-algebra SimHash (64 aggregate folds) — equivalence-spec
+    * reference for the native expression. */
+  def simhash64Hof(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     val bits = (0 until 64).map { i =>
       val votes = aggregate(hashes, lit(0L),

@@ -80,11 +80,15 @@ object TextAnalysis {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Rolling n-gram fingerprints: hash of every n-token shingle —
-    * the winnowing/near-dup building block. Returns array<bigint>. */
+    * the winnowing/near-dup building block. Returns array<bigint>;
+    * empty when the document has fewer than n tokens (a bare
+    * `sequence(1, size-n+1)` would count DOWN for short docs and feed
+    * slice() an illegal 0 index). */
   def shingleHashes(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) < n, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
   }
 }

@@ -72,6 +72,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("native MinHashSignature ≡ column-algebra form on real documents") {
+    val real = Tables.load(spark, TestSpark.sf0001, "documents")
+    val h32 = Dedup.shingleHashes32(col("text"), 3)
+    val native = Dedup.withMinhashSignature(real, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val algebra = real
+      .select(col("doc_id"), h32.as("__h32"))
+      .select(col("doc_id"), Dedup.minhashSignatureHof(col("__h32"), 64, 42L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === algebra)
+  }
+
+  test("native SimHash64 ≡ column-algebra form on real documents") {
+    val real = Tables.load(spark, TestSpark.sf0001, "documents")
+    val both = real.select(
+      Dedup.simhash64(col("text")).as("native"),
+      Dedup.simhash64Hof(col("text")).as("algebra"))
+      .filter(col("native") =!= col("algebra")).count()
+    assert(both === 0L)
+  }
+
+  test("shingleHashes: short docs yield empty shingle arrays (no crash)") {
+    val short = Seq((0L, "one two"), (1L, ""), (2L, "a b c d")).toDF("doc_id", "text")
+    val sizes = short.select(size(TextAnalysis.shingleHashes(col("text"), 3)))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sizes === Seq(0, 0, 2))
+  }
+
   test("shingleHashes: n-gram count = tokens − n + 1") {
     val n = docs.filter(col("doc_id") === 0)
       .select(size(TextAnalysis.shingleHashes(col("text"), 3))).head().getInt(0)
