@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Whole-operator building blocks Spark lacks as single calls, each
+  * composed from built-ins per the preference order (SURVEY §7.3 /
+  * builder mandate (a): compose existing ops when semantics allow —
+  * these all reduce to ONE shuffle, which a custom SparkPlan could not
+  * beat).
+  */
+object Operators {
+
+  /** As-of (point-in-time) join: for every left row, the latest right
+    * row with `right.time <= left.time` on the same key — the temporal
+    * join behind feature stores and leakage-free training joins.
+    *
+    * Plan shape: tag + unionByName + ONE window over (key, time) with
+    * `last(payload, ignoreNulls)` carry-forward, then keep left rows.
+    * Cost = one shuffle on the key (the union is shuffle-free), versus
+    * the naive range-join which explodes to O(|L|·|R|) per key.
+    * `toleranceSeconds` nulls out matches older than the horizon.
+    *
+    * Right payload columns are emitted under their own names and must
+    * not clash with left columns; ties at equal time prefer the right
+    * row (inclusive <=).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               timeCol: String, rightValueCols: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    val payload = struct(
+      (rightValueCols.map(col) :+ col(timeCol).as("__rt")): _*)
+    val rTagged = right
+      .filter(col(timeCol).isNotNull)
+      .select((keyCols.map(col) :+ col(timeCol) :+ payload.as("__rpayload")): _*)
+      .withColumn("__is_left", lit(0))
+    val lTagged = left.withColumn("__is_left", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right rows sort before left rows at equal timestamps → inclusive
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__match", last(col("__rpayload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val horizonOk = toleranceSeconds match {
+      case Some(t) =>
+        unix_timestamp(col(timeCol)) - unix_timestamp(col("__match.__rt")) <= t
+      case None => lit(true)
+    }
+    val matched = carried.withColumn("__ok",
+      col("__match").isNotNull && horizonOk)
+    val out = rightValueCols.foldLeft(matched) { (d, c) =>
+      d.withColumn(c, when(col("__ok"), col(s"__match.$c")))
+    }.withColumn("__asof_time", when(col("__ok"), col("__match.__rt")))
+    out.drop("__is_left", "__rpayload", "__match", "__ok")
+  }
+
+  /** Salted equi-join for skewed keys: the big side gets a deterministic
+    * salt in [0, salts); the (smaller) build side is exploded `salts`
+    * times so every salted key finds its match. Turns one hot reducer
+    * into `salts` even ones at the cost of replicating the build side —
+    * the standard fix when AQE skew-join can't help (e.g. a hot key
+    * inside a single aggregation/join stage at 100 TB).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val explodedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(explodedSmall, keyCols :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Write a table bucketed (and sorted) on the join key: later joins
+    * and aggregations on `bucketCols` read co-located buckets and skip
+    * the shuffle entirely — the 100 TB answer for repeatedly-joined
+    * fact tables. (Bucket metadata lives in the session catalog, so
+    * this writes through `saveAsTable`.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

@@ -75,11 +75,45 @@ object Sessions {
        |FROM events GROUP BY day ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q44
+  // As-of (point-in-time) join: for every click, the user's latest
+  // purchase at-or-before it (graft.operators.Operators.asofJoin — one
+  // key shuffle via tag+union+window; DuckDB's native ASOF JOIN is the
+  // oracle).
+  val q44_asof_join: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    graft.operators.Operators
+      .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("__asof_time"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q44_sql: String =
+    """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value AS purchase_value FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  p.purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY c.user_id, c.event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q37_sessionize" -> q37_sessionize,
-    "q38_pivot" -> q38_pivot)
+    "q38_pivot" -> q38_pivot,
+    "q44_asof_join" -> q44_asof_join)
 
   val oracle: Map[String, String] = Map(
     "q37_sessionize" -> q37_sql,
-    "q38_pivot" -> q38_sql)
+    "q38_pivot" -> q38_sql,
+    "q44_asof_join" -> q44_sql)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Operators
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  lazy val clicks = Seq(
+    (1L, 100L, t("2024-01-01 10:00:00")),
+    (1L, 101L, t("2024-01-01 12:00:00")),
+    (2L, 200L, t("2024-01-01 09:00:00"))
+  ).toDF("user_id", "event_id", "ts")
+
+  lazy val purchases = Seq(
+    (1L, t("2024-01-01 09:30:00"), 10.0),
+    (1L, t("2024-01-01 11:00:00"), 20.0),
+    (3L, t("2024-01-01 08:00:00"), 30.0)
+  ).toDF("user_id", "ts", "purchase_value")
+
+  test("asofJoin: latest right row at-or-before each left time") {
+    val got = Operators.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+      Seq("purchase_value"))
+      .select("event_id", "purchase_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got === Map(100L -> Some(10.0), 101L -> Some(20.0), 200L -> None))
+  }
+
+  test("asofJoin: inclusive at equal timestamps") {
+    val sameTs = Seq((1L, t("2024-01-01 11:00:00"), 99.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val oneClick = Seq((1L, 7L, t("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = Operators.asofJoin(oneClick, sameTs, Seq("user_id"), "ts",
+      Seq("purchase_value")).head()
+    assert(got.getAs[Double]("purchase_value") === 99.0)
+  }
+
+  test("asofJoin: tolerance horizon nulls stale matches") {
+    val got = Operators.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+      Seq("purchase_value"), toleranceSeconds = Some(1800L))
+      .select("event_id", "purchase_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // click 100 is 30 min after purchase (ok at 1800s); click 101 is 60 min after
+    assert(got === Map(100L -> Some(10.0), 101L -> None, 200L -> None))
+  }
+
+  test("saltedJoin ≡ plain join (skew mitigation is semantics-neutral)") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val oKeyed = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(oKeyed, Seq("l_orderkey")).agg(
+      count(lit(1)), round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)).head()
+    val salted = Operators.saltedJoin(li, oKeyed, Seq("l_orderkey"), salts = 8).agg(
+      count(lit(1)), round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)).head()
+    assert(plain === salted)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Operators.writeBucketed(li, "b_lineitem", Seq("l_orderkey"), 4)
+    Operators.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "b_orders", Seq("l_orderkey"), 4)
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+  }
+}
