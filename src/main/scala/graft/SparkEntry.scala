@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Analytic.all ++
       graft.queries.TextSim.all ++
       graft.queries.Sessions.all ++
-      graft.queries.SetOps.all
+      graft.queries.SetOps.all ++
+      graft.queries.CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Analytic.oracle ++
       graft.queries.TextSim.oracle ++
       graft.queries.Sessions.oracle ++
-      graft.queries.SetOps.oracle
+      graft.queries.SetOps.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics: vocabulary, n-gram counts, TF-IDF.
+  *
+  * Shapes for 100 TB: one explode of the token array feeds a token-key
+  * groupBy (the only wide shuffle, map-side combined); document
+  * frequencies are a second small aggregate whose result broadcasts
+  * back into the per-(doc, term) score — no per-document jobs, no
+  * driver-side vocabulary. For web-scale vocabularies add a min-df cut
+  * before the broadcast.
+  */
+object Corpus {
+
+  /** (token, n_total, n_docs) global vocabulary statistics. */
+  def vocabulary(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Corpus n-gram (word) counts. */
+  def ngramCounts(df: DataFrame, text: Column, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    df.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-(doc, term) TF-IDF with sklearn-style smoothing:
+    * idf = ln((1+N)/(1+df)) + 1. One explode → tf groupBy; df from the
+    * same relation; N broadcast as a literal-free 1-row aggregate. */
+  def tfidf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tokens = df
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1), 6))
+      .select("doc_id", "token", "tf", "df", "tfidf")
+  }
+}
