@@ -91,8 +91,8 @@ object SetOps {
   val q43_approx_distinct: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem").agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
 
   val all: Map[String, Q] = Map(
     "q39_intersect" -> q39_intersect,

@@ -173,8 +173,8 @@ object TextSim {
       .orderBy("id_a", "id_b")
 
   val q34_langid: Q = (s, dir) =>
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    TextAnalysis.withLangId(Tables.load(s, dir, "documents"), col("text"))
+      .select("doc_id", "pred_lang")
       .orderBy("doc_id")
 
   val q35_ann_lsh: Q = (s, dir) => {

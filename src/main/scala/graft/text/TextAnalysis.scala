@@ -33,18 +33,22 @@ object TextAnalysis {
     * results are oracle-hashable. */
   def qualityFeatures(df: DataFrame, text: Column, scale: Int = 6,
                       stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val stopArr = array(stopwords.map(lit): _*)
-    val stopHits = size(filter(toks, t => array_contains(stopArr, lower(t))))
+    // tokenize ONCE into its own projection — the split is the
+    // expensive part and must not be inlined into every consumer
+    val toksCol = col("__toks")
+    val nTok = size(toksCol)
+    val stopHits = graft.expressions.TokenSetCount(toksCol, stopwords.toSet, lowercase = true)
     val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
-    df.withColumn("n_chars", length(text))
-      .withColumn("n_tokens", nTok)
-      .withColumn("avg_token_len",
-        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-          / nTok, scale))
-      .withColumn("stopword_ratio", round(stopHits.cast("double") / nTok, scale))
-      .withColumn("punct_ratio", round(punct.cast("double") / length(text), scale))
+    df.withColumn("__toks", tokens(text))
+      .withColumns(Map(
+        "n_chars" -> length(text),
+        "n_tokens" -> nTok,
+        "avg_token_len" ->
+          round(aggregate(toksCol, lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / nTok, scale),
+        "stopword_ratio" -> round(stopHits.cast("double") / nTok, scale),
+        "punct_ratio" -> round(punct.cast("double") / length(text), scale)))
+      .drop("__toks")
   }
 
   /** Stopword-profile language ID — per-language function-word
@@ -59,36 +63,51 @@ object TextAnalysis {
     "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "不"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    // struct(score, negated-lang-ordinal) and array_max picks the best;
-    // ordinal tie-break keeps it deterministic.
+  /** Language ID over a pre-tokenized column (tokenize once upstream —
+    * see [[withLangId]]). struct(score, negated-lang-ordinal) and
+    * array_max pick the best profile; ordinal tie-break keeps it
+    * deterministic. Scoring is the native TokenSetCount probe (one
+    * pass per language, O(1) lookups). */
+  def langIdFromTokens(toks: Column): Column = {
     val langs = langProfiles.toSeq.sortBy(_._1)
     val scored = langs.zipWithIndex.map { case ((code, words), i) =>
-      val dict = array(words.map(lit): _*)
       struct(
-        size(filter(toks, t => array_contains(dict, t))).as("score"),
+        graft.expressions.TokenSetCount(toks, words.toSet, lowercase = true)
+          .as("score"),
         lit(-i).as("ord"),
         lit(code).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** df + `pred_lang`, tokenizing once in its own projection. */
+  def withLangId(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("__toks", tokens(text))
+      .withColumn("pred_lang", langIdFromTokens(col("__toks")))
+      .drop("__toks")
+
   /** Whole-document fingerprint: stable 128-bit content hash of the
     * normalized text (lowercased, whitespace-collapsed). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** All n-token grams of a token array, space-joined: built by zipping
+    * the array with its k-shifted selves (zip_with pads the tail with
+    * nulls, concat propagates them, array_compact drops them) — one
+    * fused pass, no per-position indexed access, empty for short docs. */
+  def ngrams(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else array_compact(
+      (1 until n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+          (x, y) => concat(x, lit(" "), y))
+      })
+
   /** Rolling n-gram fingerprints: hash of every n-token shingle —
     * the winnowing/near-dup building block. Returns array<bigint>;
-    * empty when the document has fewer than n tokens (a bare
-    * `sequence(1, size-n+1)` would count DOWN for short docs and feed
-    * slice() an illegal 0 index). */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+    * empty when the document has fewer than n tokens. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(ngrams(tokens(text), n), g => xxhash64(g))
 }

@@ -45,6 +45,21 @@ class VectorExpressionsSpec extends SparkSpec {
       .head().getDouble(0) === 6.0)
   }
 
+  test("TokenSetCount ≡ HOF filter/array_contains, occurrences not distinct") {
+    val df = Seq("The the THE cat sat on a mat", "", "zzz yyy xxx")
+      .toDF("text")
+    val toks = split(trim(col("text")), "\\s+")
+    val dict = Set("the", "a", "cat")
+    val native = df.select(
+      graft.expressions.TokenSetCount(toks, dict, lowercase = true).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    val hof = df.select(
+      size(filter(toks, t => lower(t).isInCollection(dict))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native === hof)
+    assert(native === Seq(5, 0, 0)) // "" splits to one empty token, 0 hits
+  }
+
   test("SQL registration: vector_dot / cosine_sim usable from SQL text") {
     VectorExpressions.registerAll(spark)
     val r = spark.sql(
