@@ -133,6 +133,32 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS windowed")
   }
 
+  test("streaming session windows (event-time gap sessionization)") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    // user 1: events at 10:00, 10:03, 10:06 chain into ONE session
+    // (each within 5 min of the previous); 10:20 starts a second one
+    mem.addData((t(0), 1L), (t(3), 1L), (t(6), 1L), (t(20), 1L))
+    q.processAllAvailable()
+    mem.addData((t(59), 1L)) // push watermark past both sessions
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .selectExpr("date_format(session_window.start, 'HH:mm') AS s", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("10:00", 0L) === 3L)
+    assert(got.getOrElse("10:20", 0L) === 1L)
+    spark.sql("DROP TABLE IF EXISTS sessions")
+  }
+
   test("stateful streaming per-key stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Welford.In]
