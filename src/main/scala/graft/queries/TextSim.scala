@@ -188,6 +188,13 @@ object TextSim {
       threshold = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
 
+  val q48_ann_ivf: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.train(e, nlist = 8, iters = 3)
+    graft.similarity.Ivf.topK(idx, e.filter(col("vec_id") < 20), k = 3, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q25_text_stats" -> q25_text_stats,
     "q26_text_quality" -> q26_text_quality,
@@ -200,7 +207,8 @@ object TextSim {
     "q33_simhash_neardups" -> q33_simhash_neardups,
     "q34_langid" -> q34_langid,
     "q35_ann_lsh" -> q35_ann_lsh,
-    "q36_embed_neardups" -> q36_embed_neardups)
+    "q36_embed_neardups" -> q36_embed_neardups,
+    "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
     "q25_text_stats" -> q25_sql,

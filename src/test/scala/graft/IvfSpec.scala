@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train partitions the corpus into nlist cells; every row assigned") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val idx = Ivf.train(e, nlist = 8, iters = 3)
+    assert(idx.centroids.length === 8)
+    assert(idx.centroids.forall(_.length === 64))
+    val cells = idx.assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.values.sum === e.count())
+    assert(cells.keys.forall(c => c >= 0 && c < 8))
+    assert(cells.size > 1, "k-means collapsed to a single cell")
+  }
+
+  test("clustered toy data: probing 1 cell finds the true neighbors") {
+    // two tight clusters far apart — IVF must route queries to the
+    // right cell and find in-cluster neighbors with nprobe=1
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) Array(10.0f, 0.0f, 0.0f, 0.0f)
+      else Array(0.0f, 10.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + ((i * 7 + d) % 5) * 0.01f
+      })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = Ivf.train(df, nlist = 2, iters = 4)
+    val got = Ivf.topK(idx, df.filter(col("vec_id") === 0), k = 3, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(got.subsetOf((1L to 9L).toSet), s"crossed clusters: $got")
+    assert(got.size === 3)
+  }
+
+  test("recall vs brute force on real embeddings (near-random data)") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val idx = Ivf.train(e, nlist = 8, iters = 3)
+    val brute = Similarity.bruteForceTopK(e, q, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // probing half the cells must recall a decent share even on
+    // unclustered data (worst case for IVF)
+    val ivf = Ivf.topK(idx, q, k = 5, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, rs) => k2 -> rs.map(_.getLong(2)).toSet }
+    val hits = brute.count { case (qid, nn) => ivf.getOrElse(qid, Set.empty).contains(nn) }
+    assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
+  }
+}

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // (not SQL-expressible, or approximations that must not be hashed)
     assert(noOracle.forall(k => k.contains("lsh") || k.contains("langid") ||
       k.contains("minhash") || k.contains("simhash") || k.contains("neardups") ||
-      k.contains("approx")),
+      k.contains("approx") || k.contains("ivf")),
       s"unexplained oracle omissions: $noOracle")
   }
 
