@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Spark's
+  * `df.sample` draws from RNG state seeded per partition — results move
+  * when partitioning moves. These operators hash the ROW KEY instead:
+  * membership is a pure function of the data (stable across reruns,
+  * cluster layouts, and engine versions), which is what makes holdout
+  * sets and ablation samples reproducible at 100 TB.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Keep ~`fraction` of rows, chosen by seeded key hash. */
+  def deterministicSample(df: DataFrame, keyCols: Seq[String], fraction: Double,
+                          seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val bucket = pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(Buckets))
+    df.filter(bucket < (fraction * Buckets).toLong)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep-fractions (e.g.
+    * downsample boilerplate languages, keep all rare ones). Strata
+    * missing from the map keep `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, keyCols: Seq[String], strataCol: Column,
+                       fractions: Map[String, Double], defaultFraction: Double = 1.0,
+                       seed: Long = 42L): DataFrame = {
+    val bucket = pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(Buckets))
+    val threshold = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
+      case (acc, (stratum, frac)) =>
+        when(strataCol === stratum, lit((frac * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Split into n disjoint, exhaustive folds by key hash (cross-
+    * validation / sharded holdouts). Adds a `fold` column in [0, n). */
+  def withFolds(df: DataFrame, keyCols: Seq[String], n: Int,
+                seed: Long = 42L): DataFrame =
+    df.withColumn("fold",
+      pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(n.toLong)).cast("int"))
+}

@@ -71,13 +71,65 @@ object CorpusQueries {
       |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  // Equal-width histogram: 20 buckets over the global [min, max] — the
+  // profiling primitive; bounds from a broadcast 1-row aggregate.
+  val q49_histogram: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(least(floor((col("l_extendedprice") - col("lo"))
+        / ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val q49_sql: String =
+    """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |           FROM lineitem)
+      |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19.0)
+      |            AS BIGINT) AS bucket,
+      |  count(*) AS n
+      |FROM lineitem, s GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // Sequence packing: documents → fixed 2048-token-budget batches in
+  // exact doc_id order (graft.text.Packing; the sharded variant is the
+  // parallel scale path, tested in PackingSamplingSpec).
+  val q50_packing: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).as("n_tok"))
+    graft.text.Packing.packSequential(d, col("n_tok"), 2048, Seq(col("doc_id")))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy("batch_id")
+  }
+
+  val q50_sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |           FROM documents),
+      |r AS (SELECT doc_id, n,
+      |        sum(n) OVER (ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      |      FROM t)
+      |SELECT CAST(floor((e - n) / 2048.0) AS BIGINT) AS batch_id,
+      |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+      |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
-    "q47_tfidf" -> q47_tfidf)
+    "q47_tfidf" -> q47_tfidf,
+    "q49_histogram" -> q49_histogram,
+    "q50_packing" -> q50_packing)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
     "q46_bigrams" -> q46_sql,
-    "q47_tfidf" -> q47_sql)
+    "q47_tfidf" -> q47_sql,
+    "q49_histogram" -> q49_sql,
+    "q50_packing" -> q50_sql)
 }

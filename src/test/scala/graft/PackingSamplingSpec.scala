@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.text.Packing
+
+class PackingSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = (0L until 1000L).map(i => (i, 100 + (i % 7).toInt * 50))
+    .toDF("doc_id", "n_tok")
+
+  test("deterministicSample: stable membership, ~fraction kept") {
+    val d = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val a = Sampling.deterministicSample(d, Seq("l_orderkey", "l_linenumber"), 0.3)
+    val b = Sampling.deterministicSample(d, Seq("l_orderkey", "l_linenumber"), 0.3)
+    assert(a.count() === b.count()) // reproducible
+    val frac = a.count().toDouble / d.count()
+    assert(frac > 0.25 && frac < 0.35, s"fraction $frac")
+    // nested property: the 0.1 sample is a subset of the 0.3 sample
+    val small = Sampling.deterministicSample(d, Seq("l_orderkey", "l_linenumber"), 0.1)
+    assert(small.join(a, Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
+  }
+
+  test("stratifiedSample: per-stratum fractions honored") {
+    val d = Tables.load(spark, TestSpark.sf0001, "documents")
+    val sampled = Sampling.stratifiedSample(d, Seq("doc_id"), col("lang"),
+      Map("en" -> 0.2), defaultFraction = 1.0)
+    val before = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") < before("en")) // en downsampled
+    (before.keySet - "en").foreach(l => assert(after(l) === before(l))) // others intact
+  }
+
+  test("withFolds: disjoint exhaustive folds, stable") {
+    val folded = Sampling.withFolds(docs, Seq("doc_id"), 5)
+    assert(folded.count() === 1000)
+    val counts = folded.groupBy("fold").count().collect()
+    assert(counts.length === 5)
+    counts.foreach(r => assert(r.getLong(1) > 100, s"degenerate fold $r"))
+  }
+
+  test("packSequential: batches respect the budget (except oversize docs)") {
+    val packed = Packing.packSequential(docs, col("n_tok"), 2048, Seq(col("doc_id")))
+    val batches = packed.groupBy("batch_id")
+      .agg(sum("n_tok").as("tot"), count(lit(1)).as("n"))
+      .collect()
+    assert(batches.map(_.getAs[Long]("n")).sum === 1000)
+    // a batch may overflow only by less than its last doc's size (< 400)
+    batches.foreach(r => assert(r.getAs[Long]("tot") < 2048 + 400, r.toString))
+    // order-exactness: doc 0..k share batch 0 until the budget fills
+    val first = packed.filter(col("batch_id") === 0)
+      .agg(min("doc_id"), max("doc_id")).head()
+    assert(first.getLong(0) === 0L)
+  }
+
+  test("packSharded: same totals, parallel shards, deterministic") {
+    val packed = Packing.packSharded(docs, Seq("doc_id"), col("n_tok"), 2048, shards = 8)
+    assert(packed.count() === 1000)
+    val batchTotals = packed.groupBy("batch_id").agg(sum("n_tok").as("tot")).collect()
+    batchTotals.foreach(r => assert(r.getAs[Long]("tot") < 2048 + 400))
+    val again = Packing.packSharded(docs, Seq("doc_id"), col("n_tok"), 2048, shards = 8)
+    assert(packed.select("doc_id", "batch_id").collect().toSet ===
+      again.select("doc_id", "batch_id").collect().toSet)
+  }
+}
