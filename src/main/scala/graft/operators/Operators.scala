@@ -74,6 +74,22 @@ object Operators {
     saltedBig.join(explodedSmall, keyCols :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Bloom-prefiltered join: build a bloom sketch of the (small) build
+    * side's keys, probe it in the fact side's scan filter, then join.
+    * No false negatives → identical results to the plain join; most
+    * non-matching fact rows are dropped BEFORE the shuffle, which is
+    * the point at 100 TB when the dim side is selective. `expectedItems`
+    * sizes the sketch (driver-held, broadcast with the task closure).
+    */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                         dimKey: String, expectedItems: Long = 1000000L,
+                         fpp: Double = 0.03, joinType: String = "inner"): DataFrame = {
+    val sketch = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val pruned = fact.filter(
+      graft.expressions.BloomMightContain(col(factKey), sketch))
+    pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
+  }
+
   /** Write a table bucketed (and sorted) on the join key: later joins
     * and aggregations on `bucketCols` read co-located buckets and skip
     * the shuffle entirely — the 100 TB answer for repeatedly-joined

@@ -64,6 +64,40 @@ class OperatorsSpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("bloomPrefilterJoin ≡ plain join; prunes non-matching fact rows") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    // selective dim: only large orders
+    val dim = Tables.load(spark, TestSpark.sf0001, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plain = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .agg(count(lit(1)), round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2))
+      .head()
+    val bloomed = Operators.bloomPrefilterJoin(li, dim, "l_orderkey", "o_orderkey",
+      expectedItems = 10000L)
+      .agg(count(lit(1)), round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2))
+      .head()
+    assert(plain === bloomed)
+    // the probe itself must prune most of the fact side (fpp 3%)
+    val sketch = dim.stat.bloomFilter("o_orderkey", 10000L, 0.03)
+    val kept = li.filter(
+      graft.expressions.BloomMightContain(col("l_orderkey"), sketch)).count()
+    assert(kept < li.count() / 2, s"bloom kept $kept of ${li.count()}")
+  }
+
+  test("BloomMightContain works for string keys too") {
+    val dim = Tables.load(spark, TestSpark.sf0001, "customer")
+      .filter(col("c_custkey") < 100)
+    val sketch = dim.stat.bloomFilter("c_name", 1000L, 0.03)
+    val all = Tables.load(spark, TestSpark.sf0001, "customer")
+    val kept = all.filter(
+      graft.expressions.BloomMightContain(col("c_name"), sketch))
+    // supersets the true matches (no false negatives)
+    assert(kept.count() >= dim.count())
+    assert(dim.join(kept, Seq("c_custkey"), "left_anti").count() === 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")
