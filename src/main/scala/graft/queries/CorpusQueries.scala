@@ -47,7 +47,7 @@ object CorpusQueries {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
     scores.filter(col("doc_id") < 50)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "token", "tf", "df", "tfidf")
       .orderBy("doc_id", "rank")

@@ -181,7 +181,7 @@ object Relational {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
       .orderBy("c_mktsegment", "rn")

@@ -28,8 +28,9 @@ object TextSim {
     val t = TextAnalysis.tokens(col("text"))
     Tables.load(s, dir, "documents").select(
       col("doc_id"),
-      length(col("text")).as("n_chars2"),
-      size(t).as("n_tokens"),
+      // long casts: DuckDB length()/len() return BIGINT
+      length(col("text")).cast("long").as("n_chars2"),
+      size(t).cast("long").as("n_tokens"),
       round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 6)
         .as("avg_token_len"))
       .orderBy("doc_id")
@@ -47,7 +48,9 @@ object TextSim {
   // Quality scoring: stopword / punctuation ratios (LLM-corpus filters).
   val q26_text_quality: Q = (s, dir) =>
     TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), col("text"))
-      .select("doc_id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("stopword_ratio"), col("punct_ratio"))
       .orderBy("doc_id")
 
   val q26_sql: String = {

@@ -38,6 +38,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
         fails += 1
         continue
+    dtype_diffs = [
+        (c, str(got[c].dtype), str(want[c].dtype))
+        for c in want.columns if str(got[c].dtype) != str(want[c].dtype)
+    ]
+    if dtype_diffs:
+        print(f"FAIL {name}: dtype mismatch {dtype_diffs}")
+        fails += 1
+        continue
     if len(want) != len(got):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}")
         fails += 1
