@@ -29,8 +29,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("bruteForceTopK ranks by cosine with id tie-break") {
     val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    assert(top.toSeq === Seq((0L, 1, 1L), (0L, 2, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq((0L, 1L, 1L), (0L, 2L, 4L)))
   }
 
   test("LSH topK finds the exact nearest neighbor for clustered vectors") {
