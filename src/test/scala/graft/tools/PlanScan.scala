@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scan every query's physical plan for expensive operators.
+  * Test/runMain graft.tools.PlanScan */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "NestedLoop" -> plan.contains("BroadcastNestedLoopJoin"),
+          "SortMergeJoin" -> plan.contains("SortMergeJoin"),
+          "ShuffleExchanges" -> false).collect { case (f, true) => f }
+        val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+        println(f"$name%-26s shuffles=$nShuffles ${flags.mkString(",")}")
+      } catch { case e: Throwable => println(s"$name PLAN-ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
