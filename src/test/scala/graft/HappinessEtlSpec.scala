@@ -76,6 +76,16 @@ class HappinessEtlSpec extends SparkSpec {
     assert(mae > 0.3 && mae < 0.6, s"mae $mae")
   }
 
+  test("feature–target correlation ordering matches the reference EDA") {
+    val clean = Clean.dropNulls(unified, Normalize.Canonical)
+    val order = graft.analytics.Stats
+      .topCorrelations(clean, Normalize.Features, Normalize.Target)
+      .collect().map(_.getString(0)).toSeq
+    // verified on the reference data: GDP > health > social > freedom > corruption
+    assert(order === Seq("GDP per capita", "Healthy life expectancy",
+      "Social support", "Freedom", "Perceptions of corruption"))
+  }
+
   test("ETL is input-order invariant (union-normalize commutes)") {
     val reversed = Normalize.loadUnified(spark, TestSpark.refData, (2015 to 2019).reverse)
     assert(reversed.count() === 782)

@@ -133,6 +133,27 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS windowed")
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark absorbs replays") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = mem.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), 1L, "a"), (t(1), 2L, "b"), (t(2), 1L, "a-dup"))
+    q.processAllAvailable()
+    mem.addData((t(3), 1L, "a-again"), (t(4), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 2L, 3L)) // replays of doc 1 dropped across batches
+    spark.sql("DROP TABLE IF EXISTS dedup_stream")
+  }
+
   test("streaming session windows (event-time gap sessionization)") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
