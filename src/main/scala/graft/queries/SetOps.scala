@@ -85,14 +85,40 @@ object SetOps {
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q43
-  // Scale-path cardinality estimation: HyperLogLog++ approximate
-  // distinct vs exact. Rows-only (sketch estimates differ per engine —
-  // never oracle-hash approximations; SURVEY §7.4.4).
-  val q43_approx_distinct: Q = (s, dir) =>
-    Tables.load(s, dir, "lineitem").agg(
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
+  // Scale-path cardinality estimation: KMV (k-minimum-values) sketch
+  // estimate vs exact distinct. KMV keeps the k smallest values of a
+  // uniform hash of the key; estimate = (k−1)·2³² / u_k. Unlike HLL
+  // (engine-specific register layouts — never oracle-hash those), the
+  // KMV sketch is a deterministic function of the data given a shared
+  // hash, so DuckDB reproduces it bit-for-bit from the same md5-derived
+  // 32-bit hash. Distributed shape: hash+distinct is one shuffle, the
+  // k-smallest is a TakeOrderedAndProject (per-partition top-k, no
+  // global sort). HLL itself stays exercised in SetOpsSpec.
+  private val KmvK = 64
+  val q43_approx_distinct: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val kth = li
+      .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("u"))
+      .distinct()
+      .orderBy("u").limit(KmvK)
+      .agg(max(col("u")).as("uk"))
+    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    exact.crossJoin(broadcast(kth))
+      .select(col("exact_parts"),
+        round(lit((KmvK - 1).toDouble) * lit(4294967296.0) / col("uk"), 6)
+          .as("kmv_parts"))
+  }
+
+  val q43_sql: String =
+    s"""WITH h AS (SELECT DISTINCT
+       |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS u
+       |  FROM lineitem),
+       |k AS (SELECT max(u) AS uk FROM (SELECT u FROM h ORDER BY u LIMIT $KmvK)),
+       |e AS (SELECT count(DISTINCT l_partkey) AS exact_parts FROM lineitem)
+       |SELECT exact_parts,
+       |  round(${KmvK - 1}.0 * 4294967296.0 / uk, 6) AS kmv_parts
+       |FROM e, k""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q39_intersect" -> q39_intersect,
@@ -105,5 +131,6 @@ object SetOps {
     "q39_intersect" -> q39_sql,
     "q40_except" -> q40_sql,
     "q41_cube" -> q41_sql,
-    "q42_sql_frontend" -> q42_sql)
+    "q42_sql_frontend" -> q42_sql,
+    "q43_approx_distinct" -> q43_sql)
 }

@@ -180,6 +180,26 @@ object TextSim {
       .select("doc_id", "pred_lang")
       .orderBy("doc_id")
 
+  /** Mirrors [[TextAnalysis.langIdFromTokens]] exactly: per-language
+    * stopword-hit scores packed into (score, −ordinal, lang) structs,
+    * list_max picks the winner — DuckDB compares structs field-by-field
+    * like Spark, so the tie-break is identical. Generated from
+    * [[TextAnalysis.langProfiles]] so SQL and Scala can't drift. */
+  val q34_sql: String = {
+    val structs = TextAnalysis.langProfiles.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((code, words), i) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"{'score': len(list_filter(toks, x -> lower(x) IN ($set))), " +
+          s"'ord': ${-i}, 'lang': '$code'}"
+      }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents)
+       |SELECT doc_id, list_max([
+       |  $structs
+       |]).lang AS pred_lang
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val q35_ann_lsh: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 3, dim = 64)
@@ -220,5 +240,6 @@ object TextSim {
     "q28_jaccard_pairs" -> q28_sql,
     "q29_fingerprint" -> q29_sql,
     "q30_vector_dot" -> q30_sql,
-    "q31_knn_brute" -> q31_sql)
+    "q31_knn_brute" -> q31_sql,
+    "q34_langid" -> q34_sql)
 }
