@@ -46,8 +46,11 @@ object Dedup {
   // ---------------------------------------------------------- minhash
 
   /** Deterministic affine remix constants for hash function j (splitmix64
-    * of the seed — public-domain mix, Steele et al. 2014). */
-  private def mixConstants(k: Int, seed: Long): Seq[(Long, Long)] = {
+    * of the seed — public-domain mix, Steele et al. 2014). `a` stays
+    * below 2^31 so `a·h32 + b` never overflows a signed 64-bit integer —
+    * which also lets an ANSI-SQL engine (the DuckDB oracle) evaluate the
+    * identical arithmetic without wraparound. */
+  private[graft] def mixConstants(k: Int, seed: Long): Seq[(Long, Long)] = {
     var x = seed
     def next(): Long = {
       x += 0x9e3779b97f4a7c15L
@@ -76,25 +79,51 @@ object Dedup {
     transform(TextAnalysis.shingleHashes(text, shingleSize),
       h => h.bitwiseAND(lit(0xffffffffL)))
 
+  /** md5-derived 32-bit value — a uniform hash both Spark and ANSI SQL
+    * engines compute identically (first 8 hex chars of md5, parsed).
+    * Slower than xxhash64 (hex round-trip) but cross-engine-checkable:
+    * the oracle-verified dedup queries use it so the ENTIRE pipeline —
+    * signatures, bands, candidates, verify — hash-matches DuckDB. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** md5-derived 60-bit value (15 hex chars — stays under 2^63 so BIGINT
+    * arithmetic is overflow-free in any engine). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** md5-based 32-bit shingle hashes (cross-engine-checkable variant). */
+  def shingleHashes32Md5(text: Column, shingleSize: Int): Column =
+    transform(TextAnalysis.ngrams(TextAnalysis.tokens(text), shingleSize),
+      g => md5Hash32(g))
+
   /** df + `sig` column: two-stage projection — shingle hashing runs once
     * per row, then ONE fused native loop computes all k mins
     * ([[graft.expressions.MinHashSignature]]; empty docs hash to the
     * 2^32−1 sentinel per slot). */
   def withMinhashSignature(df: DataFrame, id: Column, text: Column,
                            numHashes: Int = 64, shingleSize: Int = 3,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           shingleHasher: (Column, Int) => Column = shingleHashes32): DataFrame = {
     val (as, bs) = mixConstants(numHashes, seed).unzip
-    df.select(id.as("id"), shingleHashes32(text, shingleSize).as("__h32"))
+    df.select(id.as("id"), shingleHasher(text, shingleSize).as("__h32"))
       .select(col("id"), graft.expressions.HashExpressions
         .minhash_signature(col("__h32"), as.toArray, bs.toArray).as("sig"))
   }
 
   /** LSH banding: explode the signature into `bands` (band, bandHash)
-    * keys. Two docs sharing any band key are candidates. */
-  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    * keys. Two docs sharing any band key are candidates. The band hash
+    * is a base-31 fold of the band's minhash slots — overflow-free for
+    * rows ≤ 6 (values < 2^32; 31^5·2^32 < 2^57), engine-portable, and
+    * cheap. */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column = {
+    require(rows <= 6, "base-31 band fold overflows beyond 6 rows/band")
     array((0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(slice(sig, b * rows + 1, rows)).as("bh"))
+      struct(lit(b).as("band"),
+        aggregate(slice(sig, b * rows + 1, rows), lit(0L),
+          (acc, x) => acc * 31 + x).as("bh"))
     }: _*)
+  }
 
   /** MinHash-LSH candidate pairs (id_a < id_b), deduplicated across
     * bands. `bands × rows` must equal the signature length. The join is
@@ -102,10 +131,11 @@ object Dedup {
     * shuffle, keyed by tiny (int, bigint) pairs. */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 64, shingleSize: Int = 3,
-                        bands: Int = 16, seed: Long = 42L): DataFrame = {
+                        bands: Int = 16, seed: Long = 42L,
+                        shingleHasher: (Column, Int) => Column = shingleHashes32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val keyed = withMinhashSignature(df, id, text, numHashes, shingleSize, seed)
+    val keyed = withMinhashSignature(df, id, text, numHashes, shingleSize, seed, shingleHasher)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val a = keyed.alias("a")
@@ -137,8 +167,11 @@ object Dedup {
   /** MinHash-LSH near-dup pairs, LSH-candidates then exact-verified. */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
                       threshold: Double = 0.8, numHashes: Int = 64,
-                      shingleSize: Int = 3, bands: Int = 16): DataFrame =
-    jaccardVerify(minhashCandidates(df, id, text, numHashes, shingleSize, bands),
+                      shingleSize: Int = 3, bands: Int = 16,
+                      shingleHasher: (Column, Int) => Column = shingleHashes32): DataFrame =
+    jaccardVerify(
+      minhashCandidates(df, id, text, numHashes, shingleSize, bands,
+        shingleHasher = shingleHasher),
       df, id, text, threshold)
 
   // ---------------------------------------------------------- simhash
@@ -146,9 +179,10 @@ object Dedup {
   /** 64-bit SimHash over tokens: per bit i, sum ±1 weighted votes of
     * each token's hash bit; signature bit = sign. One fused native loop
     * ([[graft.expressions.SimHash64Expr]]) over the token-hash array. */
-  def simhash64(text: Column): Column =
+  def simhash64(text: Column,
+                tokenHasher: Column => Column = xxhash64(_)): Column =
     graft.expressions.HashExpressions
-      .simhash64(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+      .simhash64(transform(TextAnalysis.tokens(text), t => tokenHasher(t)))
       .as("simhash")
 
   /** Column-algebra SimHash (64 aggregate folds) — equivalence-spec
@@ -167,8 +201,9 @@ object Dedup {
     * keys (any match → candidate; catches all pairs within Hamming
     * distance 3), then verify Hamming ≤ maxHamming via bit_count(xor). */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
-                      maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(id.as("id"), simhash64(text).as("sig"))
+                      maxHamming: Int = 3,
+                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = df.select(id.as("id"), simhash64(text, tokenHasher).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -180,7 +215,7 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

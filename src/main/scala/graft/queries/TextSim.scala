@@ -159,21 +159,92 @@ object TextSim {
       |SELECT query_id, rank, neighbor_id, sim FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  // ------------------------------------------------- no-oracle queries
-  // (not ANSI-SQL-expressible → driver rows-only check; exactness is
-  //  covered by ScalaTest: LSH candidates ⊇ exact high-similarity pairs.)
-
+  // ---------------------------------------------------------------- q32
+  // MinHash-LSH near-dup pairs, fully oracle-checked: the md5-derived
+  // shingle hash is computable in ANSI SQL, and the affine remixes,
+  // band folds, candidate join and Jaccard verify are all overflow-free
+  // BIGINT arithmetic — so DuckDB replays the ENTIRE LSH pipeline
+  // (signatures → bands → candidates → verify) bit-for-bit. The
+  // xxhash64 production path is covered by DedupSpec equivalence tests.
   val q32_minhash_neardups: Q = (s, dir) =>
     Dedup.minhashNearDups(
       Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
-      col("doc_id"), col("text"), threshold = 0.8)
+      col("doc_id"), col("text"), threshold = 0.8,
+      shingleHasher = Dedup.shingleHashes32Md5)
       .orderBy("id_a", "id_b")
 
+  /** Generated from the same mixConstants as the Spark plan. */
+  val q32_sql: String = {
+    val mixes = Dedup.mixConstants(64, 42L)
+    val sentinel = Seq.fill(64)("CAST(4294967295 AS BIGINT)").mkString(", ")
+    val slots = mixes.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> (x*$a + $b) & 4294967295))"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 16).map { b =>
+      s"SELECT doc_id, $b AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"sig[${b * 4 + 1}:${b * 4 + 4}]), (acc, v) -> acc*31 + v) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $PairDocCap),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d),
+       |h AS (SELECT doc_id, list_transform(
+       |        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |        g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS hs FROM tok),
+       |sig AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN [$sentinel]
+       |        ELSE [$slots] END AS sig FROM h),
+       |bk AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bk a JOIN bk b
+       |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |      FROM d),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wa.tok = wb.tok
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q33
+  // SimHash near-dup pairs, oracle-checked via the md5-derived 60-bit
+  // token hash (bits 60–63 of the signature are structurally 0 in both
+  // engines: every vote is −1 there, and votes must be > 0 to set a bit).
   val q33_simhash_neardups: Q = (s, dir) =>
     Dedup.simhashNearDups(
       Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
-      col("doc_id"), col("text"), maxHamming = 3)
+      col("doc_id"), col("text"), maxHamming = 3,
+      tokenHasher = Dedup.md5Hash60)
       .orderBy("id_a", "id_b")
+
+  val q33_sql: String = {
+    val bits = (0 until 60).map { i =>
+      s"(CASE WHEN 2*len(list_filter(hs, x -> ((x >> $i) & 1) = 1)) > len(hs) " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 16}) & 65535 AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $PairDocCap),
+       |h AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs FROM d),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM h),
+       |bk AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |         FROM bk a JOIN bk b
+       |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------- no-oracle queries
+  // (not ANSI-SQL-expressible → driver rows-only check; exactness is
+  //  covered by ScalaTest: LSH candidates ⊇ exact high-similarity pairs.)
 
   val q34_langid: Q = (s, dir) =>
     TextAnalysis.withLangId(Tables.load(s, dir, "documents"), col("text"))
@@ -241,5 +312,7 @@ object TextSim {
     "q29_fingerprint" -> q29_sql,
     "q30_vector_dot" -> q30_sql,
     "q31_knn_brute" -> q31_sql,
+    "q32_minhash_neardups" -> q32_sql,
+    "q33_simhash_neardups" -> q33_sql,
     "q34_langid" -> q34_sql)
 }
