@@ -271,16 +271,73 @@ object TextSim {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- q35/q36
+  // SRP-LSH queries, oracle-checked: the deterministic ±1 hyperplanes
+  // are embedded in the generated SQL as literals, so DuckDB replays
+  // the exact bucketing (same sign bits — double accumulation is
+  // left-to-right in both engines), candidate join and cosine verify.
+
   val q35_ann_lsh: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 3, dim = 64)
       .orderBy("query_id", "rank")
   }
 
+  private def planeDot(plane: Array[Int]): String =
+    "list_sum(list_transform(generate_series(1, 64), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * ([" +
+      plane.map(v => s"$v.0").mkString(",") + "])[i]))"
+
+  private def srpBitsList(planes: Int): String =
+    Similarity.hyperplanes(planes, 64, 42L)
+      .map(p => s"CASE WHEN ${planeDot(p)} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END")
+      .mkString(",\n    ")
+
+  private def srpBandRows(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val key = (0 until rows)
+        .map(r => s"bits[${b * rows + r + 1}]*${1L << r}").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS bh FROM bits"
+    }.mkString("\n  UNION ALL ")
+
+  private val cosineSql: String =
+    """round(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+      |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |       * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * x)))), 6)""".stripMargin
+
+  val q35_sql: String =
+    s"""WITH bits AS (SELECT vec_id, [${srpBitsList(16)}] AS bits FROM embeddings),
+       |bk AS (${srpBandRows(4, 4)}),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM bk q JOIN bk c ON q.band = c.band AND q.bh = c.bh
+       |              AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id, $cosineSql AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val q36_embed_neardups: Q = (s, dir) =>
     Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"),
       threshold = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
+
+  val q36_sql: String =
+    s"""WITH bits AS (SELECT vec_id, [${srpBitsList(24)}] AS bits FROM embeddings),
+       |bk AS (${srpBandRows(4, 6)}),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh
+       |              AND a.vec_id < b.vec_id),
+       |scored AS (SELECT cand.id_a, cand.id_b, $cosineSql AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.id_a
+       |            JOIN embeddings ce ON ce.vec_id = cand.id_b)
+       |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
 
   val q48_ann_ivf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
@@ -314,5 +371,7 @@ object TextSim {
     "q31_knn_brute" -> q31_sql,
     "q32_minhash_neardups" -> q32_sql,
     "q33_simhash_neardups" -> q33_sql,
-    "q34_langid" -> q34_sql)
+    "q34_langid" -> q34_sql,
+    "q35_ann_lsh" -> q35_sql,
+    "q36_embed_neardups" -> q36_sql)
 }

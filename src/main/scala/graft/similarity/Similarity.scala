@@ -65,8 +65,10 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Deterministic ±1 hyperplane matrix: planes × dim. */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Int]] = {
+  /** Deterministic ±1 hyperplane matrix: planes × dim. Exposed inside
+    * the package so the oracle-SQL generators can embed the SAME planes
+    * as literals — the SQL replays the exact bucketing. */
+  private[graft] def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Int]] = {
     var x = seed
     def next(): Long = {
       x += 0x9e3779b97f4a7c15L
