@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextSim.all ++
       graft.queries.Sessions.all ++
       graft.queries.SetOps.all ++
-      graft.queries.CorpusQueries.all
+      graft.queries.CorpusQueries.all ++
+      graft.queries.Extended.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextSim.oracle ++
       graft.queries.Sessions.oracle ++
       graft.queries.SetOps.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.Extended.oracle
 }

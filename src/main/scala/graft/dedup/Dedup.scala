@@ -229,8 +229,14 @@ object Dedup {
     * (drop tokens in >p% of docs) to bound the hottest posting lists;
     * the LSH path above is the preferred scale route. */
   def jaccardSimJoin(df: DataFrame, id: Column, text: Column,
-                     threshold: Double): DataFrame = {
-    val toks = df.select(id.as("id"), array_distinct(TextAnalysis.tokens(text)).as("toks"))
+                     threshold: Double): DataFrame =
+    jaccardSimJoinOn(df, id, TextAnalysis.tokens(text), threshold)
+
+  /** Same inverted-index sim-join over an arbitrary item array column
+    * (token sets, n-gram shingles, tags, …). */
+  def jaccardSimJoinOn(df: DataFrame, id: Column, items: Column,
+                       threshold: Double): DataFrame = {
+    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
     val sizes = toks.select(col("id"), size(col("toks")).as("sz"))
     val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
     val pairs = inv.alias("a")

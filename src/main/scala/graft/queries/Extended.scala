@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Extension-surface queries beyond the round-1 inventory: outer joins,
+  * correlated subqueries, lateral explode, grouping sets, non-equi range
+  * join, salted skew join, per-group quantiles, conditional aggregation,
+  * string/date/array function suites, JSON extraction, shingle Jaccard,
+  * dedup representatives. Same determinism rules as [[Relational]].
+  */
+object Extended {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q53
+  // n-gram (3-shingle) Jaccard similarity join — the shingle-level
+  // exact near-dup check (word order matters, unlike token-set q28).
+  private val ShingleCap = 500
+  val q53_ngram_jaccard: Q = (s, dir) =>
+    Dedup.jaccardSimJoinOn(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < ShingleCap),
+      col("doc_id"),
+      TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3), 0.8)
+      .orderBy("id_a", "id_b")
+
+  val q53_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents WHERE doc_id < $ShingleCap),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // LEFT OUTER join + null handling: every customer, including the ones
+  // with no orders (coalesce to zero).
+  val q54_left_join: Q = (s, dir) => {
+    val oAgg = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"), sum(dec(col("o_totalprice"))).as("__p"))
+    Tables.load(s, dir, "customer")
+      .join(oAgg, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("__n"), lit(0L)).as("n_orders"),
+        coalesce(col("__p").cast("double"), lit(0.0)).as("spent"))
+      .orderBy("c_custkey")
+  }
+
+  val q54_sql: String =
+    """SELECT c_custkey, c_name,
+      |  coalesce(n, 0) AS n_orders,
+      |  coalesce(CAST(p AS DOUBLE), 0.0) AS spent
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n,
+      |             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS p
+      |           FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // FULL OUTER join: per-nation supplier stats vs customer stats where
+  // either side can be missing.
+  val q55_full_outer: Q = (s, dir) => {
+    val sup = Tables.load(s, dir, "supplier")
+      .filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    sup.join(cust, Seq("nk"), "full")
+      .select(col("nk"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+      .orderBy("nk")
+  }
+
+  val q55_sql: String =
+    """SELECT coalesce(s.nk, c.nk) AS nk,
+      |  coalesce(n_supp, 0) AS n_supp,
+      |  coalesce(n_cust, 0) AS n_cust
+      |FROM (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+      |      WHERE s_acctbal > 5000 GROUP BY 1) s
+      |FULL OUTER JOIN
+      |     (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+      |      WHERE c_mktsegment = 'BUILDING' GROUP BY 1) c
+      |  ON s.nk = c.nk
+      |ORDER BY nk""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  // Correlated EXISTS subquery through the SQL front end — Catalyst
+  // rewrites it to a semi join (no per-row re-execution).
+  val q56_exists_subquery: Q = (s, dir) => {
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  val q56_sql: String =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  // Lateral explode with ordinality (posexplode) — the UDTF/generator
+  // surface, flattening token arrays into (doc, position, token) rows.
+  val q57_posexplode: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+
+  val q57_sql: String =
+    """SELECT doc_id,
+      |  UNNEST(generate_series(0, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS pos,
+      |  UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |FROM documents WHERE doc_id < 30
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // String-function suite (F-ops surface): case, slice, pad, concat,
+  // replace, regex extract, reverse, split_part.
+  val q58_string_funcs: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lower(col("c_mktsegment")).as("l"),
+        substring(col("c_name"), 3, 5).as("sub"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        reverse(col("c_name")).as("rev"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("part2"),
+        length(col("c_name")).cast("long").as("len"))
+      .orderBy("c_custkey")
+
+  val q58_sql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS u,
+      |  lower(c_mktsegment) AS l,
+      |  substr(c_name, 3, 5) AS sub,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+      |  concat_ws('-', c_mktsegment, c_name) AS cw,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      |  reverse(c_name) AS rev,
+      |  split_part(c_name, '#', 2) AS part2,
+      |  length(c_name) AS len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Date/time-function suite over order dates: truncation, extraction,
+  // arithmetic, boundaries. Dates emitted as strings (tz-trap rule).
+  val q59_date_funcs: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date")).as("age_days"))
+      .orderBy("o_orderkey")
+
+  val q59_sql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS age_days
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  // Array-function suite via grouped collect: sorted lists, element
+  // access, slicing, higher-order aggregation — emitted as scalars
+  // (array-typed outputs don't survive the oracle's pandas compare).
+  val q60_array_funcs: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("c_acctbal"))).as("arr"))
+      .select(col("c_nationkey"),
+        size(col("arr")).cast("long").as("n"),
+        element_at(col("arr"), 1).as("lo"),
+        element_at(col("arr"), -1).as("hi"),
+        round(aggregate(slice(col("arr"), 1, 3), lit(0.0), (acc, x) => acc + x), 6)
+          .as("bottom3_sum"))
+      .orderBy("c_nationkey")
+
+  val q60_sql: String =
+    """WITH a AS (SELECT c_nationkey, list_sort(list(c_acctbal)) AS arr
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_nationkey,
+      |  len(arr) AS n,
+      |  arr[1] AS lo,
+      |  arr[-1] AS hi,
+      |  round(list_sum(arr[1:3]), 6) AS bottom3_sum
+      |FROM a ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  // GROUPING SETS with grouping_id — finer than rollup/cube (q19/q41):
+  // an explicit set list, plus the marker distinguishing "null data"
+  // from "aggregated-away".
+  val q61_grouping_sets: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q61_sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  grouping(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  // Non-equi range join: prices against a literal band table. The tiny
+  // side broadcasts; Spark plans BroadcastNestedLoopJoin — the right
+  // shape when one side is rows-not-data.
+  val q62_range_join: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val bands = (0 until 10)
+      .map(b => (b, b * 11000.0, (b + 1) * 11000.0))
+      .toDF("band", "lo", "hi")
+    Tables.load(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+      .orderBy("band")
+  }
+
+  val q62_sql: String = {
+    val rows = (0 until 10)
+      .map(b => s"(${b}, ${b * 11000.0}, ${(b + 1) * 11000.0})").mkString(", ")
+    s"""SELECT band, count(*) AS n,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM lineitem
+       |JOIN (VALUES $rows) AS bands(band, lo, hi)
+       |  ON l_extendedprice >= lo AND l_extendedprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q63
+  // Salted skew join (Operators.saltedJoin): result identical to the
+  // plain equi-join — the oracle checks exactly that — while the
+  // physical plan splits each hot key across `salts` reducers.
+  val q63_salted_join: Q = (s, dir) => {
+    val p = Tables.load(s, dir, "part").filter(col("p_size") >= 40)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.operators.Operators
+      .saltedJoin(Tables.load(s, dir, "lineitem"), p, Seq("l_partkey"), salts = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .orderBy("p_brand")
+  }
+
+  val q63_sql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size >= 40
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  // Exact interpolated quantiles per group (q13 is global).
+  val q64_group_quantiles: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.50)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+      .orderBy("l_returnflag")
+
+  val q64_sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 6) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  // Conditional aggregation: count_if / filtered avg via null-skipping
+  // when() — the FILTER-clause surface.
+  val q65_conditional_agg: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_big"),
+        round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 6)
+          .as("avg_f_price"))
+      .orderBy("o_orderpriority")
+
+  val q65_sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+      |  round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6) AS avg_f_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  // Dedup representative selection: keep the min-id document per
+  // identical-content group (deterministic, unlike dropDuplicates).
+  val q66_dedup_first: Q = (s, dir) =>
+    Dedup.dropExactDups(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val q66_sql: String =
+    """SELECT doc_id, source FROM documents
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |  ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  // Semi-structured extraction: JSON payload parsing (reference F7,
+  // producer/consumer JSON codec) — from_json keeps it codegen-able.
+  val q67_json_extract: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  val q67_sql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q53_ngram_jaccard" -> q53_ngram_jaccard,
+    "q54_left_join" -> q54_left_join,
+    "q55_full_outer" -> q55_full_outer,
+    "q56_exists_subquery" -> q56_exists_subquery,
+    "q57_posexplode" -> q57_posexplode,
+    "q58_string_funcs" -> q58_string_funcs,
+    "q59_date_funcs" -> q59_date_funcs,
+    "q60_array_funcs" -> q60_array_funcs,
+    "q61_grouping_sets" -> q61_grouping_sets,
+    "q62_range_join" -> q62_range_join,
+    "q63_salted_join" -> q63_salted_join,
+    "q64_group_quantiles" -> q64_group_quantiles,
+    "q65_conditional_agg" -> q65_conditional_agg,
+    "q66_dedup_first" -> q66_dedup_first,
+    "q67_json_extract" -> q67_json_extract)
+
+  val oracle: Map[String, String] = Map(
+    "q53_ngram_jaccard" -> q53_sql,
+    "q54_left_join" -> q54_sql,
+    "q55_full_outer" -> q55_sql,
+    "q56_exists_subquery" -> q56_sql,
+    "q57_posexplode" -> q57_sql,
+    "q58_string_funcs" -> q58_sql,
+    "q59_date_funcs" -> q59_sql,
+    "q60_array_funcs" -> q60_sql,
+    "q61_grouping_sets" -> q61_sql,
+    "q62_range_join" -> q62_sql,
+    "q63_salted_join" -> q63_sql,
+    "q64_group_quantiles" -> q64_sql,
+    "q65_conditional_agg" -> q65_sql,
+    "q66_dedup_first" -> q66_sql,
+    "q67_json_extract" -> q67_sql)
+}
