@@ -10,11 +10,10 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // LSH / langid / sketch queries are intentionally rows-only
-    // (not SQL-expressible, or approximations that must not be hashed)
-    assert(noOracle.forall(k => k.contains("lsh") || k.contains("langid") ||
-      k.contains("minhash") || k.contains("simhash") || k.contains("neardups") ||
-      k.contains("approx") || k.contains("ivf")),
+    // q48 only: IVF training averages floats in shuffle-merge order, so
+    // its centroids are not bit-deterministic — an exact-hash oracle
+    // would be flaky. Recall is covered by IvfSpec instead.
+    assert(noOracle == Set("q48_ann_ivf"),
       s"unexplained oracle omissions: $noOracle")
   }
 
