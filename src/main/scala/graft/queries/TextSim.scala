@@ -67,13 +67,17 @@ object TextSim {
 
   // ---------------------------------------------------------------- q27
   // Exact deduplication census: total rows vs distinct normalized text.
-  val q27_dedup_exact: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
-    d.agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"),
-      (count(lit(1)) - countDistinct(TextAnalysis.fingerprint(col("text")))).as("n_dups"))
-  }
+  // Two-stage (groupBy fingerprint → count, then one tiny agg) instead
+  // of countDistinct: no Expand duplication, map-side partial combine
+  // on the fingerprint shuffle — the 100 TB shape for distinct counts.
+  val q27_dedup_exact: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("__fp"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("__c")) - count(lit(1))).as("n_dups"))
 
   val q27_sql: String =
     """SELECT count(*) AS n_docs,
