@@ -374,7 +374,120 @@ object Extended {
     """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  // Window-function suite beyond rank/running-sum: ntile, percent_rank,
+  // cume_dist, lag, lead — the full ranking/distribution surface.
+  val q68_window_suite: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        lag(col("c_acctbal"), 1).over(w).as("prev_bal"),
+        lead(col("c_acctbal"), 1, -1.0).over(w).as("next_bal"))
+      .orderBy("c_custkey")
+  }
+
+  val q68_sql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  lag(c_acctbal, 1) OVER w AS prev_bal,
+      |  lead(c_acctbal, 1, -1.0) OVER w AS next_bal
+      |FROM customer WHERE c_custkey < 300
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  // Trailing-window frame: 3-row moving average strictly before the
+  // current row (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING).
+  val q69_moving_avg: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, -1)
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(avg(col("l_quantity")).over(w), 6).as("trail_avg"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val q69_sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(avg(l_quantity) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS trail_avg
+      |FROM lineitem WHERE l_suppkey < 20
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  // Selector aggregates: max_by/min_by (arg_max/arg_min) — keyed by the
+  // unique custkey so ties can't make the answer nondeterministic.
+  val q70_arg_minmax: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("newest"),
+        min_by(col("c_name"), col("c_custkey")).as("oldest"),
+        max(col("c_acctbal")).as("best_bal"))
+      .orderBy("c_nationkey")
+
+  val q70_sql: String =
+    """SELECT c_nationkey,
+      |  arg_max(c_name, c_custkey) AS newest,
+      |  arg_min(c_name, c_custkey) AS oldest,
+      |  max(c_acctbal) AS best_bal
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  // Pattern predicates: LIKE wildcards and regexp matching as filters.
+  val q71_like_rlike: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p_name").like("%widget%"), 1L).otherwise(0L)).as("n_widget"),
+        sum(when(col("p_type").like("PRO%"), 1L).otherwise(0L)).as("n_promo"),
+        sum(when(col("p_name").rlike("[aeiou]{2}"), 1L).otherwise(0L)).as("n_vv"))
+      .orderBy("p_brand")
+
+  val q71_sql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  count(*) FILTER (WHERE p_name LIKE '%widget%') AS n_widget,
+      |  count(*) FILTER (WHERE p_type LIKE 'PRO%') AS n_promo,
+      |  count(*) FILTER (WHERE regexp_matches(p_name, '[aeiou]{2}')) AS n_vv
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  // Nested types: struct construction, comparison-based max, field
+  // access — scalars out (nested outputs don't survive the pandas
+  // compare deterministically).
+  val q72_structs: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("best"))
+      .select(col("o_custkey"),
+        col("best.o_orderkey").as("top_order"),
+        col("best.o_totalprice").as("top_price"))
+      .orderBy("o_custkey")
+
+  val q72_sql: String =
+    """SELECT o_custkey, o_orderkey AS top_order, o_totalprice AS top_price
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q68_window_suite" -> q68_window_suite,
+    "q69_moving_avg" -> q69_moving_avg,
+    "q70_arg_minmax" -> q70_arg_minmax,
+    "q71_like_rlike" -> q71_like_rlike,
+    "q72_structs" -> q72_structs,
     "q53_ngram_jaccard" -> q53_ngram_jaccard,
     "q54_left_join" -> q54_left_join,
     "q55_full_outer" -> q55_full_outer,
@@ -392,6 +505,11 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q68_window_suite" -> q68_sql,
+    "q69_moving_avg" -> q69_sql,
+    "q70_arg_minmax" -> q70_sql,
+    "q71_like_rlike" -> q71_sql,
+    "q72_structs" -> q72_sql,
     "q53_ngram_jaccard" -> q53_sql,
     "q54_left_join" -> q54_sql,
     "q55_full_outer" -> q55_sql,
