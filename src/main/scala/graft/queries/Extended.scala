@@ -404,25 +404,32 @@ object Extended {
 
   // ---------------------------------------------------------------- q69
   // Trailing-window frame: 3-row moving average strictly before the
-  // current row (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING).
+  // current row (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING). The window
+  // order includes quantity+price tie-breakers: (suppkey, orderkey,
+  // linenumber) is NOT unique in the synthetic data, and a frame over a
+  // tied order is engine-dependent.
   val q69_moving_avg: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"), col("l_linenumber"))
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
       .rowsBetween(-3, -1)
     Tables.load(s, dir, "lineitem")
       .filter(col("l_suppkey") < 20)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         round(avg(col("l_quantity")).over(w), 6).as("trail_avg"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "trail_avg")
   }
 
   val q69_sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  round(avg(l_quantity) OVER (
-      |    PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS trail_avg
       |FROM lineitem WHERE l_suppkey < 20
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber,
+      |         trail_avg ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- q70
   // Selector aggregates: max_by/min_by (arg_max/arg_min) — keyed by the

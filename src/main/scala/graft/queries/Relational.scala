@@ -32,12 +32,14 @@ object Relational {
     Tables.load(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // l_quantity in the sort: (orderkey, linenumber) is not unique in
+      // the synthetic data, and a tied output order is engine-dependent
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   val q01_sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity
       |FROM lineitem WHERE l_returnflag = 'R'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   // ---------------------------------------------------------------- q02
   // P4/F8: coerce-to-null cast (the reference's to_numeric(errors="coerce"),
@@ -201,24 +203,29 @@ object Relational {
   // Exact decimal running sum so both engines agree bitwise.
   val q09_window_running: Q = (s, dir) => {
     val li = Tables.load(s, dir, "lineitem")
+    // quantity+price window tie-breakers: (suppkey, shipdate, orderkey,
+    // linenumber) happens to be unique in today's data, but a tied
+    // cumulative order would be engine-dependent — make it total
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_quantity").asc, col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.filter(col("l_suppkey") <= 10)
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(dec(col("l_extendedprice"))).over(w).cast("double").as("running_rev"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
   }
 
   val q09_sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+      |             l_quantity ASC, l_extendedprice ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
       |FROM lineitem WHERE l_suppkey <= 10
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""".stripMargin
 
   // ---------------------------------------------------------------- q10
   // O3: ORDER BY … LIMIT top-k — Spark plans TakeOrderedAndProject

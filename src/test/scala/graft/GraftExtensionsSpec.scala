@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-function surface: native kernels callable from SQL, wired
+  * either at build time (`withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.GraftExtensions`) or onto a running
+  * session via `GraftExtensions.register` — which is what a shared test
+  * session permits (getOrCreate ignores extensions on reuse). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  GraftExtensions.register(TestSpark.spark)
+
+  test("vector_dot and cosine_sim from SQL") {
+    val r = spark.sql(
+      """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+
+  test("simhash64 and minhash_signature from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      array(lit(7L), lit(99L), lit(12345L)).as("hs"))
+    val sqlSig = df.selectExpr("simhash64(hs) AS s",
+      "minhash_signature(hs, 8, 42) AS m").head()
+    val apiSig = df.select(
+      expressions.HashExpressions.simhash64(col("hs")).as("s"),
+      expressions.HashExpressions.minhash_signature(col("hs"),
+        dedup.Dedup.mixConstants(8, 42L).map(_._1).toArray,
+        dedup.Dedup.mixConstants(8, 42L).map(_._2).toArray).as("m")).head()
+    assert(sqlSig.getLong(0) === apiSig.getLong(0))
+    assert(sqlSig.getSeq[Long](1) === apiSig.getSeq[Long](1))
+  }
+
+  test("token_set_count from SQL with a literal dictionary") {
+    val n = spark.sql(
+      "SELECT token_set_count(array('The', 'fox', 'the'), array('the'), true) AS n")
+      .head().getInt(0)
+    assert(n === 2)
+  }
+
+  test("non-literal kernel parameters are rejected") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), id + 1, 42) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
