@@ -46,16 +46,21 @@ object Ivf {
     * write partitioned-by-cell for reuse). */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 5, seed: Long = 42L,
             idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    // training makes 1 + iters passes over the vectors — cache the
+    // narrow (id, vec) projection for the duration (unpersisted below;
+    // the returned lazy `assigned` plan reads the source, not the cache)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // deterministic seeded init: nlist vectors with smallest hashed id
-    var centroids: Array[Array[Double]] = corpus
-      .select(col(idCol), col(vecCol))
+    var centroids: Array[Array[Double]] = vecs
       .orderBy(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
       .limit(nlist)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col(vecCol).as("v"),
+      val assigned = vecs.select(col(vecCol).as("v"),
         cellExpr(col(vecCol), centroids).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -75,6 +80,7 @@ object Ivf {
       }.toArray
     }
 
+    vecs.unpersist(blocking = false)
     Index(centroids,
       corpus.withColumn("cell", cellExpr(col(vecCol), centroids)))
   }
