@@ -95,6 +95,14 @@ object GraftExtensions {
         val (as, bs) = graft.dedup.Dedup.mixConstants(k, seed).unzip
         MinHashSignature(args(0), as.toArray, bs.toArray)
       }),
+    (FunctionIdentifier("top_k_ids"),
+      info("top_k_ids",
+        "top_k_ids(score, id, k) - aggregate: k best (score, id) pairs per group, best first"),
+      (args: Seq[Expression]) => {
+        requireArgs("top_k_ids", 3, args)
+        TopKByScore(args(0), args(1),
+          literalLong("top_k_ids.k", args(2)).toInt)
+      }),
     (FunctionIdentifier("token_set_count"),
       info("token_set_count",
         "token_set_count(tokens, dict, lowercase) - count of tokens present in a literal dictionary"),

@@ -489,7 +489,36 @@ object Extended {
       |  ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  // Per-group top-k via the bounded-heap TypedImperativeAggregate
+  // (expressions.TopKByScore): map-side partial combine ships at most k
+  // entries per group per task into the shuffle — unlike the window
+  // row_number formulation (the oracle), which shuffles and sorts every
+  // row. Same answer, narrow shuffle.
+  val q73_group_topk: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.expressions.TopKAgg
+        .top_k_ids(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("c_mktsegment"), (col("i") + 1).cast("long").as("rn"),
+        col("e.id").as("o_orderkey"), col("e.score").as("o_totalprice"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val q73_sql: String =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q73_group_topk" -> q73_group_topk,
     "q68_window_suite" -> q68_window_suite,
     "q69_moving_avg" -> q69_moving_avg,
     "q70_arg_minmax" -> q70_arg_minmax,
@@ -512,6 +541,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q73_group_topk" -> q73_sql,
     "q68_window_suite" -> q68_sql,
     "q69_moving_avg" -> q69_sql,
     "q70_arg_minmax" -> q70_sql,
