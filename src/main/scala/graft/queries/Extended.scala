@@ -517,7 +517,33 @@ object Extended {
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  // unionByName with missing columns (the reference's U1 alignment rule
+  // generalized): frames with different column sets align by NAME and
+  // null-fill the gaps — positional UNION would silently mismatch.
+  val q74_union_by_name: Q = (s, dir) => {
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_name").as("name"), col("s_nationkey").as("nationkey"),
+        col("s_acctbal").as("acctbal"))
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("segment"))
+    sup.unionByName(cust, allowMissingColumns = true)
+      .orderBy("name")
+  }
+
+  val q74_sql: String =
+    """SELECT * FROM (
+      |  SELECT s_name AS name, s_nationkey AS nationkey, s_acctbal AS acctbal
+      |  FROM supplier
+      |  UNION ALL BY NAME
+      |  SELECT c_name AS name, c_nationkey AS nationkey, c_mktsegment AS segment
+      |  FROM customer WHERE c_custkey < 200)
+      |ORDER BY name""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q74_union_by_name" -> q74_union_by_name,
     "q73_group_topk" -> q73_group_topk,
     "q68_window_suite" -> q68_window_suite,
     "q69_moving_avg" -> q69_moving_avg,
@@ -541,6 +567,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q74_union_by_name" -> q74_sql,
     "q73_group_topk" -> q73_sql,
     "q68_window_suite" -> q68_sql,
     "q69_moving_avg" -> q69_sql,
