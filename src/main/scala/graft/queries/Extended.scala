@@ -542,7 +542,32 @@ object Extended {
       |  FROM customer WHERE c_custkey < 200)
       |ORDER BY name""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  // Regression/covariance aggregates (the reference's OLS surface as
+  // single-pass SQL aggregates): slope/intercept/R² of price on
+  // quantity per return flag.
+  val q75_regression_aggs: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(covar_pop(col("l_extendedprice"), col("l_quantity")), 6).as("cpop"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 6).as("csamp"))
+      .orderBy("l_returnflag")
+
+  val q75_sql: String =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  round(covar_pop(l_extendedprice, l_quantity), 6) AS cpop,
+      |  round(covar_samp(l_extendedprice, l_quantity), 6) AS csamp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q75_regression_aggs" -> q75_regression_aggs,
     "q74_union_by_name" -> q74_union_by_name,
     "q73_group_topk" -> q73_group_topk,
     "q68_window_suite" -> q68_window_suite,
@@ -567,6 +592,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q75_regression_aggs" -> q75_sql,
     "q74_union_by_name" -> q74_sql,
     "q73_group_topk" -> q73_sql,
     "q68_window_suite" -> q68_sql,
