@@ -350,7 +350,95 @@ object TextSim {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q76
+  // Repetition signals (the C4/Gopher filter inputs): top-unigram
+  // fraction and duplicate-bigram fraction per document. Shape: explode
+  // → (doc, gram) counts → per-doc aggregate — two shuffles, both keyed
+  // by doc_id, no window over the corpus.
+  val q76_repetition: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_uni"),
+        count(lit(1)).as("n_uniq"))
+    val bi = d.select(col("doc_id"),
+        explode(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bi"), count(lit(1)).as("n_uniq_bi"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("top_uni").cast("double") / col("n_tok"), 6).as("top_unigram_frac"),
+        round(lit(1.0) - col("n_uniq_bi").cast("double") / col("n_bi"), 6)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q76_sql: String =
+    """WITH t AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |           FROM documents),
+      |uni AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_uni FROM (
+      |          SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+      |        GROUP BY doc_id),
+      |g AS (SELECT doc_id, UNNEST(list_transform(
+      |        generate_series(1, greatest(len(toks) - 1, 0)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |            FROM documents)),
+      |bi AS (SELECT doc_id, sum(c) AS n_bi, count(*) AS n_uniq_bi FROM (
+      |         SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+      |       GROUP BY doc_id)
+      |SELECT uni.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  round(CAST(top_uni AS DOUBLE) / n_tok, 6) AS top_unigram_frac,
+      |  round(1.0 - CAST(n_uniq_bi AS DOUBLE) / n_bi, 6) AS dup_bigram_frac
+      |FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+      |ORDER BY uni.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  // The composite quality gate (Gopher-style thresholds over the
+  // quality features): per-doc pass/fail booleans plus the final keep
+  // decision — the operator a corpus-cleaning pipeline actually runs.
+  val q77_quality_gate: Q = (s, dir) => {
+    val f = TextAnalysis.qualityFeatures(
+      Tables.load(s, dir, "documents"), col("text"))
+    f.select(col("doc_id"),
+        (col("n_tokens") >= 30 && col("n_tokens") <= 10000).as("len_ok"),
+        (col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0).as("wordlen_ok"),
+        (col("stopword_ratio") >= 0.01).as("stopword_ok"),
+        (col("punct_ratio") <= 0.2).as("punct_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("wordlen_ok") && col("stopword_ok") && col("punct_ok"))
+      .orderBy("doc_id")
+  }
+
+  val q77_sql: String = {
+    val stop = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents)
+       |SELECT doc_id,
+       |  n_tokens >= 30 AND n_tokens <= 10000 AS len_ok,
+       |  avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS wordlen_ok,
+       |  stopword_ratio >= 0.01 AS stopword_ok,
+       |  punct_ratio <= 0.2 AS punct_ok,
+       |  (n_tokens >= 30 AND n_tokens <= 10000)
+       |    AND (avg_token_len >= 2.0 AND avg_token_len <= 12.0)
+       |    AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2 AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q76_repetition" -> q76_repetition,
+    "q77_quality_gate" -> q77_quality_gate,
     "q25_text_stats" -> q25_text_stats,
     "q26_text_quality" -> q26_text_quality,
     "q27_dedup_exact" -> q27_dedup_exact,
@@ -366,6 +454,8 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q76_repetition" -> q76_sql,
+    "q77_quality_gate" -> q77_sql,
     "q25_text_stats" -> q25_sql,
     "q26_text_quality" -> q26_sql,
     "q27_dedup_exact" -> q27_sql,
