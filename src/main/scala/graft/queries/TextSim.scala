@@ -436,7 +436,75 @@ object TextSim {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q78
+  // IVF ANN, oracle-checked end-to-end: Ivf.trainChecked accumulates
+  // centroid means in integer micro-units (exact, order-independent),
+  // so the DuckDB oracle replays k-means init, THREE unrolled Lloyd
+  // iterations, the final cell assignment, nprobe routing and the
+  // cosine re-rank bit-for-bit. q48 remains the float/xxhash fast path.
+  val q78_ann_ivf_checked: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    graft.similarity.Ivf.topK(idx, e.filter(col("vec_id") < 20), k = 3, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val q78_sql: String = {
+    // negdist of a vector e against a centroid row c: 2·dot − ‖c‖²,
+    // double accumulation left-to-right in both engines
+    val nd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
+      "i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) " +
+      "- list_sum(list_transform(c.cv, x -> x * x)))"
+    def assign(k: Int, prev: String) =
+      s"""a$k AS (SELECT e.vec_id, e.embedding, c.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $nd DESC, c.cell ASC) AS rn
+         |  FROM embeddings e CROSS JOIN $prev c)""".stripMargin
+    def update(k: Int, prev: String) =
+      s"""s$k AS (SELECT cell, UNNEST(generate_series(1, 64)) AS pos, embedding
+         |        FROM a$k WHERE rn = 1),
+         |t$k AS (SELECT cell, pos,
+         |          sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sm,
+         |          count(*) AS n
+         |        FROM s$k GROUP BY cell, pos),
+         |m$k AS (SELECT cell, list(CAST(sm AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS cv
+         |        FROM t$k GROUP BY cell),
+         |c$k AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         |        FROM $prev p LEFT JOIN m$k m ON p.cell = m.cell)""".stripMargin
+    val iterations = (1 to 3).map(k => s"${assign(k, s"c${k - 1}")},\n${update(k, s"c${k - 1}")}")
+      .mkString(",\n")
+    s"""WITH h AS (SELECT vec_id, embedding,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= 8),
+       |$iterations,
+       |af AS (SELECT e.vec_id, e.embedding, c.cell,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY $nd DESC, c.cell ASC) AS rn
+       |  FROM embeddings e CROSS JOIN c3 c),
+       |corpus AS (SELECT vec_id, embedding, cell FROM af WHERE rn = 1),
+       |probes AS (SELECT e.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $nd DESC, c.cell DESC) AS pr
+       |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id < 20),
+       |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
+       |         FROM probes p JOIN corpus co ON p.cell = co.cell AND p.pr <= 3
+       |         WHERE co.vec_id <> p.query_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id, $cosineSql AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q78_ann_ivf_checked" -> q78_ann_ivf_checked,
     "q76_repetition" -> q76_repetition,
     "q77_quality_gate" -> q77_quality_gate,
     "q25_text_stats" -> q25_text_stats,
@@ -454,6 +522,7 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q78_ann_ivf_checked" -> q78_sql,
     "q76_repetition" -> q76_sql,
     "q77_quality_gate" -> q77_sql,
     "q25_text_stats" -> q25_sql,

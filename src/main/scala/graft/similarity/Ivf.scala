@@ -85,6 +85,55 @@ object Ivf {
       corpus.withColumn("cell", cellExpr(col(vecCol), centroids)))
   }
 
+  /** Cross-engine-checkable trainer: same Lloyd's structure as [[train]]
+    * but every data-dependent number is bit-reproducible in ANSI SQL —
+    *  - init order = md5-derived hash of the id (not xxhash64);
+    *  - centroid means accumulate integer MICRO-UNITS
+    *    (`round(x·10⁶)` as bigint): integer sums are exact and
+    *    order-independent, so the float shuffle-merge wobble that keeps
+    *    [[train]] un-oracle-able disappears; the mean is then the one
+    *    double `sum / (10⁶·n)` in both engines.
+    * Quantization costs ~1e-6 per coordinate of centroid precision —
+    * irrelevant for a coarse quantizer's routing quality. */
+  def trainChecked(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val vecs = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(graft.dedup.Dedup.md5Hash32(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = vecs.select(col(vecCol).as("v"),
+        cellExpr(col(vecCol), centroids).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("x").cast("double") * 1000000.0).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / (1000000.0 * r.getLong(3)))
+            arr
+          case None => centroids(c)
+        }
+      }.toArray
+    }
+
+    vecs.unpersist(blocking = false)
+    Index(centroids,
+      corpus.withColumn("cell", cellExpr(col(vecCol), centroids)))
+  }
+
   /** Approximate top-k: visit the `nprobe` cells whose centroids are
     * nearest each query, exact cosine inside them. */
   def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int,
