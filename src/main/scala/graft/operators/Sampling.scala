@@ -14,12 +14,22 @@ object Sampling {
 
   private val Buckets = 1000000L
 
+  /** Default membership bucket: seeded xxhash64 of the key (fast path). */
+  def keyBucket(keyCols: Seq[String], seed: Long): Column =
+    pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(Buckets))
+
+  /** md5-derived bucket — same semantics, reproducible in ANSI SQL
+    * (the oracle-checked variant; see the dedup hashers). */
+  def md5KeyBucket(keyCols: Seq[String], seed: Long): Column =
+    pmod(graft.dedup.Dedup.md5Hash32(
+      concat_ws("|", keyCols.map(col) :+ lit(seed.toString): _*)), lit(Buckets))
+
   /** Keep ~`fraction` of rows, chosen by seeded key hash. */
   def deterministicSample(df: DataFrame, keyCols: Seq[String], fraction: Double,
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L,
+                          bucketOf: (Seq[String], Long) => Column = keyBucket): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    val bucket = pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(Buckets))
-    df.filter(bucket < (fraction * Buckets).toLong)
+    df.filter(bucketOf(keyCols, seed) < (fraction * Buckets).toLong)
   }
 
   /** Stratified deterministic sample: per-stratum keep-fractions (e.g.

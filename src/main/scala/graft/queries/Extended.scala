@@ -566,7 +566,44 @@ object Extended {
       |  round(covar_samp(l_extendedprice, l_quantity), 6) AS csamp
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  // Unpivot/melt: wide → long (the inverse of q38's pivot).
+  val q79_unpivot: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val")
+      .orderBy("p_partkey", "attr")
+
+  val q79_sql: String =
+    """SELECT p_partkey, attr, val FROM (
+      |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+      |           FROM part)
+      |  ON p_size, p_retailprice INTO NAME attr VALUE val)
+      |ORDER BY p_partkey, attr""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  // Deterministic key-hash sampling (the reproducible-holdout
+  // primitive): membership is a pure function of the row key, checked
+  // here via the md5 bucket. Spark's RNG-based df.sample can never be
+  // cross-engine-checked — this can.
+  val q80_deterministic_sample: Q = (s, dir) =>
+    graft.operators.Sampling.deterministicSample(
+      Tables.load(s, dir, "documents"), Seq("doc_id"), 0.25,
+      bucketOf = graft.operators.Sampling.md5KeyBucket)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val q80_sql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 8) AS BIGINT)
+      |      % 1000000 < 250000
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q79_unpivot" -> q79_unpivot,
+    "q80_deterministic_sample" -> q80_deterministic_sample,
     "q75_regression_aggs" -> q75_regression_aggs,
     "q74_union_by_name" -> q74_union_by_name,
     "q73_group_topk" -> q73_group_topk,
@@ -592,6 +629,8 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q79_unpivot" -> q79_sql,
+    "q80_deterministic_sample" -> q80_sql,
     "q75_regression_aggs" -> q75_sql,
     "q74_union_by_name" -> q74_sql,
     "q73_group_topk" -> q73_sql,
