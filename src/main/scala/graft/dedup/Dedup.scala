@@ -220,6 +220,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------ dedup cluster components
+
+  /** Connected components over near-dup pairs — the clustering step a
+    * dedup pipeline runs AFTER LSH verify, so each duplicate group can
+    * elect one canonical document (min id = component label).
+    *
+    * Fixed-iteration min-label propagation: per round, every node takes
+    * the min label among itself and its neighbours — one groupBy(min) +
+    * one broadcast-scale join per round, all DataFrame ops. A FIXED
+    * `iters` (no data-dependent early exit) keeps the result a pure
+    * function of the edges, so an ANSI oracle can replay it with
+    * unrolled CTEs; `iters` bounds the component diameter it can
+    * resolve (near-dup clusters are near-cliques — diameter 2-3).
+    * Returns (id, component). */
+  def connectedComponents(edges: DataFrame, iters: Int = 8): DataFrame = {
+    val adj = edges.select(col("id_a").as("v"), col("id_b").as("u"))
+      .union(edges.select(col("id_b").as("v"), col("id_a").as("u")))
+    var labels = adj.select(col("v").as("id")).distinct()
+      .select(col("id"), col("id").as("l"))
+    for (_ <- 1 to iters) {
+      val neighborMin = adj
+        .join(labels.withColumnsRenamed(Map("id" -> "__u", "l" -> "__lu")),
+          col("u") === col("__u"))
+        .groupBy(col("v")).agg(min(col("__lu")).as("__nmin"))
+      labels = labels
+        .join(neighborMin, col("id") === col("v"), "left")
+        .select(col("id"), least(col("l"), coalesce(col("__nmin"), col("l"))).as("l"))
+    }
+    labels.select(col("id"), col("l").as("component"))
+  }
+
   // ------------------------------------------- token-jaccard sim-join
 
   /** Exact all-pairs token Jaccard ≥ threshold via inverted-index

@@ -246,6 +246,39 @@ object TextSim {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q81
+  // Dedup clustering: connected components over the (oracle-checked)
+  // MinHash near-dup pairs — min doc_id per duplicate group becomes the
+  // canonical label. Fixed 8-round min-label propagation, replayed in
+  // SQL as 8 unrolled CTE steps over the same pair query.
+  val q81_dedup_components: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.minhashNearDups(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+        col("doc_id"), col("text"), threshold = 0.8,
+        shingleHasher = Dedup.shingleHashes32Md5),
+      iters = 8)
+      .orderBy("id")
+
+  val q81_sql: String = {
+    // AS MATERIALIZED is load-bearing: each step references the previous
+    // level twice, and default CTE inlining would expand l8 into 2^8
+    // copies of the whole pair pipeline
+    val steps = (1 to 8).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT n.id, least(n.l, coalesce(min(lu.l), n.l)) AS l
+         |  FROM l${k - 1} n
+         |  LEFT JOIN adj a ON a.v = n.id
+         |  LEFT JOIN l${k - 1} lu ON lu.id = a.u
+         |  GROUP BY n.id, n.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($q32_sql),
+       |adj AS MATERIALIZED (SELECT id_a AS v, id_b AS u FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS l FROM adj),
+       |$steps
+       |SELECT id, l AS component FROM l8 ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------- no-oracle queries
   // (not ANSI-SQL-expressible → driver rows-only check; exactness is
   //  covered by ScalaTest: LSH candidates ⊇ exact high-similarity pairs.)
@@ -504,6 +537,7 @@ object TextSim {
   }
 
   val all: Map[String, Q] = Map(
+    "q81_dedup_components" -> q81_dedup_components,
     "q78_ann_ivf_checked" -> q78_ann_ivf_checked,
     "q76_repetition" -> q76_repetition,
     "q77_quality_gate" -> q77_quality_gate,
@@ -522,6 +556,7 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q81_dedup_components" -> q81_sql,
     "q78_ann_ivf_checked" -> q78_sql,
     "q76_repetition" -> q76_sql,
     "q77_quality_gate" -> q77_sql,

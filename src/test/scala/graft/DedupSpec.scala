@@ -107,4 +107,15 @@ class DedupSpec extends SparkSpec {
       .select(size(TextAnalysis.tokens(col("text")))).head().getInt(0)
     assert(n === toks - 2)
   }
+
+  test("connectedComponents: chain, clique and isolated pair get min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4, clique 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
