@@ -235,10 +235,17 @@ object Dedup {
     * resolve (near-dup clusters are near-cliques — diameter 2-3).
     * Returns (id, component). */
   def connectedComponents(edges: DataFrame, iters: Int = 8): DataFrame = {
+    // eager localCheckpoints are load-bearing: labels feeds TWICE into
+    // each next level, so without lineage truncation the logical plan
+    // doubles per iteration (2^iters copies of the edge pipeline — the
+    // same blowup the SQL oracle avoids with MATERIALIZED CTEs). On a
+    // cluster this is `checkpoint()` to reliable storage.
     val adj = edges.select(col("id_a").as("v"), col("id_b").as("u"))
       .union(edges.select(col("id_b").as("v"), col("id_a").as("u")))
+      .localCheckpoint(true)
     var labels = adj.select(col("v").as("id")).distinct()
       .select(col("id"), col("id").as("l"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val neighborMin = adj
         .join(labels.withColumnsRenamed(Map("id" -> "__u", "l" -> "__lu")),
@@ -247,6 +254,7 @@ object Dedup {
       labels = labels
         .join(neighborMin, col("id") === col("v"), "left")
         .select(col("id"), least(col("l"), coalesce(col("__nmin"), col("l"))).as("l"))
+        .localCheckpoint(true)
     }
     labels.select(col("id"), col("l").as("component"))
   }
