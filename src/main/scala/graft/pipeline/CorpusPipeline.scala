@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.text.{Packing, TextAnalysis}
+
+/** The end-to-end corpus-cleaning composition a training-data team
+  * actually runs — quality gate → exact dedup → near-dup clustering →
+  * canonical selection → deterministic sample → sequence packing —
+  * wired from the library's operators so a user gets the whole pipeline
+  * as one call. Every stage is a lazy DataFrame transform; stage counts
+  * are the only actions.
+  *
+  * Scale shape: the gate and fingerprints are per-row expressions; the
+  * dedup stages shuffle content hashes and (band, hash, id) keys only;
+  * components checkpoint per round; packing is the distributed prefix
+  * sum. Nothing collects documents to the driver.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Int = 30,
+      maxTokens: Int = 10000,
+      minAvgTokenLen: Double = 2.0,
+      maxAvgTokenLen: Double = 12.0,
+      minStopwordRatio: Double = 0.01,
+      maxPunctRatio: Double = 0.2,
+      nearDupThreshold: Double = 0.8,
+      sampleFraction: Double = 1.0,
+      sampleSeed: Long = 42L,
+      packBudget: Int = 2048)
+
+  final case class Result(cleaned: DataFrame, stageCounts: Seq[(String, Long)])
+
+  /** docs must expose `id` (bigint) and `text` columns; returns the
+    * cleaned corpus with `n_tokens` and `batch_id` plus per-stage
+    * surviving-row counts. */
+  def clean(docs: DataFrame, id: Column, text: Column,
+            cfg: Config = Config()): Result = {
+    val counts = Seq.newBuilder[(String, Long)]
+    counts += ("input" -> docs.count())
+
+    // 1. quality gate (Gopher-style thresholds over per-row features)
+    val gated = TextAnalysis.qualityFeatures(docs, text)
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("n_tokens") <= cfg.maxTokens &&
+        col("avg_token_len") >= cfg.minAvgTokenLen &&
+        col("avg_token_len") <= cfg.maxAvgTokenLen &&
+        col("stopword_ratio") >= cfg.minStopwordRatio &&
+        col("punct_ratio") <= cfg.maxPunctRatio)
+      .drop("n_chars", "avg_token_len", "stopword_ratio", "punct_ratio")
+    counts += ("quality_gate" -> gated.count())
+
+    // 2. exact dedup: min-id representative per identical content
+    val exact = Dedup.dropExactDups(gated, id, text)
+    counts += ("exact_dedup" -> exact.count())
+
+    // 3. near-dup clustering: LSH pairs → components → keep the
+    //    component label (min id); docs outside any component survive
+    val pairs = Dedup.minhashNearDups(exact, id, text, cfg.nearDupThreshold)
+    val components = Dedup.connectedComponents(pairs)
+    val nearDeduped = exact
+      .join(components.withColumnsRenamed(Map("id" -> "__cid")),
+        id === col("__cid"), "left")
+      .filter(col("component").isNull || id === col("component"))
+      .drop("__cid", "component")
+    counts += ("near_dedup" -> nearDeduped.count())
+
+    // 4. deterministic key-hash sample
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) nearDeduped
+      else Sampling.deterministicSample(nearDeduped,
+        Seq(id.toString()), cfg.sampleFraction, cfg.sampleSeed)
+    counts += ("sample" -> sampled.count())
+
+    // 5. sequence packing into token-budget batches
+    val packed = Packing.packSequential(sampled, col("n_tokens"),
+      cfg.packBudget, Seq(id))
+    Result(packed, counts.result())
+  }
+}

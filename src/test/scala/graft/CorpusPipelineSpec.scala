@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusPipeline
+import graft.text.TextAnalysis
+
+/** The composed cleaning pipeline end-to-end on real testdata. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("clean: stages shrink monotonically, output is dedup'd and packed") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val res = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, sampleFraction = 0.8))
+
+    val counts = res.stageCounts.toMap
+    assert(res.stageCounts.map(_._1) ===
+      Seq("input", "quality_gate", "exact_dedup", "near_dedup", "sample"))
+    // each stage can only drop rows
+    res.stageCounts.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a)
+      case _ =>
+    }
+    assert(counts("input") > 0 && counts("sample") > 0)
+
+    val out = res.cleaned
+    // no exact duplicates survive
+    val n = out.count()
+    val distinctFp = out
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct().count()
+    assert(n === distinctFp)
+    // packing respects the budget up to one oversize doc per batch
+    val maxTok = out.agg(max("n_tokens")).head().getInt(0)
+    val over = out.groupBy("batch_id").agg(sum("n_tokens").as("t"))
+      .filter(col("t") >= 2048 + maxTok).count()
+    assert(over === 0)
+    // deterministic: same config → same output set
+    val again = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, sampleFraction = 0.8))
+    assert(out.select("doc_id", "batch_id").collect().toSet ===
+      again.cleaned.select("doc_id", "batch_id").collect().toSet)
+  }
+}
