@@ -196,4 +196,26 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("n") === 3L) // state carried across batches
     spark.sql("DROP TABLE IF EXISTS country_stats")
   }
+
+  test("streaming per-group top-k: the bounded-heap aggregate holds state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long)]
+    val out = mem.toDF().toDF("g", "s", "id")
+      .groupBy("g")
+      .agg(graft.expressions.TopKAgg.top_k_ids(col("s"), col("id"), 2).as("top"))
+    val q = out.writeStream.format("memory").queryName("stream_topk")
+      .outputMode("update").start()
+    mem.addData((1L, 5.0, 100L), (1L, 9.0, 101L))
+    q.processAllAvailable()
+    // a later batch brings a new global best; the old 2nd-best must drop
+    mem.addData((1L, 7.0, 102L))
+    q.processAllAvailable()
+    q.stop()
+    val top = spark.table("stream_topk").orderBy(col("g"))
+      .select(explode(col("top")).as("e")).select(col("e.id"))
+      .collect().map(_.getLong(0)).toList
+    // last update row: ids 101 (9.0) then 102 (7.0)
+    assert(top.takeRight(2) === List(101L, 102L))
+    spark.sql("DROP TABLE IF EXISTS stream_topk")
+  }
 }
