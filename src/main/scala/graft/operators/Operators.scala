@@ -90,6 +90,43 @@ object Operators {
     pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
   }
 
+  /** Distributed exact running total: adds `__run` = inclusive running
+    * sum of `valueCol` over the global `orderCols` order, with no
+    * single-partition window. Deterministic range buckets come from
+    * `approxQuantile` boundaries on the leading order key (a pure
+    * function of the data — unlike repartitionByRange's per-job
+    * sampling), per-bucket windows run in parallel, and a tiny
+    * collected offset table broadcasts back. Three linear scans, every
+    * stage parallel. The leading order key must be numeric-castable;
+    * ties on it stay in one bucket and are ordered by the full
+    * `orderCols` within the window. Shared by sequence packing and
+    * weighted systematic sampling.
+    */
+  def withRunningTotal(df: DataFrame, valueCol: Column,
+                       orderCols: Seq[Column], buckets: Int = 32): DataFrame = {
+    val keyed = df.withColumn("__ord", orderCols.head.cast("double"))
+      .withColumn("__val", valueCol)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = keyed.stat.approxQuantile("__ord", probes, 0.001)
+      .distinct.sorted
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("__ord") >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucketed = keyed.withColumn("__bkt", bucketCol)
+    val totals = bucketed.groupBy("__bkt").agg(sum("__val").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsetDf), Seq("__bkt"))
+      .withColumn("__run", sum(col("__val")).over(w) + col("__off"))
+      .drop("__bkt", "__ord", "__off")
+  }
+
   /** Write a table bucketed (and sorted) on the join key: later joins
     * and aggregations on `bucketCols` read co-located buckets and skip
     * the shuffle entirely — the 100 TB answer for repeatedly-joined

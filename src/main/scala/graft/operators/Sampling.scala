@@ -46,6 +46,23 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Weighted systematic sampling without RNG: walk the cumulative
+    * weight axis and keep every row whose weight interval straddles a
+    * multiple of `step` — selection probability ∝ weight, expected
+    * sample size = totalWeight/step, fully deterministic (the particle-
+    * filter / PPS-systematic scheme). Uses the distributed prefix sum,
+    * so no single-partition window; weights must be non-negative and
+    * the cumulative total must stay under 2^53 (double-exact floor).
+    */
+  def weightedSystematicSample(df: DataFrame, weightCol: Column,
+                               orderCols: Seq[Column], step: Double): DataFrame = {
+    require(step > 0)
+    Operators.withRunningTotal(df, weightCol, orderCols)
+      .filter(floor(col("__run").cast("double") / step) >
+        floor((col("__run") - col("__val")).cast("double") / step))
+      .drop("__val", "__run")
+  }
+
   /** Split into n disjoint, exhaustive folds by key hash (cross-
     * validation / sharded holdouts). Adds a `fold` column in [0, n). */
   def withFolds(df: DataFrame, keyCols: Seq[String], n: Int,

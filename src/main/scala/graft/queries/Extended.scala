@@ -601,7 +601,34 @@ object Extended {
       |      % 1000000 < 250000
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  // Weighted systematic sampling (PPS): keep rows whose cumulative-
+  // weight interval straddles a multiple of the step — probability ∝
+  // token count, zero RNG, exact via the distributed prefix sum.
+  val q82_weighted_sample: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Sampling
+      .weightedSystematicSample(d, col("n_tok"), Seq(col("doc_id")), 5000.0)
+      .orderBy("doc_id")
+  }
+
+  val q82_sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tok,
+      |    sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM r
+      |WHERE floor(CAST(run AS DOUBLE) / 5000.0)
+      |    > floor(CAST(run - n_tok AS DOUBLE) / 5000.0)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q82_weighted_sample" -> q82_weighted_sample,
     "q79_unpivot" -> q79_unpivot,
     "q80_deterministic_sample" -> q80_deterministic_sample,
     "q75_regression_aggs" -> q75_regression_aggs,
@@ -629,6 +656,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q82_weighted_sample" -> q82_sql,
     "q79_unpivot" -> q79_sql,
     "q80_deterministic_sample" -> q80_sql,
     "q75_regression_aggs" -> q75_sql,

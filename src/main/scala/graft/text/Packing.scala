@@ -19,45 +19,16 @@ object Packing {
 
   /** batch id = floor(startOffset / budget) over the exact global
     * `orderCols` order. Docs longer than the budget get their own
-    * batch(es).
-    *
-    * Distributed prefix sum: (1) deterministic range buckets on the
-    * leading order key from `approxQuantile` boundaries (bucket is a
-    * pure function of the row value, so both passes below agree —
-    * unlike `repartitionByRange`, whose sampled boundaries change per
-    * job); (2) per-bucket token totals → driver cumsum → tiny
-    * broadcast offset table; (3) per-bucket running-sum window plus
-    * the bucket's offset. Three linear scans, every stage parallel.
-    * The leading order key must be numeric-castable (it seeds the
-    * range buckets); ties on it stay in one bucket, and the window
-    * breaks them with the full `orderCols` order.
-    */
+    * batch(es). The heavy lifting is the distributed prefix sum
+    * ([[graft.operators.Operators.withRunningTotal]] — deterministic
+    * range buckets + parallel per-bucket windows + broadcast offsets;
+    * no single-partition window). */
   def packSequential(df: DataFrame, tokensCol: Column, budget: Int,
-                     orderCols: Seq[Column], buckets: Int = 32): DataFrame = {
-    val keyed = df.withColumn("__ord", orderCols.head.cast("double"))
-      .withColumn("__tok", tokensCol)
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = keyed.stat.approxQuantile("__ord", probes, 0.001)
-      .distinct.sorted
-    val bucketCol =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(col("__ord") >= b, 1).otherwise(0)).reduce(_ + _)
-    val bucketed = keyed.withColumn("__bkt", bucketCol)
-    val totals = bucketed.groupBy("__bkt").agg(sum("__tok").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toDF("__bkt", "__off")
-    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offsetDf), Seq("__bkt"))
-      .withColumn("__end", sum(col("__tok")).over(w) + col("__off"))
+                     orderCols: Seq[Column], buckets: Int = 32): DataFrame =
+    graft.operators.Operators.withRunningTotal(df, tokensCol, orderCols, buckets)
       .withColumn("batch_id",
-        floor((col("__end") - col("__tok")) / lit(budget.toDouble)).cast("long"))
-      .drop("__bkt", "__ord", "__tok", "__off", "__end")
-  }
+        floor((col("__run") - col("__val")) / lit(budget.toDouble)).cast("long"))
+      .drop("__val", "__run")
 
   /** Parallel variant: hash-shard then pack per shard; batch ids are
     * (shard, local batch) pairs encoded as shard·2⁴⁰ + local. */
