@@ -16,7 +16,8 @@ object ExplainAudit {
     val interesting = args.headOption
       .map(_.split(",").toSeq)
       .getOrElse(Seq("q01_scan_filter", "q04_group_agg", "q05_star_join",
-        "q08_window_rank", "q10_topk", "q16_kpi_global", "q31_knn_brute"))
+        "q08_window_rank", "q10_topk", "q16_kpi_global", "q31_knn_brute",
+        "q56_exists_subquery", "q62_range_join", "q73_group_topk"))
     interesting.foreach { q =>
       println(s"\n========== $q ==========")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
