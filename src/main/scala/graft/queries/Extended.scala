@@ -627,7 +627,70 @@ object Extended {
       |    > floor(CAST(run - n_tok AS DOUBLE) / 5000.0)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  // Robust statistics: per-group median absolute deviation (exact,
+  // interpolated) — the outlier-resistant spread measure profiling
+  // pipelines prefer over stddev. Two-pass: per-group median broadcast
+  // back, then the median of absolute deviations.
+  val q83_mad: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(round(min(col("med")), 6).as("median"),
+        round(expr("percentile(abs(l_quantity - med), 0.5)"), 6).as("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  val q83_sql: String =
+    """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      |           FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |  round(min(med), 6) AS median,
+      |  round(quantile_cont(abs(l_quantity - med), 0.5), 6) AS mad
+      |FROM lineitem l JOIN m USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  // Time-series resampling with gap filling: a complete hour ×
+  // event-type spine (sequence + broadcast cross join) left-joined to
+  // the actual hourly counts, absent combinations zero-filled — the
+  // stream-warehouse densification step dashboards need.
+  val q84_resample: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val hours = e
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    val counts = e
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  val q84_sql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |                  date_trunc('hour', max(ts)) AS hi FROM events),
+      |hours AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |c AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  types.event_type AS event_type,
+      |  coalesce(n, 0) AS n
+      |FROM hours CROSS JOIN types
+      |LEFT JOIN c ON c.h = hours.h AND c.event_type = types.event_type
+      |ORDER BY hour, types.event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q83_mad" -> q83_mad,
+    "q84_resample" -> q84_resample,
     "q82_weighted_sample" -> q82_weighted_sample,
     "q79_unpivot" -> q79_unpivot,
     "q80_deterministic_sample" -> q80_deterministic_sample,
@@ -656,6 +719,8 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q83_mad" -> q83_sql,
+    "q84_resample" -> q84_sql,
     "q82_weighted_sample" -> q82_sql,
     "q79_unpivot" -> q79_sql,
     "q80_deterministic_sample" -> q80_sql,
