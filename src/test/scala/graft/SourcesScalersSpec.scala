@@ -41,6 +41,26 @@ class SourcesScalersSpec extends SparkSpec {
     assert(got === Seq(0.0, 0.5, 1.0))
   }
 
+  test("format round-trips: parquet → orc / csv / json → identical rows") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, TestSpark.sf0001, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val want = base.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    base.write.mode("overwrite").orc(s"$dir/orc")
+    base.write.mode("overwrite").option("header", true).csv(s"$dir/csv")
+    base.write.mode("overwrite").json(s"$dir/json")
+    val orc = spark.read.orc(s"$dir/orc")
+    val csv = spark.read.option("header", true)
+      .schema(base.schema).csv(s"$dir/csv")
+    val json = spark.read.schema(base.schema).json(s"$dir/json")
+    for (df <- Seq(orc, csv, json)) {
+      assert(df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet === want)
+    }
+  }
+
   test("reference SQL views over predictions (kpis_globales etc.)") {
     val unified = Clean.dropNulls(
       Normalize.loadUnified(spark, TestSpark.refData), Normalize.Canonical)
