@@ -688,7 +688,59 @@ object Extended {
       |LEFT JOIN c ON c.h = hours.h AND c.event_type = types.event_type
       |ORDER BY hour, types.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  // Snapshot diff — the incremental-ETL primitive: compare two table
+  // versions by key with a row content hash, classify added / removed /
+  // changed / unchanged. Simulated prior snapshot: every 97th order
+  // missing and F-status rows carrying an older (discounted) price.
+  val q85_snapshot_diff: Q = (s, dir) => {
+    val now = Tables.load(s, dir, "orders")
+    val old = now.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "F", round(col("o_totalprice") * 0.9, 2))
+          .otherwise(col("o_totalprice")))
+    // price hashed as integer cents: double→string rendering is not
+    // engine-portable, integer strings are
+    def hashed(df: DataFrame, pfx: String) = df.select(
+      col("o_orderkey").as(s"${pfx}_key"),
+      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))).as(s"${pfx}_hash"))
+    hashed(old, "old")
+      .join(hashed(now, "new"), col("old_key") === col("new_key"), "full")
+      .select(
+        when(col("old_key").isNull, "added")
+          .when(col("new_key").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  val q85_sql: String =
+    """WITH now AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |             FROM orders),
+      |old AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |          CASE WHEN o_orderstatus = 'F' THEN round(o_totalprice * 0.9, 2)
+      |               ELSE o_totalprice END AS o_totalprice
+      |        FROM orders WHERE o_orderkey % 97 <> 0),
+      |ho AS (SELECT o_orderkey AS k,
+      |         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS h
+      |       FROM old),
+      |hn AS (SELECT o_orderkey AS k,
+      |         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS h
+      |       FROM now)
+      |SELECT CASE WHEN ho.k IS NULL THEN 'added'
+      |            WHEN hn.k IS NULL THEN 'removed'
+      |            WHEN ho.h <> hn.h THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  count(*) AS n
+      |FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q85_snapshot_diff" -> q85_snapshot_diff,
     "q83_mad" -> q83_mad,
     "q84_resample" -> q84_resample,
     "q82_weighted_sample" -> q82_weighted_sample,
@@ -719,6 +771,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q85_snapshot_diff" -> q85_sql,
     "q83_mad" -> q83_sql,
     "q84_resample" -> q84_sql,
     "q82_weighted_sample" -> q82_sql,
