@@ -739,7 +739,46 @@ object Extended {
       |FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
       |GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  // Column profiler: per-column (rows, nulls, distinct, min, max, avg)
+  // emitted as ROWS, computed in ONE pass — stack the columns into
+  // (name, value) pairs (an Expand, no extra scans) and aggregate by
+  // name. The generalized `describe` a data catalog runs per table.
+  val q86_profile: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col, val)"
+    Tables.load(s, dir, "lineitem")
+      .selectExpr(stackExpr)
+      .groupBy(col("col"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("nulls"),
+        countDistinct(col("val")).as("n_distinct"),
+        round(min(col("val")), 6).as("mn"),
+        round(max(col("val")), 6).as("mx"),
+        // mean via exact decimal sum: float avg is accumulation-order-
+        // sensitive in the 6th decimal between engines
+        round(sum(col("val").cast(DecimalType(25, 10))).cast("double")
+          / count(col("val")), 6).as("mean"))
+      .orderBy("col")
+  }
+
+  val q86_sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col, count(*) AS n,
+         |  count(*) - count($c) AS nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  round(min($c), 6) AS mn, round(max($c), 6) AS mx,
+         |  round(CAST(sum(CAST($c AS DECIMAL(25,10))) AS DOUBLE) / count($c), 6) AS mean
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$arms\nORDER BY col"
+  }
+
   val all: Map[String, Q] = Map(
+    "q86_profile" -> q86_profile,
     "q85_snapshot_diff" -> q85_snapshot_diff,
     "q83_mad" -> q83_mad,
     "q84_resample" -> q84_resample,
@@ -771,6 +810,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q86_profile" -> q86_sql,
     "q85_snapshot_diff" -> q85_sql,
     "q83_mad" -> q83_sql,
     "q84_resample" -> q84_sql,
