@@ -20,6 +20,16 @@ class SetOpsSpec extends SparkSpec {
     assert(math.abs(hll - exact) / exact < 0.2, s"hll=$hll exact=$exact")
   }
 
+  test("percentile_approx (the huge-scale quantile path) lands near exact") {
+    val r = li.agg(
+      expr("percentile(l_quantity, 0.5)").as("exact"),
+      expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx")).head()
+    val exact = r.getDouble(0)
+    val approx = r.getDouble(1)
+    assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.05),
+      s"approx=$approx exact=$exact")
+  }
+
   test("KMV estimate (q43) tracks exact distinct") {
     val row = queries.SetOps.q43_approx_distinct(spark, TestSpark.sf0001).head()
     val exact = row.getAs[Long]("exact_parts").toDouble
