@@ -777,7 +777,31 @@ object Extended {
     s"$arms\nORDER BY col"
   }
 
+  // ---------------------------------------------------------------- q87
+  // Per-label embedding centroids (the nearest-centroid / class-
+  // prototype building block): elementwise mean per label via
+  // posexplode + decimal-exact sums, emitted as (label, pos, m) rows.
+  // First 8 dimensions — the filter runs BEFORE the aggregate.
+  val q87_label_centroids: Q = (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(round(
+        sum(col("x").cast("double").cast(DecimalType(25, 10))).cast("double")
+          / count(lit(1)), 6).as("m"))
+      .orderBy("label", "pos")
+
+  val q87_sql: String =
+    """SELECT label, pos,
+      |  round(CAST(sum(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(25,10)))
+      |             AS DOUBLE) / count(*), 6) AS m
+      |FROM (SELECT label, embedding, UNNEST(generate_series(0, 7)) AS pos
+      |      FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q87_label_centroids" -> q87_label_centroids,
     "q86_profile" -> q86_profile,
     "q85_snapshot_diff" -> q85_snapshot_diff,
     "q83_mad" -> q83_mad,
@@ -810,6 +834,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q87_label_centroids" -> q87_sql,
     "q86_profile" -> q86_sql,
     "q85_snapshot_diff" -> q85_sql,
     "q83_mad" -> q83_sql,
