@@ -748,19 +748,24 @@ object Extended {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val stackExpr = s"stack(${cols.length}, " +
       cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col, val)"
+    // group by (col, val) FIRST: every statistic — including the exact
+    // distinct count and the decimal-exact mean — derives from the
+    // (value, multiplicity) pairs, so the plan is one stack Expand and
+    // one shuffle, with no countDistinct Expand on top.
     Tables.load(s, dir, "lineitem")
       .selectExpr(stackExpr)
+      .groupBy(col("col"), col("val")).agg(count(lit(1)).as("c"))
       .groupBy(col("col"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("val").isNull, 1L).otherwise(0L)).as("nulls"),
-        countDistinct(col("val")).as("n_distinct"),
+        sum(col("c")).as("n"),
+        coalesce(sum(when(col("val").isNull, col("c"))), lit(0L)).as("nulls"),
+        count(when(col("val").isNotNull, 1)).cast("long").as("n_distinct"),
         round(min(col("val")), 6).as("mn"),
         round(max(col("val")), 6).as("mx"),
         // mean via exact decimal sum: float avg is accumulation-order-
         // sensitive in the 6th decimal between engines
-        round(sum(col("val").cast(DecimalType(25, 10))).cast("double")
-          / count(col("val")), 6).as("mean"))
+        round(sum(col("val").cast(DecimalType(25, 10)) * col("c")).cast("double")
+          / sum(when(col("val").isNotNull, col("c"))), 6).as("mean"))
       .orderBy("col")
   }
 
