@@ -98,6 +98,40 @@ class OperatorsSpec extends SparkSpec {
     assert(dim.join(kept, Seq("c_custkey"), "left_anti").count() === 0)
   }
 
+  test("withRunningTotal: exact global prefix sum; empty input survives") {
+    import spark.implicits._
+    val df = spark.range(1000).select(col("id"), (col("id") % 7 + 1).as("w"))
+    val got = Operators.withRunningTotal(df, col("w"), Seq(col("id")))
+      .orderBy("id").select("id", "__run")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    got.foreach { case (id, run) =>
+      acc += id % 7 + 1
+      assert(run === acc, s"at id=$id")
+    }
+    val empty = Operators.withRunningTotal(
+      df.filter(col("id") < 0), col("w"), Seq(col("id")))
+    assert(empty.count() === 0)
+  }
+
+  test("weightedSystematicSample: expected size, heavy rows favored") {
+    import spark.implicits._
+    // weights 1 and 100: total = 500*1 + 500*100 = 50500; step 500 → ~101 rows
+    val df = spark.range(1000)
+      .select(col("id"), when(col("id") >= 500, 100L).otherwise(1L).as("w"))
+    val picked = operators.Sampling
+      .weightedSystematicSample(df, col("w"), Seq(col("id")), 500.0)
+    val n = picked.count()
+    assert(n >= 95 && n <= 107, s"n=$n")
+    // heavy rows (id >= 500) should dominate the sample
+    val heavy = picked.filter(col("id") >= 500).count()
+    assert(heavy.toDouble / n > 0.9)
+    // deterministic across runs
+    assert(picked.select("id").collect().toSeq ===
+      operators.Sampling.weightedSystematicSample(df, col("w"), Seq(col("id")), 500.0)
+        .select("id").collect().toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")
