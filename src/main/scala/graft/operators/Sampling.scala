@@ -37,8 +37,9 @@ object Sampling {
     * missing from the map keep `defaultFraction`. */
   def stratifiedSample(df: DataFrame, keyCols: Seq[String], strataCol: Column,
                        fractions: Map[String, Double], defaultFraction: Double = 1.0,
-                       seed: Long = 42L): DataFrame = {
-    val bucket = pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(Buckets))
+                       seed: Long = 42L,
+                       bucketOf: (Seq[String], Long) => Column = keyBucket): DataFrame = {
+    val bucket = bucketOf(keyCols, seed)
     val threshold = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
       case (acc, (stratum, frac)) =>
         when(strataCol === stratum, lit((frac * Buckets).toLong)).otherwise(acc)

@@ -279,6 +279,42 @@ object TextSim {
        |SELECT id, l AS component FROM l8 ORDER BY id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q88
+  // Stratified deterministic sampling by language (downsample the
+  // dominant stratum, keep the rest): per-stratum keep-thresholds over
+  // the md5 key bucket — the "downsample boilerplate languages" knob of
+  // corpus construction, hash-checked per row.
+  val q88_stratified_sample: Q = (s, dir) =>
+    graft.operators.Sampling.stratifiedSample(
+      Tables.load(s, dir, "documents"), Seq("doc_id"), col("lang"),
+      fractions = Map("en" -> 0.3), defaultFraction = 1.0,
+      bucketOf = graft.operators.Sampling.md5KeyBucket)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val q88_sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 8) AS BIGINT)
+      |      % 1000000 < CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  // Classifier evaluation: language-ID confusion counts against the
+  // ground-truth lang column (the accuracy/error matrix).
+  val q89_langid_eval: Q = (s, dir) =>
+    TextAnalysis.withLangId(Tables.load(s, dir, "documents"), col("text"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  // lazy: q34_sql is declared further down the file; a strict val here
+  // would capture null during object initialization
+  lazy val q89_sql: String =
+    s"""WITH pred AS ($q34_sql)
+       |SELECT d.lang, pred.pred_lang, count(*) AS n
+       |FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
   // ------------------------------------------------- no-oracle queries
   // (not ANSI-SQL-expressible → driver rows-only check; exactness is
   //  covered by ScalaTest: LSH candidates ⊇ exact high-similarity pairs.)
@@ -537,6 +573,8 @@ object TextSim {
   }
 
   val all: Map[String, Q] = Map(
+    "q88_stratified_sample" -> q88_stratified_sample,
+    "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
     "q78_ann_ivf_checked" -> q78_ann_ivf_checked,
     "q76_repetition" -> q76_repetition,
@@ -556,6 +594,8 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q88_stratified_sample" -> q88_sql,
+    "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,
     "q78_ann_ivf_checked" -> q78_sql,
     "q76_repetition" -> q76_sql,
