@@ -805,7 +805,48 @@ object Extended {
       |      FROM embeddings)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  // IQR outlier census (SURVEY A9): per feature, the 1.5·IQR fences
+  // and how many rows fall outside — one stacked pass, exact
+  // interpolated quartiles, fences applied in a second tiny aggregate.
+  val q90_outlier_census: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col, val)"
+    val stacked = Tables.load(s, dir, "lineitem").selectExpr(stackExpr)
+    val fences = stacked.groupBy(col("col")).agg(
+      expr("percentile(val, 0.25)").as("q1"),
+      expr("percentile(val, 0.75)").as("q3"))
+      .select(col("col"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    stacked.join(broadcast(fences), "col")
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("q1")), 6).as("q1"),
+        round(min(col("q3")), 6).as("q3"),
+        sum(when(col("val") < col("lo") || col("val") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("col")
+  }
+
+  val q90_sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS col, count(*) AS n,
+         |  round(min(f.q1), 6) AS q1,
+         |  round(min(f.q3), 6) AS q3,
+         |  count(*) FILTER (WHERE $c < f.lo OR $c > f.hi) AS n_outliers
+         |FROM lineitem CROSS JOIN (
+         |  SELECT q1, q3, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+         |  FROM (SELECT quantile_cont($c, 0.25) AS q1,
+         |               quantile_cont($c, 0.75) AS q3 FROM lineitem)) f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$arms\nORDER BY col"
+  }
+
   val all: Map[String, Q] = Map(
+    "q90_outlier_census" -> q90_outlier_census,
     "q87_label_centroids" -> q87_label_centroids,
     "q86_profile" -> q86_profile,
     "q85_snapshot_diff" -> q85_snapshot_diff,
@@ -839,6 +880,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q90_outlier_census" -> q90_sql,
     "q87_label_centroids" -> q87_sql,
     "q86_profile" -> q86_sql,
     "q85_snapshot_diff" -> q85_sql,
