@@ -807,25 +807,54 @@ object Extended {
 
   // ---------------------------------------------------------------- q90
   // IQR outlier census (SURVEY A9): per feature, the 1.5·IQR fences
-  // and how many rows fall outside — one stacked pass, exact
-  // interpolated quartiles, fences applied in a second tiny aggregate.
+  // and how many rows fall outside. Exact interpolated quartiles via
+  // VALUE COMPRESSION: Spark's `percentile` buffers every raw value
+  // (6-7 s here); instead one stacked pass builds (col, value, count),
+  // quartiles come from cumulative counts over the distinct values
+  // (order statistics on compressed data — the 100 TB shape), and the
+  // outlier counts read the same compressed frame. One scan total.
   val q90_outlier_census: Q = (s, dir) => {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val stackExpr = s"stack(${cols.length}, " +
-      cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col, val)"
-    val stacked = Tables.load(s, dir, "lineitem").selectExpr(stackExpr)
-    val fences = stacked.groupBy(col("col")).agg(
-      expr("percentile(val, 0.25)").as("q1"),
-      expr("percentile(val, 0.75)").as("q3"))
-      .select(col("col"), col("q1"), col("q3"),
-        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
-        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
-    stacked.join(broadcast(fences), "col")
+      cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") + ") AS (col, val)"
+    // materialized once: both the fence computation and the outlier
+    // count read this compressed frame, and the two join branches would
+    // otherwise each re-run the stack scan
+    val grouped = Tables.load(s, dir, "lineitem")
+      .selectExpr(stackExpr)
+      .groupBy(col("col"), col("val")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col")).orderBy(col("val"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("col"))
+    // inclusive/exclusive cumulative counts locate the 1-based rank
+    // positions floor(h)/ceil(h) for h = p(n−1)+1 inside value runs
+    val ranked = grouped
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def h(p: Double) = lit(p) * (col("n") - 1) + 1
+    def pick(pos: org.apache.spark.sql.Column) =
+      max(when(col("prev") < pos && pos <= col("cum"), col("val")))
+    val fences = ranked.groupBy(col("col"))
+      .agg(min(col("n")).as("n"),
+        pick(floor(h(0.25))).as("v1lo"), pick(ceil(h(0.25))).as("v1hi"),
+        pick(floor(h(0.75))).as("v3lo"), pick(ceil(h(0.75))).as("v3hi"))
+      .select(col("col"), col("n"),
+        (col("v1lo") + (col("v1hi") - col("v1lo")) *
+          (lit(0.25) * (col("n") - 1) + 1 - floor(lit(0.25) * (col("n") - 1) + 1)))
+          .as("q1"),
+        (col("v3lo") + (col("v3hi") - col("v3lo")) *
+          (lit(0.75) * (col("n") - 1) + 1 - floor(lit(0.75) * (col("n") - 1) + 1)))
+          .as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    grouped.join(broadcast(fences), "col")
       .groupBy(col("col"))
-      .agg(count(lit(1)).as("n"),
+      .agg(min(col("n")).as("n"),
         round(min(col("q1")), 6).as("q1"),
         round(min(col("q3")), 6).as("q3"),
-        sum(when(col("val") < col("lo") || col("val") > col("hi"), 1L)
+        sum(when(col("val") < col("lo") || col("val") > col("hi"), col("c"))
           .otherwise(0L)).as("n_outliers"))
       .orderBy("col")
   }
