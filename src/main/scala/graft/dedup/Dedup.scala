@@ -259,6 +259,19 @@ object Dedup {
     labels.select(col("id"), col("l").as("component"))
   }
 
+  /** Near-dup canonicalization: drop every document that belongs to a
+    * duplicate component but is not its min-id label — the selection
+    * step [[graft.pipeline.CorpusPipeline]] runs after clustering,
+    * exposed as a named operator. */
+  def keepCanonical(docs: DataFrame, id: Column, pairs: DataFrame,
+                    iters: Int = 8): DataFrame = {
+    val components = connectedComponents(pairs, iters)
+      .withColumnsRenamed(Map("id" -> "__cid"))
+    docs.join(components, id === col("__cid"), "left")
+      .filter(col("component").isNull || id === col("component"))
+      .drop("__cid", "component")
+  }
+
   // ------------------------------------------- token-jaccard sim-join
 
   /** Exact all-pairs token Jaccard ≥ threshold via inverted-index

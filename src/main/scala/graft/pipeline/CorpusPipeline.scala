@@ -61,12 +61,7 @@ object CorpusPipeline {
     // 3. near-dup clustering: LSH pairs → components → keep the
     //    component label (min id); docs outside any component survive
     val pairs = Dedup.minhashNearDups(exact, id, text, cfg.nearDupThreshold)
-    val components = Dedup.connectedComponents(pairs)
-    val nearDeduped = exact
-      .join(components.withColumnsRenamed(Map("id" -> "__cid")),
-        id === col("__cid"), "left")
-      .filter(col("component").isNull || id === col("component"))
-      .drop("__cid", "component")
+    val nearDeduped = Dedup.keepCanonical(exact, id, pairs)
     counts += ("near_dedup" -> nearDeduped.count())
 
     // 4. deterministic key-hash sample

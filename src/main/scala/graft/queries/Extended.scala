@@ -874,7 +874,27 @@ object Extended {
     s"$arms\nORDER BY col"
   }
 
+  // ---------------------------------------------------------------- q91
+  // RIGHT OUTER join (the remaining join type in the matrix: inner q05,
+  // left q54, full q55, semi q06, anti q07, cross q62/q30): order
+  // aggregates RIGHT-joined to every customer.
+  val q91_right_join: Q = (s, dir) => {
+    val oAgg = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    oAgg.join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val q91_sql: String =
+    """SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+      |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q91_right_join" -> q91_right_join,
     "q90_outlier_census" -> q90_outlier_census,
     "q87_label_centroids" -> q87_label_centroids,
     "q86_profile" -> q86_profile,
@@ -909,6 +929,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q91_right_join" -> q91_sql,
     "q90_outlier_census" -> q90_sql,
     "q87_label_centroids" -> q87_sql,
     "q86_profile" -> q86_sql,

@@ -108,6 +108,15 @@ class DedupSpec extends SparkSpec {
     assert(n === toks - 2)
   }
 
+  test("keepCanonical: one survivor per duplicate component, others untouched") {
+    import spark.implicits._
+    val docsDf = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docsDf, col("id"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 99L))
+  }
+
   test("connectedComponents: chain, clique and isolated pair get min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4, clique 10-11-12, pair 20-21
