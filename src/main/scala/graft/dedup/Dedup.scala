@@ -26,6 +26,8 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ------------------------------------------------------------ exact
 
   /** Groups of byte-identical documents (by normalized-content hash).
@@ -197,19 +199,51 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash")
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
-    * keys (any match → candidate; catches all pairs within Hamming
-    * distance 3), then verify Hamming ≤ maxHamming via bit_count(xor). */
+  /** SimHash near-dup pairs: band the 64-bit signature into
+    * `64/bitsPerBand` keys (any band match → candidate; with b bands a
+    * pair within Hamming distance b−1 is guaranteed caught), then verify
+    * Hamming ≤ maxHamming via bit_count(xor).
+    *
+    * Candidate volume inside one bucket is quadratic in bucket
+    * occupancy (~n²/2^bitsPerBand expected for uniform signatures) —
+    * two scale controls:
+    *  - `bitsPerBand`: widen the key (e.g. 21 bits × 3 bands) to shrink
+    *    expected occupancy 32× per extra 5 bits, trading recall
+    *    guarantee (b bands only guarantee Hamming ≤ b−1);
+    *  - `maxBucketSize`: hard cap — buckets with more members than the
+    *    cap are DROPPED from candidate generation (a bucket that hot is
+    *    boilerplate/template text better handled by exact dedup first),
+    *    and the dropped bucket count is logged so the coverage loss is
+    *    visible, never silent. */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3,
-                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+                      tokenHasher: Column => Column = xxhash64(_),
+                      bitsPerBand: Int = 16,
+                      maxBucketSize: Option[Long] = None): DataFrame = {
+    require(64 % bitsPerBand == 0, s"bitsPerBand must divide 64, got $bitsPerBand")
+    val bands = 64 / bitsPerBand
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val sigs = df.select(id.as("id"), simhash64(text, tokenHasher).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
+    val bandedAll = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))
+          shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bh"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val banded = maxBucketSize match {
+      case None => bandedAll
+      case Some(cap) =>
+        val occ = bandedAll.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__occ"))
+        val hot = occ.filter(col("__occ") > cap)
+        val nHot = hot.count()
+        if (nHot > 0) log.warn(
+          s"simhashNearDups: dropping $nHot buckets over occupancy cap $cap " +
+            s"(bitsPerBand=$bitsPerBand); pairs only co-located there are lost")
+        bandedAll.join(
+          hot.select(col("band").as("__hb"), col("bh").as("__hh")),
+          col("band") === col("__hb") && col("bh") === col("__hh"), "left_anti")
+    }
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -234,27 +268,30 @@ object Dedup {
     * unrolled CTEs; `iters` bounds the component diameter it can
     * resolve (near-dup clusters are near-cliques — diameter 2-3).
     * Returns (id, component). */
-  def connectedComponents(edges: DataFrame, iters: Int = 8): DataFrame = {
-    // eager localCheckpoints are load-bearing: labels feeds TWICE into
-    // each next level, so without lineage truncation the logical plan
+  def connectedComponents(edges: DataFrame, iters: Int = 8,
+                          checkpointer: DataFrame => DataFrame =
+                            _.localCheckpoint(true)): DataFrame = {
+    // eager checkpoints are load-bearing: labels feeds TWICE into each
+    // next level, so without lineage truncation the logical plan
     // doubles per iteration (2^iters copies of the edge pipeline — the
-    // same blowup the SQL oracle avoids with MATERIALIZED CTEs). On a
-    // cluster this is `checkpoint()` to reliable storage.
-    val adj = edges.select(col("id_a").as("v"), col("id_b").as("u"))
-      .union(edges.select(col("id_b").as("v"), col("id_a").as("u")))
-      .localCheckpoint(true)
-    var labels = adj.select(col("v").as("id")).distinct()
-      .select(col("id"), col("id").as("l"))
-      .localCheckpoint(true)
+    // same blowup the SQL oracle avoids with MATERIALIZED CTEs). The
+    // default localCheckpoint(true) fits single-node runs; a cluster
+    // job passes `_.checkpoint()` (with a reliable checkpoint dir) so
+    // label state survives executor loss across rounds.
+    val adj = checkpointer(
+      edges.select(col("id_a").as("v"), col("id_b").as("u"))
+        .union(edges.select(col("id_b").as("v"), col("id_a").as("u"))))
+    var labels = checkpointer(
+      adj.select(col("v").as("id")).distinct()
+        .select(col("id"), col("id").as("l")))
     for (_ <- 1 to iters) {
       val neighborMin = adj
         .join(labels.withColumnsRenamed(Map("id" -> "__u", "l" -> "__lu")),
           col("u") === col("__u"))
         .groupBy(col("v")).agg(min(col("__lu")).as("__nmin"))
-      labels = labels
+      labels = checkpointer(labels
         .join(neighborMin, col("id") === col("v"), "left")
-        .select(col("id"), least(col("l"), coalesce(col("__nmin"), col("l"))).as("l"))
-        .localCheckpoint(true)
+        .select(col("id"), least(col("l"), coalesce(col("__nmin"), col("l"))).as("l")))
     }
     labels.select(col("id"), col("l").as("component"))
   }
@@ -281,24 +318,56 @@ object Dedup {
     * (drop tokens in >p% of docs) to bound the hottest posting lists;
     * the LSH path above is the preferred scale route. */
   def jaccardSimJoin(df: DataFrame, id: Column, text: Column,
-                     threshold: Double): DataFrame =
-    jaccardSimJoinOn(df, id, TextAnalysis.tokens(text), threshold)
+                     threshold: Double,
+                     maxDocFrequency: Double = 1.0): DataFrame =
+    jaccardSimJoinOn(df, id, TextAnalysis.tokens(text), threshold, maxDocFrequency)
 
   /** Same inverted-index sim-join over an arbitrary item array column
-    * (token sets, n-gram shingles, tags, …). */
+    * (token sets, n-gram shingles, tags, …).
+    *
+    * The per-doc size table joins back by PLAIN shuffle joins — it is
+    * O(n_docs) rows, and broadcasting it would OOM the driver and every
+    * executor at corpus scale. The pair table is the larger side anyway,
+    * so the shuffle is keyed correctly by doc id.
+    *
+    * `maxDocFrequency` < 1.0 enables the document-frequency cut: tokens
+    * appearing in more than that fraction of documents are dropped from
+    * the inverted index before the self-join. High-df tokens generate
+    * the hottest posting lists (a token in every doc produces n²/2
+    * candidate rows) while carrying almost no similarity signal. The
+    * cut makes the reported similarity a LOWER BOUND of true Jaccard:
+    * intersections lose the dropped tokens (pairs overlapping ONLY on
+    * them disappear entirely) while set-size denominators keep the
+    * full sets — the standard stop-token prefix-filter trade. The
+    * dropped-token count is logged (one small stats job over the token
+    * index). */
   def jaccardSimJoinOn(df: DataFrame, id: Column, items: Column,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       maxDocFrequency: Double = 1.0): DataFrame = {
     val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
     val sizes = toks.select(col("id"), size(col("toks")).as("sz"))
-    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val invAll = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val inv =
+      if (maxDocFrequency >= 1.0) invAll
+      else {
+        val nDocs = df.count()
+        val cut = math.max(1L, (maxDocFrequency * nDocs).toLong)
+        val hot = invAll.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cut)
+        val nHot = hot.count()
+        log.info(s"jaccardSimJoinOn df-cut: dropping $nHot tokens with " +
+          s"doc-frequency > $cut of $nDocs docs (maxDocFrequency=$maxDocFrequency)")
+        invAll.join(hot.select(col("tok").as("__hot")),
+          col("tok") === col("__hot"), "left_anti")
+      }
     val pairs = inv.alias("a")
       .join(inv.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(broadcast(sizes).withColumnsRenamed(Map("id" -> "__ia", "sz" -> "sz_a")),
+      .join(sizes.withColumnsRenamed(Map("id" -> "__ia", "sz" -> "sz_a")),
         col("id_a") === col("__ia"))
-      .join(broadcast(sizes).withColumnsRenamed(Map("id" -> "__ib", "sz" -> "sz_b")),
+      .join(sizes.withColumnsRenamed(Map("id" -> "__ib", "sz" -> "sz_b")),
         col("id_b") === col("__ib"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))

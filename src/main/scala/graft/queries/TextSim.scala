@@ -19,8 +19,20 @@ object TextSim {
   type Q = (SparkSession, String) => DataFrame
 
   /** Cap the pairwise (O(n²)-candidate) demos at a fixed doc window so
-    * bench cost is scale-invariant; the LSH variants are the scale path. */
+    * bench cost is scale-invariant; the LSH variants are the scale path.
+    * q92 runs the banding UNCAPPED so full-cardinality LSH stays
+    * oracle-checked. The cap is logged on every use — never silent. */
   private val PairDocCap = 500
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The capped document window for the pair demos — logs the cap so a
+    * truncated corpus is visible in the run log. */
+  private def cappedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    log.info(s"pair-demo query capped at doc_id < $PairDocCap " +
+      "(scale-invariant bench window; q92 exercises uncapped banding)")
+    Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap)
+  }
 
   // ---------------------------------------------------------------- q25
   // Token counting + length stats per document (both tokenizers).
@@ -89,7 +101,7 @@ object TextSim {
   // Exact token-set Jaccard similarity join (inverted-index self-join).
   val q28_jaccard_pairs: Q = (s, dir) =>
     Dedup.jaccardSimJoin(
-      Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+      cappedDocs(s, dir),
       col("doc_id"), col("text"), 0.95)
       .orderBy("id_a", "id_b")
 
@@ -172,13 +184,15 @@ object TextSim {
   // xxhash64 production path is covered by DedupSpec equivalence tests.
   val q32_minhash_neardups: Q = (s, dir) =>
     Dedup.minhashNearDups(
-      Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+      cappedDocs(s, dir),
       col("doc_id"), col("text"), threshold = 0.8,
       shingleHasher = Dedup.shingleHashes32Md5)
       .orderBy("id_a", "id_b")
 
-  /** Generated from the same mixConstants as the Spark plan. */
-  val q32_sql: String = {
+  /** Shared minhash-LSH candidate CTE chain (docs → shingle hashes →
+    * signatures → band keys → candidate pairs), generated from the same
+    * mixConstants as the Spark plan. `docFilter` scopes the corpus. */
+  private def minhashCandCtes(docFilter: String): String = {
     val mixes = Dedup.mixConstants(64, 42L)
     val sentinel = Seq.fill(64)("CAST(4294967295 AS BIGINT)").mkString(", ")
     val slots = mixes.map { case (a, b) =>
@@ -188,7 +202,7 @@ object TextSim {
       s"SELECT doc_id, $b AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"sig[${b * 4 + 1}:${b * 4 + 4}]), (acc, v) -> acc*31 + v) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $PairDocCap),
+    s"""d AS (SELECT doc_id, text FROM documents $docFilter),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d),
        |h AS (SELECT doc_id, list_transform(
        |        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
@@ -199,7 +213,11 @@ object TextSim {
        |bk AS ($bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bk a JOIN bk b
-       |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val q32_sql: String = {
+    s"""WITH ${minhashCandCtes(s"WHERE doc_id < $PairDocCap")},
        |w AS (SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |      FROM d),
        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
@@ -220,7 +238,7 @@ object TextSim {
   // engines: every vote is −1 there, and votes must be > 0 to set a bit).
   val q33_simhash_neardups: Q = (s, dir) =>
     Dedup.simhashNearDups(
-      Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+      cappedDocs(s, dir),
       col("doc_id"), col("text"), maxHamming = 3,
       tokenHasher = Dedup.md5Hash60)
       .orderBy("id_a", "id_b")
@@ -254,7 +272,7 @@ object TextSim {
   val q81_dedup_components: Q = (s, dir) =>
     Dedup.connectedComponents(
       Dedup.minhashNearDups(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap),
+        cappedDocs(s, dir),
         col("doc_id"), col("text"), threshold = 0.8,
         shingleHasher = Dedup.shingleHashes32Md5),
       iters = 8)
@@ -278,6 +296,94 @@ object TextSim {
        |$steps
        |SELECT id, l AS component FROM l8 ORDER BY id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q93
+  // Exact n-gram Jaccard sim-join WITH the document-frequency cut — the
+  // 100 TB posting-list guard hash-checked cross-engine. Shingle level
+  // (the q53 shape): the synthetic corpus has only ~31 distinct TOKENS
+  // (every token is in >5% of docs, so a token-level cut empties the
+  // index), while 3-gram shingles have a long-tailed df — cutting
+  // shingles seen in >0.6% of docs (df > 3 of 500) visibly prunes the
+  // boilerplate-linked pairs (25 → 21 at sf0.01) and the survivors'
+  // lower-bound similarity still clears the threshold.
+  val q93_jaccard_dfcut: Q = (s, dir) =>
+    Dedup.jaccardSimJoinOn(cappedDocs(s, dir), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = 0.5, maxDocFrequency = 0.006)
+      .orderBy("id_a", "id_b")
+
+  val q93_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents WHERE doc_id < $PairDocCap),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |dfreq AS (SELECT tok, count(*) AS df FROM w GROUP BY tok),
+       |cut AS (SELECT greatest(1, CAST(floor(0.006 * count(*)) AS BIGINT)) AS c FROM d),
+       |wcut AS (SELECT w.doc_id, w.tok FROM w JOIN dfreq USING (tok), cut
+       |         WHERE dfreq.df <= cut.c),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM wcut a JOIN wcut b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  // SimHash near-dups WITH the hot-bucket occupancy cap — the skew
+  // guard hash-checked cross-engine: buckets holding more than `cap`
+  // docs are excluded from candidate generation.
+  private val SimhashBucketCap = 20L
+  val q94_simhash_capped: Q = (s, dir) =>
+    Dedup.simhashNearDups(cappedDocs(s, dir), col("doc_id"), col("text"),
+      maxHamming = 3, tokenHasher = Dedup.md5Hash60,
+      maxBucketSize = Some(SimhashBucketCap))
+      .orderBy("id_a", "id_b")
+
+  val q94_sql: String = {
+    val bits = (0 until 60).map { i =>
+      s"(CASE WHEN 2*len(list_filter(hs, x -> ((x >> $i) & 1) = 1)) > len(hs) " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 16}) & 65535 AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $PairDocCap),
+       |h AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs FROM d),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM h),
+       |bkall AS ($bandRows),
+       |occ AS (SELECT band, bh, count(*) AS occ FROM bkall GROUP BY band, bh),
+       |bk AS (SELECT bkall.* FROM bkall JOIN occ USING (band, bh)
+       |       WHERE occ.occ <= $SimhashBucketCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |         FROM bk a JOIN bk b
+       |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q92
+  // UNCAPPED MinHash-LSH banding, candidates only: the full-corpus
+  // counterpart of q32 — no PairDocCap, no all-pairs verify stage —
+  // so the banding path itself (signatures → band keys → equi-join) is
+  // hash-checked at the full cardinality of every SF the driver runs.
+  val q92_minhash_bands_full: Q = (s, dir) =>
+    Dedup.minhashCandidates(
+      Tables.load(s, dir, "documents"),
+      col("doc_id"), col("text"),
+      shingleHasher = Dedup.shingleHashes32Md5)
+      .orderBy("id_a", "id_b")
+
+  val q92_sql: String =
+    s"""WITH ${minhashCandCtes("")}
+       |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q88
   // Stratified deterministic sampling by language (downsample the
@@ -412,6 +518,10 @@ object TextSim {
        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // INTENTIONALLY rows-only (the one unchecked query of the inventory):
+  // float accumulation + xxhash64 make the trained centroids depend on
+  // shuffle-merge order, so no ANSI oracle can replay them; q78 is the
+  // hash-checked integer-micro-unit twin of this exact pipeline.
   val q48_ann_ivf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
     val idx = graft.similarity.Ivf.train(e, nlist = 8, iters = 3)
@@ -573,6 +683,9 @@ object TextSim {
   }
 
   val all: Map[String, Q] = Map(
+    "q93_jaccard_dfcut" -> q93_jaccard_dfcut,
+    "q94_simhash_capped" -> q94_simhash_capped,
+    "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -594,6 +707,9 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q93_jaccard_dfcut" -> q93_sql,
+    "q94_simhash_capped" -> q94_sql,
+    "q92_minhash_bands_full" -> q92_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

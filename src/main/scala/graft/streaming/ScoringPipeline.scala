@@ -63,4 +63,21 @@ object ScoringPipeline {
     val scored = score(parseWire(batch, col("value")), model)
     upsertBatch(scored, tablePath)
   }
+
+  /** The reference-shaped foreachBatch body: wire → parse → score →
+    * idempotent JDBC upsert (`consumer.py:206-220` consumes, scores and
+    * ON-CONFLICT-upserts each message; here a micro-batch replaces the
+    * per-message loop). Dialect selects the upsert statement strategy —
+    * integration tests run [[UpsertSink.Dialect.UpdateInsert]] against
+    * embedded Derby; a Postgres deployment uses the default ON CONFLICT.
+    */
+  def processBatchJdbc(model: Ols.Model, url: String, table: String,
+                       keyCols: Seq[String],
+                       dialect: UpsertSink.Dialect = UpsertSink.Dialect.OnConflict,
+                       numConnections: Int = 1)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val scored = score(parseWire(batch, col("value")), model)
+    UpsertSink.JdbcUpsert.upsertBatch(scored, url, table, keyCols,
+      numConnections = numConnections, dialect = dialect)
+  }
 }

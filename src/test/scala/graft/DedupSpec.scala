@@ -127,4 +127,86 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("jaccardSimJoin never broadcasts the per-doc size table") {
+    // the r2 verdict's scale bug: broadcast(sizes) is O(n_docs) per
+    // executor. Pin the fix at the plan level — no broadcast hint may
+    // survive in the optimized plan (AQE may still choose broadcast for
+    // a genuinely tiny side at runtime; the HINT was the bug).
+    val plan = Dedup.jaccardSimJoin(docs, col("doc_id"), col("text"), 0.5)
+      .queryExecution.optimizedPlan
+    val hints = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected broadcast hint in:\n$plan")
+  }
+
+  test("df-cut drops only high-frequency tokens and keeps exact jaccard for survivors") {
+    import spark.implicits._
+    // 6 docs sharing the token "common"; pairs (1,2) and (3,4) also
+    // share rare tokens. With maxDocFrequency=0.5 the token "common"
+    // (df=6/6) is cut, so pairs linked ONLY by it vanish while
+    // rare-token pairs keep their exact (full-set-size) jaccard.
+    val d = Seq(
+      (1L, "common rare1 rare2"), (2L, "common rare1 rare2"),
+      (3L, "common rare3 rare4"), (4L, "common rare3 rare4"),
+      (5L, "common alone1 alone2"), (6L, "common alone3 alone4")
+    ).toDF("doc_id", "text")
+    val uncut = Dedup.jaccardSimJoinOn(d, col("doc_id"),
+      TextAnalysis.tokens(col("text")), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every pair shares at least "common": 15 pairs at jaccard 1/5 = 0.2 —
+    // at threshold 0.3 only the twin pairs remain, but the CANDIDATES
+    // include all; cut the df and the "common"-only pairs never form
+    val cut = Dedup.jaccardSimJoinOn(d, col("doc_id"),
+      TextAnalysis.tokens(col("text")), threshold = 0.3, maxDocFrequency = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncut.keySet === Set((1L, 2L), (3L, 4L)))
+    assert(cut.keySet === Set((1L, 2L), (3L, 4L)))
+    // the cut makes jaccard a LOWER BOUND: intersection drops "common"
+    // (2 of 3 shared tokens remain) while sz_a+sz_b−inter GROWS →
+    // 2/(3+3−2) = 0.5 ≤ the true 1.0
+    assert(cut((1L, 2L)) === 0.5)
+    assert(uncut((1L, 2L)) === 1.0)
+    // lower threshold: uncut sees the common-only pairs, cut does not
+    val uncutLow = Dedup.jaccardSimJoinOn(d, col("doc_id"),
+      TextAnalysis.tokens(col("text")), threshold = 0.1)
+      .collect().length
+    val cutLow = Dedup.jaccardSimJoinOn(d, col("doc_id"),
+      TextAnalysis.tokens(col("text")), threshold = 0.1, maxDocFrequency = 0.5)
+      .collect().length
+    assert(uncutLow === 15) // all C(6,2) pairs share "common"
+    assert(cutLow === 2)    // only the rare-token twins generate candidates
+  }
+
+  test("simhash bitsPerBand widens keys; hot-bucket cap bounds candidates with logged drops") {
+    import spark.implicits._
+    // skewed corpus: 40 boilerplate docs whose signatures collide (the
+    // shared tokens out-vote the unique suffix on every bit → identical
+    // simhash → one hot bucket) plus one identical-content pair of
+    // distinct text (hamming 0 — caught at ANY band width, so the
+    // assertions below are deterministic)
+    val boiler = (0 until 40).map(i => (i.toLong, "term apply begin " * 5 + s"x$i"))
+    val pairDocs = Seq(
+      (100L, "completely different content about spark query engines at scale"),
+      (101L, "completely different content about spark query engines at scale"))
+    val d = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDups(d, col("doc_id"), col("text"),
+      maxHamming = 8).collect()
+    // the boilerplate docs dominate: O(40²/2) candidate pairs verified
+    assert(uncapped.count(r => r.getLong(0) < 100L) > 100)
+    val capped = Dedup.simhashNearDups(d, col("doc_id"), col("text"),
+      maxHamming = 8, maxBucketSize = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot buckets (the 40 boilerplate docs co-located in every band) are
+    // dropped; the genuine pair lives in a small bucket and survives
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists { case (a, b) => a < 100L && b < 100L })
+    // wider band keys (32 bits × 2 bands) must still catch the true pair
+    // within its hamming guarantee when signatures are band-equal
+    val wide = Dedup.simhashNearDups(d, col("doc_id"), col("text"),
+      maxHamming = 8, bitsPerBand = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((100L, 101L)))
+  }
 }
