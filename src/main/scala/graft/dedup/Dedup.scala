@@ -236,10 +236,14 @@ object Dedup {
         val occ = bandedAll.groupBy(col("band"), col("bh"))
           .agg(count(lit(1)).as("__occ"))
         val hot = occ.filter(col("__occ") > cap)
-        val nHot = hot.count()
-        if (nHot > 0) log.warn(
-          s"simhashNearDups: dropping $nHot buckets over occupancy cap $cap " +
-            s"(bitsPerBand=$bitsPerBand); pairs only co-located there are lost")
+        // counting dropped buckets is an extra job — run it only when
+        // INFO logging is on; the cap (anti-join) is always applied
+        if (log.isInfoEnabled) {
+          val nHot = hot.count()
+          if (nHot > 0) log.info(
+            s"simhashNearDups: dropping $nHot buckets over occupancy cap $cap " +
+              s"(bitsPerBand=$bitsPerBand); pairs only co-located there are lost")
+        }
         bandedAll.join(
           hot.select(col("band").as("__hb"), col("bh").as("__hh")),
           col("band") === col("__hb") && col("bh") === col("__hh"), "left_anti")
@@ -354,9 +358,13 @@ object Dedup {
         val cut = math.max(1L, (maxDocFrequency * nDocs).toLong)
         val hot = invAll.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cut)
-        val nHot = hot.count()
-        log.info(s"jaccardSimJoinOn df-cut: dropping $nHot tokens with " +
-          s"doc-frequency > $cut of $nDocs docs (maxDocFrequency=$maxDocFrequency)")
+        // the drop COUNT is an extra job run only when INFO logging is
+        // on — the cut itself (anti-join below) is always lazy/fused
+        if (log.isInfoEnabled) {
+          val nHot = hot.count()
+          log.info(s"jaccardSimJoinOn df-cut: dropping $nHot tokens with " +
+            s"doc-frequency > $cut of $nDocs docs (maxDocFrequency=$maxDocFrequency)")
+        }
         invAll.join(hot.select(col("tok").as("__hot")),
           col("tok") === col("__hot"), "left_anti")
       }

@@ -65,6 +65,59 @@ class FileKafkaSpec extends SparkSpec {
     }
   }
 
+  test("two independent consumers over one topic (consumer-group semantics): upsert + running stats") {
+    // the reference consumer feeds TWO sinks: the keyed warehouse
+    // upsert and the per-country running stats (consumer.py:217,249).
+    // Here each runs as its own streaming query with its own checkpoint
+    // — Kafka consumer-group semantics: independent offsets over the
+    // same log, neither consumer perturbs the other.
+    val unified = Clean.dropNulls(
+      Normalize.loadUnified(spark, TestSpark.refData), Normalize.Canonical)
+    val flagged = Ols.withSplitFlags(unified, Seq("Country", "Year"))
+      .withColumn("y_true", col("Happiness Score"))
+    val model = Ols.fit(flagged.filter(col("is_train") === 1),
+      Normalize.Features, Normalize.Target)
+
+    val topic = newTopic()
+    val dir = Files.createTempDirectory("graft_fk_dual")
+    val table = s"$dir/predictions"
+    FileKafka.produce(ScoringPipeline.toWire(flagged), topic, numPartitions = 2)
+
+    import graft.streaming.Welford
+    val qA = FileKafka.readStream(spark, topic)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ScoringPipeline.processBatch(model, table)(
+          batch.withColumn("value", col("value").cast("string")), id)
+      }
+      .option("checkpointLocation", s"$dir/ckptA")
+      .start()
+    val statsIn = ScoringPipeline.score(
+        ScoringPipeline.parseWire(
+          FileKafka.readStream(spark, topic), col("value").cast("string")), model)
+      .select(col("Country").as("key"), col("y_true").as("y"),
+        col("y_pred").as("yPred"))
+      .as[Welford.In]
+    val qB = graft.streaming.CountryStatsStream.runningStats(statsIn)
+      .writeStream.format("memory").queryName("fk_stats").outputMode("update")
+      .option("checkpointLocation", s"$dir/ckptB")
+      .start()
+    try {
+      qA.processAllAvailable()
+      qB.processAllAvailable()
+      assert(spark.read.parquet(table).count() === 781)
+      val gotN = spark.table("fk_stats")
+        .groupBy("key").agg(max("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expectedN = flagged.groupBy("Country").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotN === expectedN) // every record reached the stats consumer once
+    } finally {
+      qA.stop(); qB.stop()
+      spark.sql("DROP TABLE IF EXISTS fk_stats")
+    }
+  }
+
   test("reference topology through the connector: wire → topic → score → upsert, replay-safe") {
     // producer.py: rows → JSON wire → topic; consumer.py: earliest
     // consume → score → keyed upsert. Duplicate delivery (the replay

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout scale mechanisms (SURVEY §4 / the 100 TB design
+  * toolkit): bucketing for shuffle-free co-located joins and partition
+  * pruning for scan elimination. These are the layout decisions a
+  * 1000-executor deployment makes BEFORE any query runs — pinned here
+  * at test scale by asserting on the executed plans, not just results.
+  */
+class StorageLayoutSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // both sides bucketed by the join key into the SAME bucket count:
+    // at 100 TB this is the difference between a full 2-sided shuffle
+    // of the fact table per join and none at all
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // the join itself must read bucketed scans directly — the ONLY
+      // acceptable exchange would be none at all (bucketed on the key)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"left side re-shuffled despite bucketing:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"right side re-shuffled despite bucketing:\n$plan")
+      // bucketed scans advertise their bucket count
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("partition pruning: a filtered scan reads only the matching directory") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events_by_type"
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_type", "user_id", "value")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group pruning) — at 100 TB that's the
+    // difference between listing one partition and scanning the table
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter in scan:\n$scan")
+    val expected = ev.filter(col("event_type") === "click").count()
+    assert(q.collect().head.getLong(0) === expected)
+  }
+
+  test("dynamic partition pruning: dimension filter prunes the fact scan at runtime") {
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/li_by_rf"
+    Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dimension carrying the selective predicate — joined on the
+    // PARTITION column, so DPP can turn the dim filter into a runtime
+    // IN-subquery partition filter on the fact scan
+    val dim = spark.createDataFrame(Seq(("A", "keep"), ("N", "drop"), ("R", "drop")))
+      .toDF("rf", "label")
+    val q = fact.join(dim.filter(col("label") === "keep"),
+      fact("l_returnflag") === dim("rf"))
+      .agg(sum("l_quantity").as("s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+}
