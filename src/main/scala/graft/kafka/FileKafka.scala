@@ -78,11 +78,18 @@ object FileKafka {
 
   private[kafka] def listPartitions(dir: Path): Seq[Int] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("partition-") && s.endsWith(".log") =>
-        s.stripPrefix("partition-").stripSuffix(".log").toInt }
-      .toSeq.sorted
+    else {
+      // Files.list holds a directory handle until closed; this runs once
+      // per micro-batch trigger (latestOffset -> endOffsets), so an
+      // unclosed stream leaks an fd per trigger on a long-running query.
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("partition-") && n.endsWith(".log") =>
+          n.stripPrefix("partition-").stripSuffix(".log").toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
 
   private[kafka] def lineCount(f: Path): Long =
     if (!Files.exists(f)) 0L
@@ -286,6 +293,9 @@ class FileKafkaWriterFactory(path: String, inputSchema: StructType,
     val valueIsString = inputSchema(valueIdx).dataType == StringType
     val keyIdx = if (inputSchema.fieldNames.contains("key"))
       inputSchema.fieldIndex("key") else -1
+    // ACCEPT_ANY_SCHEMA admits string OR binary for both columns — the
+    // real Kafka writer casts either; mirror that for key, not just value.
+    val keyIsString = keyIdx >= 0 && inputSchema(keyIdx).dataType == StringType
     val targetPartition = partitionId % numPartitions
 
     new DataWriter[InternalRow] {
@@ -296,6 +306,8 @@ class FileKafkaWriterFactory(path: String, inputSchema: StructType,
           else r.getBinary(valueIdx)
         val key =
           if (keyIdx < 0 || r.isNullAt(keyIdx)) ""
+          else if (keyIsString)
+            Base64.getEncoder.encodeToString(r.getUTF8String(keyIdx).getBytes)
           else Base64.getEncoder.encodeToString(r.getBinary(keyIdx))
         buf.append(System.currentTimeMillis()).append('\t')
           .append(key).append('\t')

@@ -80,8 +80,10 @@ object UpsertSink {
       * Rows with the same key must land in the same partition when
       * running concurrent connections against a non-ON CONFLICT engine
       * (otherwise two UPDATE-miss/INSERT races can collide on the
-      * unique key); Spark batches keyed by the upsert key satisfy this
-      * naturally, or set `numConnections = 1` like the reference. */
+      * unique key) — so the [[Dialect.UpdateInsert]] path hash-partitions
+      * by `keyCols` instead of coalescing, which both co-locates keys and
+      * bounds connections. ON CONFLICT is key-atomic server-side, so a
+      * plain coalesce suffices there. */
     def upsertBatch(df: DataFrame, url: String, table: String,
                     keyCols: Seq[String], batchSize: Int = 100,
                     numConnections: Int = 4,
@@ -111,7 +113,12 @@ object UpsertSink {
           val (upSql, insSql) = updateInsertSql(table, cols, keyCols)
           val nonKeyIdx = cols.filterNot(keyCols.contains).map(cols.indexOf).toArray
           val keyIdx = keyCols.map(cols.indexOf).toArray
-          df.coalesce(numConnections).foreachPartition { rows: Iterator[Row] =>
+          // repartition (not coalesce): same key -> same connection, no
+          // cross-partition UPDATE-miss/INSERT race on the unique index.
+          val keyed =
+            if (numConnections > 1) df.repartition(numConnections, keyCols.map(col): _*)
+            else df.coalesce(1)
+          keyed.foreachPartition { rows: Iterator[Row] =>
             if (rows.nonEmpty) {
               val conn: Connection = DriverManager.getConnection(url)
               try {
@@ -175,11 +182,26 @@ object UpsertSink {
       if (fs.exists(target)) {
         val old = new Path(tablePath + "__old")
         if (fs.exists(old)) fs.delete(old, true)
-        fs.rename(target, old)
-        fs.rename(tmp, target)
-        fs.delete(old, true)
-      } else fs.rename(tmp, target)
+        renameOrThrow(fs, target, old)
+        try renameOrThrow(fs, tmp, target)
+        catch { case e: java.io.IOException =>
+          // Roll the backup straight back so readers still have a table.
+          fs.rename(old, target)
+          throw e
+        }
+        if (fs.exists(target)) fs.delete(old, true)
+      } else renameOrThrow(fs, tmp, target)
       (): Unit
     }
+
+    /** Hadoop FileSystem.rename reports most failures (missing parent,
+      * existing destination, S3A partial copy, cross-FS moves) as
+      * `false`, not an exception — a swap step must check the boolean
+      * before deleting anything, or a half-failed swap destroys the only
+      * remaining copy of the table. The backup is only removed once the
+      * new target verifiably exists. */
+    private[graft] def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed; table left intact")
   }
 }

@@ -42,6 +42,27 @@ class FileKafkaSpec extends SparkSpec {
     assert(vals === (0 until 100).map(i => s"""{"i":$i}""").toSet)
   }
 
+  test("produce with a string key column: keyed records round-trip (ACCEPT_ANY_SCHEMA)") {
+    // ACCEPT_ANY_SCHEMA invites string OR binary for key and value —
+    // the writer must handle both, like the real Kafka sink's cast.
+    val topic = newTopic()
+    val keyed = Seq(("FR", "a"), ("DE", "b"), ("FR", "c"))
+      .toDF("key", "value")
+    FileKafka.produce(keyed, topic)
+    val got = spark.read.format("filekafka").option("path", topic).load()
+      .select(col("key").cast("string").as("k"), col("value").cast("string").as("v"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("FR", "a"), ("DE", "b"), ("FR", "c")))
+    // null keys stay null through the wire (empty marker, not "")
+    val topic2 = newTopic()
+    FileKafka.produce(
+      Seq((null: String, "x"), ("k1", "y")).toDF("key", "value"), topic2)
+    val keys = spark.read.format("filekafka").option("path", topic2).load()
+      .select(col("key").cast("string")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSet
+    assert(keys === Set(null, "k1"))
+  }
+
   test("streaming consume: earliest start, then only the new tail per micro-batch") {
     val topic = newTopic()
     FileKafka.produce(Seq("a", "b", "c").toDF("value"), topic)

@@ -94,6 +94,58 @@ class TransportsSpec extends SparkSpec {
     assert(got > 100.0) // every France row carries the bumped prediction
   }
 
+  test("UpdateInsert with concurrent connections: keys co-located, replay stays idempotent") {
+    // numConnections > 1 on the ANSI dialect hash-partitions rows by the
+    // upsert key: two UPDATE-miss/INSERT attempts on the same key can
+    // never race from different connections (ADVICE r3). Replay with 4
+    // connections must absorb every duplicate without a UNIQUE violation.
+    withDerby { conn =>
+      conn.createStatement().execute(
+        """CREATE TABLE "mc_upsert" ("k" INT NOT NULL, "v" DOUBLE, UNIQUE ("k"))""")
+    }
+    // duplicate keys scattered across many input partitions — the
+    // pre-repartition layout that triggers the race under coalesce
+    val df = spark.range(0, 400).toDF("i").repartition(8)
+      .selectExpr("CAST(i % 100 AS INT) AS k", "CAST(i AS DOUBLE) AS v")
+    UpsertSink.JdbcUpsert.upsertBatch(df, DerbyUrl, "mc_upsert",
+      Seq("k"), numConnections = 4, dialect = UpsertSink.Dialect.UpdateInsert)
+    UpsertSink.JdbcUpsert.upsertBatch(df, DerbyUrl, "mc_upsert",
+      Seq("k"), numConnections = 4, dialect = UpsertSink.Dialect.UpdateInsert)
+    val n = withDerby { conn =>
+      val rs = conn.createStatement().executeQuery("""SELECT COUNT(*) FROM "mc_upsert"""")
+      rs.next(); rs.getLong(1)
+    }
+    assert(n === 100) // one row per key, duplicates merged not collided
+  }
+
+  test("ParquetMergeSink swap checks rename results before deleting the backup") {
+    // Hadoop FileSystem.rename signals failure by returning false, not
+    // by throwing (S3A partial failure, missing parent, cross-FS); the
+    // swap must throw instead of charging ahead and deleting the only
+    // remaining copy (ADVICE r3, medium). A stub FS that refuses renames
+    // pins the check deterministically; the real local FS pins the
+    // happy path.
+    import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+    val base = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new Path(s"$base/src")
+    fs.mkdirs(src)
+    fs.createNewFile(new Path(src, "data")): Unit
+    val refusing = new RawLocalFileSystem {
+      override def rename(s: Path, d: Path): Boolean = false
+    }
+    refusing.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException] {
+      UpsertSink.ParquetMergeSink.renameOrThrow(refusing, src, new Path(s"$base/dst"))
+    }
+    assert(fs.exists(new Path(src, "data")), "failed rename must leave the source intact")
+    // and the happy path still swaps
+    val dst2 = new Path(s"$base/dst2")
+    UpsertSink.ParquetMergeSink.renameOrThrow(fs, src, dst2)
+    assert(fs.exists(new Path(dst2, "data")) && !fs.exists(src))
+  }
+
   test("streaming wire → score → JDBC upsert via foreachBatch, replay-safe") {
     // the full reference topology (producer.py wire → consumer.py
     // score+upsert) on Structured Streaming with the REAL JDBC sink
