@@ -11,10 +11,28 @@ import org.apache.spark.sql.functions._
   * footer reads) so per-query numbers measure the queries, not startup.
   */
 object Bench {
+
+  /** 1-minute load average, or -1 where /proc is unavailable. Recorded in
+    * the artifact because a concurrent sbt/test run on the same box
+    * inflates timings 3-14x (round 4's 245s vs 85s solo) — the JSON must
+    * be self-identifying as contended or clean.
+    */
+  private def loadAvg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val loadStart = loadAvg()
+    val tsStart = System.currentTimeMillis()
+    if (loadStart > 2.0)
+      System.err.println(f"WARN: loadavg at bench start is $loadStart%.2f — " +
+        "another job is sharing this box; timings will be inflated. " +
+        "Re-run solo for comparable numbers.")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,8 +60,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val loadEnd = loadAvg()
+    val tsEnd = System.currentTimeMillis()
+    val env = s""""env":{"cpus":$cpus,"loadavg_start":$loadStart,""" +
+      s""""loadavg_end":$loadEnd,"ts_start_ms":$tsStart,"ts_end_ms":$tsEnd,""" +
+      s""""contended":${loadStart > 2.0}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     println(json)
     // durable copy: the driver captures stdout with a bounded tail, which
     // truncated round 2's artifact — the file survives regardless

@@ -354,16 +354,21 @@ object Dedup {
     val inv =
       if (maxDocFrequency >= 1.0) invAll
       else {
-        val nDocs = df.count()
-        val cut = math.max(1L, (maxDocFrequency * nDocs).toLong)
+        // the cut threshold stays LAZY: a 1-row corpus-count aggregate
+        // broadcast-cross-joined into the hot-token filter, so the cut
+        // adds zero extra passes over the corpus (an eager df.count()
+        // here would be one full scan per call at 100 TB)
+        val cutRow = toks.agg(greatest(lit(1L),
+          (lit(maxDocFrequency) * count(lit(1))).cast("long")).as("__cut"))
         val hot = invAll.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > cut)
+          .crossJoin(broadcast(cutRow))
+          .filter(col("__df") > col("__cut"))
         // the drop COUNT is an extra job run only when INFO logging is
         // on — the cut itself (anti-join below) is always lazy/fused
         if (log.isInfoEnabled) {
           val nHot = hot.count()
           log.info(s"jaccardSimJoinOn df-cut: dropping $nHot tokens with " +
-            s"doc-frequency > $cut of $nDocs docs (maxDocFrequency=$maxDocFrequency)")
+            s"doc-frequency fraction > $maxDocFrequency")
         }
         invAll.join(hot.select(col("tok").as("__hot")),
           col("tok") === col("__hot"), "left_anti")

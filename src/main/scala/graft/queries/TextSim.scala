@@ -312,9 +312,11 @@ object TextSim {
       threshold = 0.5, maxDocFrequency = 0.006)
       .orderBy("id_a", "id_b")
 
-  val q93_sql: String =
+  /** q93's oracle with a pluggable corpus filter — reused by the
+    * uncapped full-corpus twin q96. */
+  private def jaccardDfcutSql(docFilter: String): String =
     s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |           FROM documents WHERE doc_id < $PairDocCap),
+       |           FROM documents $docFilter),
        |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
        |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
@@ -334,6 +336,22 @@ object TextSim {
        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  val q93_sql: String = jaccardDfcutSql(s"WHERE doc_id < $PairDocCap")
+
+  // ---------------------------------------------------------------- q96
+  // The df-cut Jaccard sim-join UNCAPPED: the inverted-index self-join
+  // plus posting-list guard at the full cardinality of every SF the
+  // driver runs — the df-cut is exactly what makes this feasible (it
+  // bounds every posting list to maxDocFrequency·n docs, so candidate
+  // blow-up grows linearly with the corpus, not quadratically).
+  val q96_jaccard_dfcut_full: Q = (s, dir) =>
+    Dedup.jaccardSimJoinOn(Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = 0.5, maxDocFrequency = 0.006)
+      .orderBy("id_a", "id_b")
+
+  val q96_sql: String = jaccardDfcutSql("")
+
   // ---------------------------------------------------------------- q94
   // SimHash near-dups WITH the hot-bucket occupancy cap — the skew
   // guard hash-checked cross-engine: buckets holding more than `cap`
@@ -345,7 +363,9 @@ object TextSim {
       maxBucketSize = Some(SimhashBucketCap))
       .orderBy("id_a", "id_b")
 
-  val q94_sql: String = {
+  /** q94's oracle with a pluggable corpus filter — reused by the
+    * uncapped full-corpus twin q95. */
+  private def simhashCappedSql(docFilter: String): String = {
     val bits = (0 until 60).map { i =>
       s"(CASE WHEN 2*len(list_filter(hs, x -> ((x >> $i) & 1) = 1)) > len(hs) " +
         s"THEN ${1L << i} ELSE 0 END)"
@@ -353,7 +373,7 @@ object TextSim {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 16}) & 65535 AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $PairDocCap),
+    s"""WITH d AS (SELECT doc_id, text FROM documents $docFilter),
        |h AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
        |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs FROM d),
        |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM h),
@@ -368,6 +388,22 @@ object TextSim {
        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  val q94_sql: String = simhashCappedSql(s"WHERE doc_id < $PairDocCap")
+
+  // ---------------------------------------------------------------- q95
+  // SimHash near-dups UNCAPPED (full corpus) with the hot-bucket
+  // occupancy cap still armed — the full-cardinality counterpart of
+  // q94, mirroring what q92 does for MinHash banding: the skew guard
+  // is hash-checked at whatever corpus size the driver runs.
+  val q95_simhash_full: Q = (s, dir) =>
+    Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
+      col("doc_id"), col("text"),
+      maxHamming = 3, tokenHasher = Dedup.md5Hash60,
+      maxBucketSize = Some(SimhashBucketCap))
+      .orderBy("id_a", "id_b")
+
+  val q95_sql: String = simhashCappedSql("")
 
   // ---------------------------------------------------------------- q92
   // UNCAPPED MinHash-LSH banding, candidates only: the full-corpus
@@ -685,6 +721,8 @@ object TextSim {
   val all: Map[String, Q] = Map(
     "q93_jaccard_dfcut" -> q93_jaccard_dfcut,
     "q94_simhash_capped" -> q94_simhash_capped,
+    "q95_simhash_full" -> q95_simhash_full,
+    "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
@@ -709,6 +747,8 @@ object TextSim {
   val oracle: Map[String, String] = Map(
     "q93_jaccard_dfcut" -> q93_sql,
     "q94_simhash_capped" -> q94_sql,
+    "q95_simhash_full" -> q95_sql,
+    "q96_jaccard_dfcut_full" -> q96_sql,
     "q92_minhash_bands_full" -> q92_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
