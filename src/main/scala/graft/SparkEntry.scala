@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Sessions.all ++
       graft.queries.SetOps.all ++
       graft.queries.CorpusQueries.all ++
-      graft.queries.Extended.all
+      graft.queries.Extended.all ++
+      graft.queries.Media.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Sessions.oracle ++
       graft.queries.SetOps.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.Extended.oracle
+      graft.queries.Extended.oracle ++
+      graft.queries.Media.oracle
 }

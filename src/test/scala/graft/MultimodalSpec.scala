@@ -39,4 +39,72 @@ class MultimodalSpec extends SparkSpec {
       .rdd.getNumPartitions
     assert(parts > 1) // ~25 KB of payload / 1 KB budget → many partitions
   }
+
+  private def hexToBytes(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  private def parseOne(payload: Array[Byte]): Row = {
+    import spark.implicits._
+    Seq(Tuple1(payload)).toDF("media")
+      .select(Multimodal.parseImageHeader(col("media")).as("m"))
+      .select("m.format", "m.width", "m.height", "m.bit_depth", "m.channels")
+      .head()
+  }
+
+  test("parseImageHeader decodes a REAL png file (1x1 RGBA, the canonical tiny png)") {
+    // a complete, valid 67-byte PNG: signature, IHDR (1x1, 8-bit,
+    // colour type 6 = RGBA), IDAT (zlib), IEND — real bytes, not a fixture
+    val png = hexToBytes(
+      "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489" +
+        "0000000a49444154789c63000100000500010d0a2db40000000049454e44ae426082")
+    assert(parseOne(png) === Row("png", 1L, 1L, 8L, 4L))
+  }
+
+  test("parseImageHeader walks a REAL jpeg segment stream to SOF0") {
+    // SOI | JFIF APP0 (18 bytes) | DQT (5-byte toy table) | SOF0 for a
+    // 2-wide x 3-high, 8-bit, 3-component frame — the SOF is NOT at a
+    // fixed offset, the marker walk has to skip APP0 and DQT to find it
+    val jpeg = hexToBytes(
+      "ffd8" +
+        "ffe000104a46494600010100000100010000" + // APP0, length 0x0010
+        "ffdb000400aa" +                          // DQT, length 0x0004 (2 payload bytes)
+        "ffc0001108000300020301110002110103110100") // SOF0: len 17, 8-bit, h=3, w=2, 3 comps
+    assert(parseOne(jpeg) === Row("jpeg", 2L, 3L, 8L, 3L))
+  }
+
+  test("parseImageHeader: garbage, truncated and null payloads are unknown, not errors") {
+    assert(parseOne("not an image at all".getBytes("UTF-8")).getString(0) === "unknown")
+    assert(parseOne(Array[Byte](0x89.toByte, 0x50)).getString(0) === "unknown")
+    assert(parseOne(Array.emptyByteArray).getString(0) === "unknown")
+    // jpeg SOI but no SOF within budget → format jpeg, null dimensions
+    val headless = hexToBytes("ffd8ffe000104a46494600010100000100010000ffd9")
+    val r = parseOne(headless)
+    assert(r.getString(0) === "jpeg" && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("syntheticMedia round-trips through parseImageHeader") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val parsed = Multimodal.syntheticMedia(docs)
+      .select(col("media_id"),
+        Multimodal.parseImageHeader(col("media")).as("m"))
+      .select(col("media_id"), col("m.format"), col("m.width"),
+        col("m.height"), col("m.bit_depth"), col("m.channels"))
+      .collect()
+    assert(parsed.length === 200)
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 97 == 0) {
+        assert(r.getString(1) === "unknown")
+      } else {
+        val expectFmt = if (id % 2 == 0) "png" else "jpeg"
+        assert(r.getString(1) === expectFmt, s"id=$id")
+        assert(r.getLong(2) === 16 + id % 1009, s"width id=$id")
+        assert(r.getLong(3) === 16 + (id * 7) % 997, s"height id=$id")
+        assert(r.getLong(4) === 8L, s"depth id=$id")
+        if (expectFmt === "jpeg")
+          assert(r.getLong(5) === 1 + id % 3, s"channels id=$id")
+      }
+    }
+  }
 }
