@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   *    batch size bounds round trips).
   *  - [[ParquetMergeSink]] — warehouse-less merge for environments with
   *    no JDBC endpoint (and the unit-testable path here): read current
-  *    table, anti-join conflict resolution preferring the new batch,
-  *    atomic rewrite. Semantically Delta/Iceberg `MERGE INTO`.
+  *    snapshot, anti-join conflict resolution preferring the new batch,
+  *    versioned-directory commit (the previous version stays readable
+  *    through the entire commit). Semantically Delta/Iceberg
+  *    `MERGE INTO` with a snapshot pointer.
   */
 object UpsertSink {
 
@@ -146,22 +148,91 @@ object UpsertSink {
     }
   }
 
+  /** MERGE INTO for a keyed parquet table via VERSIONED-DIRECTORY
+    * commits — the scale-safe successor of a rename-swap:
+    *
+    * {{{
+    * table/
+    *   _latest        <- pointer hint ("v00000003"), best-effort O(1)
+    *   v00000001/     <- immutable committed version (has _SUCCESS)
+    *   v00000002/
+    *   v00000003/
+    * }}}
+    *
+    * Each merge writes a complete NEW version directory; the commit
+    * point is Spark's own job-commit `_SUCCESS` marker (a single file
+    * create — atomic on HDFS, and safe on S3A where rename is
+    * copy+delete and the old double-rename swap had both a
+    * reader-visible gap and a rollback dead end). Readers resolve the
+    * highest version directory that has `_SUCCESS`: a crash mid-write
+    * leaves an uncommitted directory that is simply invisible, and the
+    * previous version stays readable through the entire commit. The
+    * `_latest` pointer is a validated fast path only — if it is stale,
+    * corrupt or missing, resolution falls back to listing. Single
+    * writer assumed (a streaming query's foreachBatch), as with any
+    * file-format sink without a lock service. Semantically this is
+    * Delta/Iceberg `MERGE INTO` + snapshot pointer, minus the lock
+    * manager. Old versions are kept for readers-in-flight / time travel
+    * until [[ParquetMergeSink.vacuum]] trims them. */
   object ParquetMergeSink {
     import org.apache.hadoop.fs.{FileSystem, Path}
 
-    /** MERGE INTO for a keyed parquet table: new batch rows win on key
-      * conflict (within-batch duplicates resolved deterministically by
-      * highest `version` order column first). Rewrite is
-      * write-temp-then-swap so readers never see a half table.
-      *
-      * All path handling goes through the Hadoop [[FileSystem]] resolved
-      * from the table path's own scheme — the sink works unchanged on
-      * `file://`, `hdfs://` and `s3a://` URIs. On HDFS the two renames
-      * are atomic metadata ops; on S3A a rename is copy+delete, so the
-      * swap window is not atomic there — production S3 deployments
-      * should prefer the [[JdbcUpsert]] path or a table format with
-      * commit protocols (the semantics here mirror Delta/Iceberg
-      * `MERGE INTO`). */
+    private val Pointer = "_latest"
+    private def dirName(v: Long) = f"v$v%08d"
+
+    /** Committed versions in ascending order: `vNNNNNNNN` children
+      * carrying Spark's `_SUCCESS` job-commit marker. */
+    private[graft] def committedVersions(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+        .map(st => st.getPath.getName.drop(1).toLong -> st.getPath)
+        .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+        .sortBy(_._1)
+
+    /** Every version directory, committed or not (crash leftovers). */
+    private def allVersions(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+        .map(st => st.getPath.getName.drop(1).toLong -> st.getPath)
+        .sortBy(_._1)
+
+    /** Resolve the active version: `_latest` hint first (validated — a
+      * hint naming a dir without `_SUCCESS` is ignored), listing as the
+      * source of truth. */
+    def latestVersionPath(fs: FileSystem, root: Path): Option[Path] = {
+      val hinted =
+        try {
+          val ptr = new Path(root, Pointer)
+          if (!fs.exists(ptr)) None
+          else {
+            val in = fs.open(ptr)
+            val name =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            Some(new Path(root, name))
+              .filter(p => name.matches("v\\d{8}") && fs.exists(new Path(p, "_SUCCESS")))
+          }
+        } catch { case _: java.io.IOException => None }
+      hinted.orElse(committedVersions(fs, root).lastOption.map(_._2))
+    }
+
+    /** Read the current committed snapshot. Throws when the table has no
+      * committed version yet. */
+    def read(spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame = {
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = latestVersionPath(fs, root).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no committed version under $tablePath"))
+      spark.read.parquet(p.toString)
+    }
+
+    /** Merge a batch into the table: new batch rows win on key conflict
+      * (within-batch duplicates resolved deterministically by highest
+      * `orderCol` first), everything else carries over from the current
+      * snapshot into a brand-new version directory. */
     def merge(batch: DataFrame, tablePath: String, keyCols: Seq[String],
               orderCol: Option[String] = None): Unit = {
       val spark = batch.sparkSession
@@ -170,36 +241,53 @@ object UpsertSink {
       val newRows = batch
         .withColumn("__rn", row_number().over(dedupWindow))
         .filter(col("__rn") === 1).drop("__rn")
-      val target = new Path(tablePath)
-      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val merged =
-        if (fs.exists(target)) {
-          val current = spark.read.parquet(tablePath)
-          current.join(newRows, keyCols, "left_anti").unionByName(newRows)
-        } else newRows
-      val tmp = new Path(tablePath + "__tmp")
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (fs.exists(target)) {
-        val old = new Path(tablePath + "__old")
-        if (fs.exists(old)) fs.delete(old, true)
-        renameOrThrow(fs, target, old)
-        try renameOrThrow(fs, tmp, target)
-        catch { case e: java.io.IOException =>
-          // Roll the backup straight back so readers still have a table.
-          fs.rename(old, target)
-          throw e
-        }
-        if (fs.exists(target)) fs.delete(old, true)
-      } else renameOrThrow(fs, tmp, target)
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged = latestVersionPath(fs, root) match {
+        case Some(cur) =>
+          spark.read.parquet(cur.toString)
+            .join(newRows, keyCols, "left_anti").unionByName(newRows)
+        case None => newRows
+      }
+      // next version number counts UNcommitted dirs too, so a crashed
+      // writer's leftover is overwritten rather than resurrected
+      val next = allVersions(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
+      val dst = new Path(root, dirName(next))
+      merged.write.mode(SaveMode.Overwrite).parquet(dst.toString)
+      // job commit above dropped _SUCCESS — the table is now committed;
+      // the pointer flip is a best-effort hint, never load-bearing
+      try {
+        val tmp = new Path(root, Pointer + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(dirName(next).getBytes("UTF-8")) finally out.close()
+        fs.delete(new Path(root, Pointer), false)
+        renameOrThrow(fs, tmp, new Path(root, Pointer))
+      } catch { case _: java.io.IOException => () }
       (): Unit
+    }
+
+    /** Trim old committed versions, keeping the `keepLast` most recent
+      * (plus the pointer); also clears crashed uncommitted leftovers
+      * older than the newest committed version. */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+               keepLast: Int = 2): Unit = {
+      require(keepLast >= 1, "must keep at least the current version")
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = committedVersions(fs, root)
+      committed.dropRight(keepLast).foreach { case (_, p) => fs.delete(p, true) }
+      committed.lastOption.foreach { case (latest, _) =>
+        allVersions(fs, root)
+          .filter { case (v, p) =>
+            v < latest && !fs.exists(new Path(p, "_SUCCESS")) }
+          .foreach { case (_, p) => fs.delete(p, true) }
+      }
     }
 
     /** Hadoop FileSystem.rename reports most failures (missing parent,
       * existing destination, S3A partial copy, cross-FS moves) as
-      * `false`, not an exception — a swap step must check the boolean
-      * before deleting anything, or a half-failed swap destroys the only
-      * remaining copy of the table. The backup is only removed once the
-      * new target verifiably exists. */
+      * `false`, not an exception — callers must check the boolean before
+      * depending on the move. */
     private[graft] def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"rename $src -> $dst failed; table left intact")

@@ -37,10 +37,46 @@ class StreamingSpec extends SparkSpec {
     UpsertSink.ParquetMergeSink.merge(b1, path, Seq("k", "y"))
     UpsertSink.ParquetMergeSink.merge(b2, path, Seq("k", "y"))
     UpsertSink.ParquetMergeSink.merge(b2, path, Seq("k", "y")) // replay
-    val rows = spark.read.parquet(path)
+    val rows = UpsertSink.ParquetMergeSink.read(spark, path)
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(rows.size === 3)
     assert(rows(("b", 1)) === 99.0) // new batch wins
+  }
+
+  test("versioned merge commit: old version readable through a crash window") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_vers").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = Seq(("a", 10.0), ("b", 20.0)).toDF("k", "v")
+    val b2 = Seq(("b", 99.0)).toDF("k", "v")
+    UpsertSink.ParquetMergeSink.merge(b1, path, Seq("k"))
+    UpsertSink.ParquetMergeSink.merge(b2, path, Seq("k"))
+    // simulate a writer that died mid-commit: a v3 directory with data
+    // files but NO _SUCCESS marker must be invisible to readers
+    val crashed = new Path(path, "v00000003")
+    Seq(("z", -1.0)).toDF("k", "v").write.parquet(crashed.toString)
+    fs.delete(new Path(crashed, "_SUCCESS"), false)
+    val seen = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(seen === Map("a" -> 10.0, "b" -> 99.0), "uncommitted version leaked")
+    // a stale/corrupt pointer must not be load-bearing either
+    val out = fs.create(new Path(path, "_latest"), true)
+    out.write("v99999999".getBytes("UTF-8")); out.close()
+    assert(UpsertSink.ParquetMergeSink.read(spark, path).count() === 2)
+    // the next merge overwrites the crashed leftover instead of
+    // resurrecting it, and commits as the new latest
+    UpsertSink.ParquetMergeSink.merge(Seq(("c", 5.0)).toDF("k", "v"), path, Seq("k"))
+    val after = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after === Map("a" -> 10.0, "b" -> 99.0, "c" -> 5.0))
+    // time travel: the previous committed snapshot is still intact
+    assert(spark.read.parquet(s"$path/v00000002").count() === 2)
+    // vacuum keeps the latest, drops the history
+    UpsertSink.ParquetMergeSink.vacuum(spark, path, keepLast = 1)
+    assert(!fs.exists(new Path(path, "v00000001")))
+    assert(!fs.exists(new Path(path, "v00000002")))
+    assert(UpsertSink.ParquetMergeSink.read(spark, path).count() === 3)
   }
 
   test("ON CONFLICT SQL matches the reference's upsert shape") {
@@ -75,7 +111,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val warehouse = spark.read.parquet(table)
+    val warehouse = UpsertSink.ParquetMergeSink.read(spark, table)
     assert(warehouse.count() === 781) // T4: replay-safe exactly-once
     assert(warehouse.filter(col("y_pred").isNull).count() === 0)
   }

@@ -118,13 +118,13 @@ class TransportsSpec extends SparkSpec {
     assert(n === 100) // one row per key, duplicates merged not collided
   }
 
-  test("ParquetMergeSink swap checks rename results before deleting the backup") {
+  test("ParquetMergeSink.renameOrThrow surfaces boolean rename failures") {
     // Hadoop FileSystem.rename signals failure by returning false, not
-    // by throwing (S3A partial failure, missing parent, cross-FS); the
-    // swap must throw instead of charging ahead and deleting the only
-    // remaining copy (ADVICE r3, medium). A stub FS that refuses renames
-    // pins the check deterministically; the real local FS pins the
-    // happy path.
+    // by throwing (S3A partial failure, missing parent, cross-FS); any
+    // move the sink depends on (the _latest pointer flip) must check the
+    // boolean instead of charging ahead (ADVICE r3, medium). A stub FS
+    // that refuses renames pins the check deterministically; the real
+    // local FS pins the happy path.
     import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
     val base = java.nio.file.Files.createTempDirectory("graft_swap").toString
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
