@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.SetOps.all ++
       graft.queries.CorpusQueries.all ++
       graft.queries.Extended.all ++
-      graft.queries.Media.all
+      graft.queries.Media.all ++
+      graft.queries.Governance.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.SetOps.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.Extended.oracle ++
-      graft.queries.Media.oracle
+      graft.queries.Media.oracle ++
+      graft.queries.Governance.oracle
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-governance operators: PII redaction and per-source
+  * token-budget mixture selection — the two pipeline stages between
+  * "cleaned corpus" and "training mix". Both are hash-checked: regex
+  * semantics agree between Spark's Java regex and DuckDB's RE2 for the
+  * conservative patterns used (character classes, bounded repeats,
+  * word boundaries — no backrefs or lookaround), and the md5
+  * fingerprint of the redacted text pins the FULL transform output,
+  * not just the counts.
+  *
+  * 100 TB shape: redaction is a pure per-row projection fused into the
+  * scan. Mixture selection is one running sum per source partition
+  * (a partitioned window, never a single-partition global window); a
+  * deployment with few giant sources swaps in the range-bucketed
+  * distributed prefix sum that [[graft.text.Packing]] already uses.
+  */
+object Governance {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Conservative, RE2-compatible patterns (shared with the oracle so
+    * the two engines cannot drift). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Deterministic PII injection: the synthetic corpus contains no
+    * addresses, so each doc gets one email + one phone derived from its
+    * id — the redactor then has real work whose output both engines
+    * replay byte-for-byte. */
+  private val withPii = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or 555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  // ---------------------------------------------------------------- q98
+  // PII redaction census: per-doc match counts + md5 fingerprint of the
+  // fully redacted text (emails then phones, placeholders in place).
+  val q98_pii_redact: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(withPii, lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(withPii, lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(withPii, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_fp"))
+      .orderBy("doc_id")
+
+  val q98_sql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@example.com or 555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  // Mixture selection under a per-source token budget: docs enter in a
+  // deterministic md5 order and each source keeps its greedy prefix
+  // whose running token total stays under the budget — the "tokens per
+  // domain" knob of corpus mixing, hash-checked per selected row.
+  // 600 binds at every test SF (per-source mass is ≥1.1k tokens at
+  // sf0.001), so the cutoff branch is genuinely exercised by the gate.
+  val MixTokenBudget = 600L
+
+  val q99_mixture_budget: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("|mix42"))), 1, 8),
+        16, 10).cast("long").as("ord"))
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < MixTokenBudget)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  val q99_sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix42'), 1, 8)
+       |         AS BIGINT) AS ord
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum
+       |  FROM d)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM c WHERE cum - n_tokens < $MixTokenBudget
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q98_pii_redact" -> q98_pii_redact,
+    "q99_mixture_budget" -> q99_mixture_budget)
+
+  val oracle: Map[String, String] = Map(
+    "q98_pii_redact" -> q98_sql,
+    "q99_mixture_budget" -> q99_sql)
+}

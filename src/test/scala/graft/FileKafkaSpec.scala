@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.{Clean, Normalize}
 import graft.kafka.FileKafka
 import graft.ml.Ols
-import graft.streaming.ScoringPipeline
+import graft.streaming.{ScoringPipeline, UpsertSink}
 
 /** The Kafka-shaped transport executed end-to-end (r2 verdict "What's
   * missing" #1): same schema, same earliest-offset micro-batch
@@ -126,7 +126,7 @@ class FileKafkaSpec extends SparkSpec {
     try {
       qA.processAllAvailable()
       qB.processAllAvailable()
-      assert(spark.read.parquet(table).count() === 781)
+      assert(UpsertSink.ParquetMergeSink.read(spark, table).count() === 781)
       val gotN = spark.table("fk_stats")
         .groupBy("key").agg(max("n").as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -170,10 +170,10 @@ class FileKafkaSpec extends SparkSpec {
       .start()
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(table).count() === 781)
+      assert(UpsertSink.ParquetMergeSink.read(spark, table).count() === 781)
       FileKafka.produce(wire, topic, numPartitions = 2) // at-least-once replay
       q.processAllAvailable()
-      val warehouse = spark.read.parquet(table)
+      val warehouse = UpsertSink.ParquetMergeSink.read(spark, table)
       assert(warehouse.count() === 781) // T4 exactly-once via keyed upsert
       assert(warehouse.filter(col("y_pred").isNull).count() === 0)
     } finally q.stop()
