@@ -79,6 +79,119 @@ object Multimodal {
       },
       acc => acc.getField("sof"))
 
+  /** Bounded depth of the RIFF chunk walk: optional LIST/INFO chunks
+    * before fmt + data. */
+  val WavMaxChunks = 4
+
+  /** Little-endian unsigned read of `len` bytes at 0-based offset
+    * `off` — RIFF/WAVE stores all sizes and fmt fields little-endian
+    * (unlike PNG/JPEG's network order). */
+  private def leAt(media: Column, off: Column, len: Int): Column =
+    (0 until len).map(i => u8At(media, off + lit(i.toLong)) * lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** RIFF chunk walk (RIFF spec: 4-byte id + 4-byte LE size + payload,
+    * padded to even): locate the `fmt ` payload offset and the `data`
+    * chunk (offset, size), starting after the 12-byte RIFF/WAVE
+    * preamble. Same linear `aggregate` fold shape as [[jpegSofOffset]];
+    * returns a struct (fmt, data_size) with null fields when a chunk is
+    * not found within `maxChunks`. */
+  def wavChunks(media: Column, maxChunks: Int = WavMaxChunks): Column =
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(12L).as("off"),
+        lit(null).cast("long").as("fmt"),
+        lit(null).cast("long").as("dsize")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val fmt = acc.getField("fmt")
+        val dsz = acc.getField("dsize")
+        val ok = (fmt.isNull || dsz.isNull) &&
+          (off + lit(8L)) <= length(media).cast("long")
+        val cid = hex(media.substr(off + lit(1L), lit(4L)))
+        val csize = leAt(media, off + lit(4L), 4)
+        struct(
+          when(ok, off + lit(8L) + csize + csize % lit(2L)).otherwise(off).as("off"),
+          when(fmt.isNotNull, fmt)
+            .when(ok && cid === lit("666D7420"), off + lit(8L)).as("fmt"), // "fmt "
+          when(dsz.isNotNull, dsz)
+            .when(ok && cid === lit("64617461"), csize).as("dsize"))       // "data"
+      },
+      acc => struct(acc.getField("fmt").as("fmt"),
+        acc.getField("dsize").as("data_size")))
+
+  /** Parse a WAV (RIFF/WAVE) header: struct (format, channels,
+    * sample_rate, bits_per_sample, n_samples, duration_ms) with format
+    * in {wav, unknown}. fmt-chunk layout per the PCM WAVEFORMAT:
+    * channels u16le at +2, sample rate u32le at +4, byte rate u32le at
+    * +8, block align u16le at +12, bits u16le at +14. Pure column
+    * expressions, like [[parseImageHeader]]. */
+  def parseWavHeader(media: Column, maxChunks: Int = WavMaxChunks): Column = {
+    val isRiff = length(media) >= 44 &&
+      hex(substring(media, 1, 4)) === lit("52494646") &&  // "RIFF"
+      hex(substring(media, 9, 4)) === lit("57415645")     // "WAVE"
+    val ch = wavChunks(media, maxChunks)
+    val fmt = ch.getField("fmt")
+    val dsz = ch.getField("data_size")
+    val valid = isRiff && fmt.isNotNull && dsz.isNotNull
+    val blockAlign = leAt(media, fmt + lit(12L), 2)
+    val byteRate = leAt(media, fmt + lit(8L), 4)
+    struct(
+      when(valid, lit("wav")).otherwise(lit("unknown")).as("format"),
+      when(valid, leAt(media, fmt + lit(2L), 2)).as("channels"),
+      when(valid, leAt(media, fmt + lit(4L), 4)).as("sample_rate"),
+      when(valid, leAt(media, fmt + lit(14L), 2)).as("bits_per_sample"),
+      when(valid, floor(dsz / blockAlign).cast("long")).as("n_samples"),
+      when(valid, floor(dsz * lit(1000L) / byteRate).cast("long")).as("duration_ms"))
+  }
+
+  /** Deterministic synthetic WAV corpus from a documents table: real
+    * RIFF byte streams (RIFF size + WAVE, an optional odd-length
+    * LIST/INFO chunk that both shifts the fmt offset AND exercises the
+    * even-padding rule, a 16-byte PCM fmt chunk, a data chunk of
+    * md5-derived samples). A fixed-offset "parser" cannot pass — only
+    * the padded chunk walk can. */
+  def syntheticWav(docs: DataFrame,
+                   idCol: Column = col("doc_id"),
+                   textCol: Column = col("text")): DataFrame = {
+    val id = idCol.cast("long")
+    def le(v: Column, n: Int): Column = {
+      val h = lpad(hex(v), 2 * n, "0")
+      unhex(concat((n - 1 to 0 by -1).map(i => h.substr(lit(2 * i + 1), lit(2))): _*))
+    }
+    val nCh = lit(1L) + id % 2L
+    val sr = when(id % 3L === 0L, 8000L).when(id % 3L === 1L, 16000L)
+      .otherwise(44100L)
+    val bytesPerSample = when(id % 5L < 2L, 1L).otherwise(2L)
+    val blockAlign = nCh * bytesPerSample
+    val byteRate = sr * blockAlign
+    val body = unhex(md5(textCol)) // 16 deterministic bytes
+    val dataLen = id % 9L + 8L     // 8..16 data bytes
+    val listLen = id % 7L + 1L     // 1..7 → odd sizes exercise padding
+    val listChunk = concat(
+      unhex(lit("4C495354")),      // "LIST"
+      le(listLen + lit(4L), 4),    // chunk size: "INFO" + listLen bytes
+      unhex(lit("494E464F")),      // "INFO"
+      body.substr(lit(1L), listLen),
+      when(listLen % 2L === 1L, unhex(lit("00"))).otherwise(unhex(lit(""))))
+    val fmtChunk = concat(
+      unhex(lit("666D7420")), le(lit(16L), 4), le(lit(1L), 2), // "fmt ", PCM
+      le(nCh, 2), le(sr, 4), le(byteRate, 4), le(blockAlign, 2),
+      le(bytesPerSample * lit(8L), 2))
+    val dataChunk = concat(
+      unhex(lit("64617461")), le(dataLen, 4), body.substr(lit(1L), dataLen))
+    val hasList = id % 2L === 0L
+    val riffSize = lit(4L) + // "WAVE"
+      when(hasList, lit(8L) + listLen + lit(4L) + listLen % lit(2L)).otherwise(lit(0L)) +
+      lit(24L) + lit(8L) + dataLen
+    val wav = concat(
+      unhex(lit("52494646")), le(riffSize, 4), unhex(lit("57415645")),
+      when(hasList, listChunk).otherwise(unhex(lit(""))),
+      fmtChunk, dataChunk)
+    docs.select(id.as("media_id"),
+      when(id % 89L === 0L, body).otherwise(wav).as("media"))
+  }
+
   /** Parse a PNG or JPEG header out of a binary payload: returns a
     * struct (format, width, height, bit_depth, channels) with format in
     * {png, jpeg, unknown} and null numeric fields when undecodable.

@@ -110,9 +110,101 @@ object Media {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q100
+  // Synthetic WAV corpus (real RIFF byte streams; an optional odd-length
+  // LIST chunk shifts the fmt offset AND exercises the even-padding
+  // rule) decoded back via the little-endian chunk walk.
+  val q100_audio_meta: Q = (s, dir) => {
+    val m = Multimodal.syntheticWav(Tables.load(s, dir, "documents"))
+    val meta = Multimodal.parseWavHeader(col("media"))
+    m.select(
+      col("media_id").as("doc_id"),
+      meta.getField("format").as("format"),
+      meta.getField("channels").as("channels"),
+      meta.getField("sample_rate").as("sample_rate"),
+      meta.getField("bits_per_sample").as("bits_per_sample"),
+      meta.getField("n_samples").as("n_samples"),
+      meta.getField("duration_ms").as("duration_ms"),
+      length(col("media")).cast("long").as("payload_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Little-endian read of `n` bytes at 0-based offset `off` —
+    * reversed byte pairs of the hex string. */
+  private def ln(off: String, n: Int) = {
+    val pairs = (n - 1 to 0 by -1)
+      .map(i => s"substr(hexs, 2*($off + $i) + 1, 2)").mkString(" || ")
+    s"CAST('0x' || $pairs AS BIGINT)"
+  }
+
+  /** Little-endian hex ENCODING of SQL expression `v` in `n` bytes —
+    * the construction-side twin of [[ln]]. */
+  private def lew(v: String, n: Int) = {
+    val h = s"lpad(to_hex($v), ${2 * n}, '0')"
+    (n - 1 to 0 by -1).map(i => s"substr($h, ${2 * i + 1}, 2)").mkString(" || ")
+  }
+
+  val q100_sql: String = {
+    val inBounds = "off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"(fmt IS NULL OR dsize IS NULL) AND $inBounds"
+    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
+      s"""s$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open
+         |       THEN off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2
+         |       ELSE off END AS off,
+         |  CASE WHEN fmt IS NOT NULL THEN fmt
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '666D7420'
+         |       THEN off + 8 END AS fmt,
+         |  CASE WHEN dsize IS NOT NULL THEN dsize
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '64617461'
+         |       THEN ${ln("off + 4", 4)} END AS dsize
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    // id-derived fmt fields — same constants as syntheticWav
+    val nCh = "(1 + doc_id % 2)"
+    val sr = "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)"
+    val bps = "(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 2 END)"
+    val dataLen = "(doc_id % 9 + 8)"
+    val listLen = "(doc_id % 7 + 1)"
+    s"""WITH m AS (SELECT doc_id, upper(CASE
+       |    WHEN doc_id % 89 = 0 THEN md5(text)
+       |    ELSE '52494646'
+       |      || ${lew(s"4 + CASE WHEN doc_id % 2 = 0 THEN 12 + $listLen + $listLen % 2 ELSE 0 END + 32 + $dataLen", 4)}
+       |      || '57415645'
+       |      || CASE WHEN doc_id % 2 = 0 THEN
+       |           '4C495354' || ${lew(s"$listLen + 4", 4)} || '494E464F'
+       |           || substr(md5(text), 1, CAST(2 * $listLen AS INT))
+       |           || CASE WHEN $listLen % 2 = 1 THEN '00' ELSE '' END
+       |         ELSE '' END
+       |      || '666D7420' || ${lew("16", 4)} || ${lew("1", 2)}
+       |      || ${lew(nCh, 2)} || ${lew(sr, 4)} || ${lew(s"$sr * $nCh * $bps", 4)}
+       |      || ${lew(s"$nCh * $bps", 2)} || ${lew(s"8 * $bps", 2)}
+       |      || '64617461' || ${lew(dataLen, 4)}
+       |      || substr(md5(text), 1, CAST(2 * $dataLen AS INT))
+       |  END) AS hexs FROM documents),
+       |s0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
+       |       CAST(NULL AS BIGINT) AS fmt, CAST(NULL AS BIGINT) AS dsize FROM m),
+       |$steps,
+       |p AS (SELECT doc_id, hexs, fmt, dsize,
+       |   substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '57415645'
+       |     AND length(hexs) >= 88 AND fmt IS NOT NULL AND dsize IS NOT NULL AS ok
+       | FROM s${Multimodal.WavMaxChunks})
+       |SELECT doc_id,
+       |  CASE WHEN ok THEN 'wav' ELSE 'unknown' END AS format,
+       |  CASE WHEN ok THEN ${ln("fmt + 2", 2)} END AS channels,
+       |  CASE WHEN ok THEN ${ln("fmt + 4", 4)} END AS sample_rate,
+       |  CASE WHEN ok THEN ${ln("fmt + 14", 2)} END AS bits_per_sample,
+       |  CASE WHEN ok THEN CAST(floor(dsize / ${ln("fmt + 12", 2)}) AS BIGINT) END AS n_samples,
+       |  CASE WHEN ok THEN CAST(floor(dsize * 1000 / ${ln("fmt + 8", 4)}) AS BIGINT) END AS duration_ms,
+       |  CAST(length(hexs) / 2 AS BIGINT) AS payload_bytes
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
-    "q97_image_meta" -> q97_image_meta)
+    "q97_image_meta" -> q97_image_meta,
+    "q100_audio_meta" -> q100_audio_meta)
 
   val oracle: Map[String, String] = Map(
-    "q97_image_meta" -> q97_sql)
+    "q97_image_meta" -> q97_sql,
+    "q100_audio_meta" -> q100_sql)
 }

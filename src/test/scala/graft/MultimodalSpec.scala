@@ -107,4 +107,71 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  private def parseWav(payload: Array[Byte]): Row = {
+    import spark.implicits._
+    Seq(Tuple1(payload)).toDF("media")
+      .select(Multimodal.parseWavHeader(col("media")).as("m"))
+      .select("m.format", "m.channels", "m.sample_rate", "m.bits_per_sample",
+        "m.n_samples", "m.duration_ms")
+      .head()
+  }
+
+  test("parseWavHeader decodes a canonical 44-byte-header PCM wav") {
+    // RIFF/WAVE, fmt (PCM, mono, 8 kHz, 16-bit, blockAlign 2,
+    // byteRate 16000), data = 8 bytes → 4 samples, 0 ms (floor)
+    val wav = hexToBytes(
+      "52494646" + "2c000000" + "57415645" +
+        "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+        "803e0000" + "0200" + "1000" +
+        "64617461" + "08000000" + "0011223344556677")
+    assert(parseWav(wav) === Row("wav", 1L, 8000L, 16L, 4L, 0L))
+  }
+
+  test("parseWavHeader walks past an odd-length LIST chunk (even-padding rule)") {
+    // LIST chunk carries 5 payload bytes ("INFO" + 1) + 1 pad byte; a
+    // parser that forgets RIFF's pad-to-even lands mid-chunk and finds
+    // no fmt — only the padded walk decodes this file
+    val wav = hexToBytes(
+      "52494646" + "3a000000" + "57415645" +
+        "4c495354" + "05000000" + "494e464f" + "58" + "00" +
+        "666d7420" + "10000000" + "0100" + "0200" + "80bb0000" +
+        "00ee0200" + "0400" + "1000" +
+        "64617461" + "0c000000" + "000000000000000000000000")
+    // stereo 48 kHz 16-bit, 12 data bytes → 3 samples, floor(12000/192000)=0 ms
+    assert(parseWav(wav) === Row("wav", 2L, 48000L, 16L, 3L, 0L))
+  }
+
+  test("parseWavHeader: garbage, truncated and non-RIFF payloads are unknown") {
+    assert(parseWav("definitely not audio".getBytes("UTF-8")).getString(0) === "unknown")
+    assert(parseWav(Array.emptyByteArray).getString(0) === "unknown")
+    // RIFF magic but truncated before any chunk fits
+    assert(parseWav(hexToBytes("524946460400000057415645")).getString(0) === "unknown")
+  }
+
+  test("syntheticWav round-trips through parseWavHeader") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val parsed = Multimodal.syntheticWav(docs)
+      .select(col("media_id"), Multimodal.parseWavHeader(col("media")).as("m"))
+      .select(col("media_id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"), col("m.n_samples"))
+      .collect()
+    assert(parsed.length === 200)
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 89 == 0) {
+        assert(r.getString(1) === "unknown", s"id=$id")
+      } else {
+        val ch = 1 + id % 2
+        val bytesPer = if (id % 5 < 2) 1L else 2L
+        val sr = (id % 3) match { case 0 => 8000L; case 1 => 16000L; case _ => 44100L }
+        assert(r.getString(1) === "wav", s"id=$id")
+        assert(r.getLong(2) === ch, s"channels id=$id")
+        assert(r.getLong(3) === sr, s"rate id=$id")
+        assert(r.getLong(4) === bytesPer * 8, s"bits id=$id")
+        assert(r.getLong(5) === (id % 9 + 8) / (ch * bytesPer), s"samples id=$id")
+      }
+    }
+  }
 }
