@@ -101,11 +101,49 @@ object Governance {
        |FROM c WHERE cum - n_tokens < $MixTokenBudget
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  // Benchmark decontamination: a synthetic "eval set" (a 7-token slice
+  // of every 41st document) is scanned for word 5-gram overlap against
+  // the whole corpus; output is the per-doc hit census. The source docs
+  // themselves hit by construction; near-duplicate docs in the corpus
+  // hit too — exactly the leakage the pre-training check exists to find.
+  val BenchN = 5
+
+  val q101_decontam: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val t = split(lower(trim(col("text"))), "\\s+")
+    val bench = docs
+      .filter(col("doc_id") % 41 === 0 && size(t) >= BenchN + 4)
+      .select(array_join(slice(t, 3, BenchN + 2), " ").as("text"))
+    graft.text.Decontam.contaminationReport(docs, bench, BenchN)
+      .orderBy("doc_id")
+  }
+
+  val q101_sql: String = {
+    val n = BenchN
+    def gh(arr: String, i: String) =
+      s"CAST('0x' || substr(md5(array_to_string(list_slice($arr, $i, $i + ${n - 1}), ' ')), 1, 8) AS BIGINT)"
+    s"""WITH toks AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+       |b AS (SELECT list_slice(t, 3, ${n + 4}) AS bt FROM toks
+       |      WHERE doc_id % 41 = 0 AND len(t) >= ${n + 4}),
+       |bg AS (SELECT DISTINCT gram_h FROM (
+       |    SELECT UNNEST(list_transform(generate_series(1, len(bt) - ${n - 1}),
+       |        i -> ${gh("bt", "i")})) AS gram_h FROM b)),
+       |dg AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - ${n - 1}),
+       |        i -> ${gh("t", "i")})) AS gram_h FROM toks WHERE len(t) >= $n)
+       |SELECT doc_id, CAST(count(DISTINCT gram_h) AS BIGINT) AS n_hit_grams
+       |FROM dg JOIN bg USING (gram_h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q98_pii_redact" -> q98_pii_redact,
-    "q99_mixture_budget" -> q99_mixture_budget)
+    "q99_mixture_budget" -> q99_mixture_budget,
+    "q101_decontam" -> q101_decontam)
 
   val oracle: Map[String, String] = Map(
     "q98_pii_redact" -> q98_sql,
-    "q99_mixture_budget" -> q99_sql)
+    "q99_mixture_budget" -> q99_sql,
+    "q101_decontam" -> q101_sql)
 }

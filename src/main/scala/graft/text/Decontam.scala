@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share any
+  * word n-gram with a benchmark/eval set — the standard leakage check
+  * run before training (e.g. the 13-gram overlap filters described in
+  * the GPT-3 and PaLM dataset reports).
+  *
+  * 100 TB shape: the benchmark side is an eval set — megabytes, not
+  * terabytes — so its distinct gram set is BROADCAST and the corpus
+  * side never shuffles its text at all: grams are hashed to 64-bit
+  * md5-prefix keys in the scan projection, the broadcast hash join
+  * filters them map-side, and only (doc_id, gram_hash) survivors reach
+  * the one aggregation shuffle. For a benchmark too big to broadcast,
+  * pass `broadcastBench = false` to fall back to a plain shuffled
+  * equi-join on the same hashed keys.
+  */
+object Decontam {
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Explode a token array into its n-gram 64-bit hashes (md5-prefix,
+    * cross-engine reproducible). Docs shorter than n emit nothing. */
+  private def gramHashes(df: DataFrame, id: Seq[Column], tokens: Column,
+                         n: Int): DataFrame = {
+    val grams = transform(
+      sequence(lit(0), size(tokens) - n),
+      i => array_join(slice(tokens, i + 1, lit(n)), " "))
+    df.filter(size(tokens) >= n)
+      .select(id :+ explode(grams).as("gram"): _*)
+      .select(id :+ conv(substring(md5(col("gram")), 1, 8), 16, 10)
+        .cast("long").as("gram_h"): _*)
+  }
+
+  /** Per-document contamination report: (idCol, n_hit_grams) for every
+    * corpus doc sharing at least one word n-gram with `bench`'s
+    * `benchTextCol`. Clean docs are absent from the output. */
+  def contaminationReport(docs: DataFrame, bench: DataFrame, n: Int,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          benchTextCol: String = "text",
+                          broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = gramHashes(bench, Seq.empty, toks(col(benchTextCol)), n)
+      .distinct()
+    val rhs = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    gramHashes(docs, Seq(col(idCol)), toks(col(textCol)), n)
+      .join(rhs, "gram_h")
+      .groupBy(idCol)
+      .agg(count_distinct(col("gram_h")).cast("long").as("n_hit_grams"))
+  }
+}
