@@ -90,13 +90,25 @@ object Multimodal {
     (0 until len).map(i => u8At(media, off + lit(i.toLong)) * lit(1L << (8 * i)))
       .reduce(_ + _)
 
-  /** RIFF chunk walk (RIFF spec: 4-byte id + 4-byte LE size + payload,
-    * padded to even): locate the `fmt ` payload offset and the `data`
-    * chunk (offset, size), starting after the 12-byte RIFF/WAVE
-    * preamble. Same linear `aggregate` fold shape as [[jpegSofOffset]];
-    * returns a struct (fmt, data_size) with null fields when a chunk is
-    * not found within `maxChunks`. */
-  def wavChunks(media: Column, maxChunks: Int = WavMaxChunks): Column =
+  /** Parse a WAV (RIFF/WAVE) header: struct (format, channels,
+    * sample_rate, bits_per_sample, n_samples, duration_ms) with format
+    * in {wav, unknown}. A RIFF chunk walk (4-byte id + 4-byte LE size +
+    * payload, padded to even) locates the `fmt ` and `data` chunks
+    * after the 12-byte preamble; fmt-chunk layout per the PCM
+    * WAVEFORMAT: channels u16le at +2, sample rate u32le at +4, byte
+    * rate u32le at +8, block align u16le at +12, bits u16le at +14.
+    *
+    * Same linear `aggregate` fold shape as [[jpegSofOffset]], with one
+    * extra rule learned from profiling: EVERY output field is computed
+    * inside the fold's finish lambda, where the accumulator is a
+    * lambda variable evaluated once. Referencing `fold.getField(...)`
+    * from outside would splice a full copy of the walk into each of
+    * the six outputs (HOFs don't participate in codegen subexpression
+    * elimination), multiplying per-row cost ~40x. */
+  def parseWavHeader(media: Column, maxChunks: Int = WavMaxChunks): Column = {
+    val isRiff = length(media) >= 44 &&
+      hex(substring(media, 1, 4)) === lit("52494646") &&  // "RIFF"
+      hex(substring(media, 9, 4)) === lit("57415645")     // "WAVE"
     aggregate(
       sequence(lit(1), lit(maxChunks)),
       struct(lit(12L).as("off"),
@@ -117,32 +129,20 @@ object Multimodal {
           when(dsz.isNotNull, dsz)
             .when(ok && cid === lit("64617461"), csize).as("dsize"))       // "data"
       },
-      acc => struct(acc.getField("fmt").as("fmt"),
-        acc.getField("dsize").as("data_size")))
-
-  /** Parse a WAV (RIFF/WAVE) header: struct (format, channels,
-    * sample_rate, bits_per_sample, n_samples, duration_ms) with format
-    * in {wav, unknown}. fmt-chunk layout per the PCM WAVEFORMAT:
-    * channels u16le at +2, sample rate u32le at +4, byte rate u32le at
-    * +8, block align u16le at +12, bits u16le at +14. Pure column
-    * expressions, like [[parseImageHeader]]. */
-  def parseWavHeader(media: Column, maxChunks: Int = WavMaxChunks): Column = {
-    val isRiff = length(media) >= 44 &&
-      hex(substring(media, 1, 4)) === lit("52494646") &&  // "RIFF"
-      hex(substring(media, 9, 4)) === lit("57415645")     // "WAVE"
-    val ch = wavChunks(media, maxChunks)
-    val fmt = ch.getField("fmt")
-    val dsz = ch.getField("data_size")
-    val valid = isRiff && fmt.isNotNull && dsz.isNotNull
-    val blockAlign = leAt(media, fmt + lit(12L), 2)
-    val byteRate = leAt(media, fmt + lit(8L), 4)
-    struct(
-      when(valid, lit("wav")).otherwise(lit("unknown")).as("format"),
-      when(valid, leAt(media, fmt + lit(2L), 2)).as("channels"),
-      when(valid, leAt(media, fmt + lit(4L), 4)).as("sample_rate"),
-      when(valid, leAt(media, fmt + lit(14L), 2)).as("bits_per_sample"),
-      when(valid, floor(dsz / blockAlign).cast("long")).as("n_samples"),
-      when(valid, floor(dsz * lit(1000L) / byteRate).cast("long")).as("duration_ms"))
+      acc => {
+        val fmt = acc.getField("fmt")
+        val dsz = acc.getField("dsize")
+        val valid = isRiff && fmt.isNotNull && dsz.isNotNull
+        val blockAlign = leAt(media, fmt + lit(12L), 2)
+        val byteRate = leAt(media, fmt + lit(8L), 4)
+        struct(
+          when(valid, lit("wav")).otherwise(lit("unknown")).as("format"),
+          when(valid, leAt(media, fmt + lit(2L), 2)).as("channels"),
+          when(valid, leAt(media, fmt + lit(4L), 4)).as("sample_rate"),
+          when(valid, leAt(media, fmt + lit(14L), 2)).as("bits_per_sample"),
+          when(valid, floor(dsz / blockAlign).cast("long")).as("n_samples"),
+          when(valid, floor(dsz * lit(1000L) / byteRate).cast("long")).as("duration_ms"))
+      })
   }
 
   /** Deterministic synthetic WAV corpus from a documents table: real
@@ -154,6 +154,9 @@ object Multimodal {
   def syntheticWav(docs: DataFrame,
                    idCol: Column = col("doc_id"),
                    textCol: Column = col("text")): DataFrame = {
+    // see syntheticMedia: spread the compute-bound generator across
+    // cores instead of inheriting the docs table's single file split
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val id = idCol.cast("long")
     def le(v: Column, n: Int): Column = {
       val h = lpad(hex(v), 2 * n, "0")
@@ -188,7 +191,7 @@ object Multimodal {
       unhex(lit("52494646")), le(riffSize, 4), unhex(lit("57415645")),
       when(hasList, listChunk).otherwise(unhex(lit(""))),
       fmtChunk, dataChunk)
-    docs.select(id.as("media_id"),
+    spread.select(id.as("media_id"),
       when(id % 89L === 0L, body).otherwise(wav).as("media"))
   }
 
@@ -235,6 +238,11 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame,
                      idCol: Column = col("doc_id"),
                      textCol: Column = col("text")): DataFrame = {
+    // spread construction + downstream parse across cores: the docs
+    // table is small enough to scan as ONE file split, which would
+    // serialize this compute-bound generator (real media arrives
+    // pre-partitioned from a many-split scan)
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val id = idCol.cast("long")
     def be(v: Column, n: Int): Column = unhex(lpad(hex(v), 2 * n, "0"))
     val w = lit(16L) + id % 1009L
@@ -256,7 +264,7 @@ object Multimodal {
       unhex(lit("08")), be(h, 2), be(w, 2), be(ch, 1),        // precision, dims, ch
       unhex(lit("011100021100031100")).substr(lit(1L), ch * lit(3L)), // component specs
       unhex(lit("FFD9")))                                     // EOI
-    docs.select(id.as("media_id"),
+    spread.select(id.as("media_id"),
       when(id % 97L === 0L, body)   // headerless payload → format=unknown
         .when(id % 2L === 0L, png)
         .otherwise(jpeg).as("media"))

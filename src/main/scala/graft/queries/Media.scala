@@ -116,16 +116,22 @@ object Media {
   // rule) decoded back via the little-endian chunk walk.
   val q100_audio_meta: Q = (s, dir) => {
     val m = Multimodal.syntheticWav(Tables.load(s, dir, "documents"))
-    val meta = Multimodal.parseWavHeader(col("media"))
+    // two-step select: the chunk-walk fold is projected ONCE as `m`,
+    // then fields are extracted from the materialized struct — a
+    // single flat select would splice a copy of the walk into every
+    // output column (CollapseProject rightly refuses to merge these)
     m.select(
       col("media_id").as("doc_id"),
-      meta.getField("format").as("format"),
-      meta.getField("channels").as("channels"),
-      meta.getField("sample_rate").as("sample_rate"),
-      meta.getField("bits_per_sample").as("bits_per_sample"),
-      meta.getField("n_samples").as("n_samples"),
-      meta.getField("duration_ms").as("duration_ms"),
+      Multimodal.parseWavHeader(col("media")).as("m"),
       length(col("media")).cast("long").as("payload_bytes"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.n_samples").as("n_samples"),
+        col("m.duration_ms").as("duration_ms"),
+        col("payload_bytes"))
       .orderBy("doc_id")
   }
 

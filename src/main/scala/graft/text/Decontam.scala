@@ -22,13 +22,21 @@ object Decontam {
   private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Explode a token array into its n-gram 64-bit hashes (md5-prefix,
-    * cross-engine reproducible). Docs shorter than n emit nothing. */
+    * cross-engine reproducible). Docs shorter than n emit nothing.
+    *
+    * The tokenization is materialized in its OWN projection before the
+    * transform/explode: a higher-order-function lambda re-evaluates any
+    * captured non-attribute expression per array element, so inlining
+    * `split(...)` here would re-tokenize the document once per gram —
+    * measured 10x slower on the 54-token corpus docs. */
   private def gramHashes(df: DataFrame, id: Seq[Column], tokens: Column,
                          n: Int): DataFrame = {
+    val tk = col("__graft_toks")
     val grams = transform(
-      sequence(lit(0), size(tokens) - n),
-      i => array_join(slice(tokens, i + 1, lit(n)), " "))
-    df.filter(size(tokens) >= n)
+      sequence(lit(0), size(tk) - n),
+      i => array_join(slice(tk, i + 1, lit(n)), " "))
+    df.select(id :+ tokens.as("__graft_toks"): _*)
+      .filter(size(tk) >= n)
       .select(id :+ explode(grams).as("gram"): _*)
       .select(id :+ conv(substring(md5(col("gram")), 1, 8), 16, 10)
         .cast("long").as("gram_h"): _*)
