@@ -54,31 +54,6 @@ object Multimodal {
 
   private def u8At(media: Column, off: Column): Column = beAt(media, off, 1)
 
-  /** 0-based byte offset of the SOF marker in a JPEG payload, or null
-    * when none is found within [[JpegMaxSegments]] segments. Implemented
-    * as an `aggregate` HOF fold (state = (cursor, found)) so the
-    * expression tree stays LINEAR in the segment budget — an unrolled
-    * when-chain would double the tree per step. */
-  def jpegSofOffset(media: Column, maxSegments: Int = JpegMaxSegments): Column =
-    aggregate(
-      sequence(lit(1), lit(maxSegments)),
-      struct(lit(2L).as("off"), lit(null).cast("long").as("sof")),
-      (acc, _) => {
-        val off = acc.getField("off")
-        val sof = acc.getField("sof")
-        // a usable segment: nothing found yet, marker byte is FF, and
-        // the smallest SOF payload (10 bytes incl. marker+length) fits
-        val ok = sof.isNull &&
-          (off + lit(10L)) <= length(media).cast("long") &&
-          u8At(media, off) === lit(0xFFL)
-        val isSof = ok && u8At(media, off + lit(1L)).isin(JpegSofMarkers: _*)
-        struct(
-          when(isSof || !ok, off)
-            .otherwise(off + lit(2L) + beAt(media, off + lit(2L), 2)).as("off"),
-          when(sof.isNotNull, sof).when(isSof, off).as("sof"))
-      },
-      acc => acc.getField("sof"))
-
   /** Bounded depth of the RIFF chunk walk: optional LIST/INFO chunks
     * before fmt + data. */
   val WavMaxChunks = 4
@@ -98,7 +73,8 @@ object Multimodal {
     * WAVEFORMAT: channels u16le at +2, sample rate u32le at +4, byte
     * rate u32le at +8, block align u16le at +12, bits u16le at +14.
     *
-    * Same linear `aggregate` fold shape as [[jpegSofOffset]], with one
+    * Same linear `aggregate` fold shape as the JPEG marker walk in
+    * [[parseImageHeader]], with one
     * extra rule learned from profiling: EVERY output field is computed
     * inside the fold's finish lambda, where the accumulator is a
     * lambda variable evaluated once. Referencing `fold.getField(...)`
@@ -211,20 +187,47 @@ object Multimodal {
     val pngChannels = when(pngColor === 0L, 1L).when(pngColor === 2L, 3L)
       .when(pngColor === 3L, 1L).when(pngColor === 4L, 2L)
       .when(pngColor === 6L, 4L)
-    val sof = jpegSofOffset(media, maxSegments)
+    val nul = lit(null).cast("long")
+    val pngStruct = struct(lit("png").as("format"),
+      beAt(media, lit(16L), 4).as("width"),
+      beAt(media, lit(20L), 4).as("height"),
+      beAt(media, lit(24L), 1).as("bit_depth"),
+      pngChannels.cast("long").as("channels"))
     // SOF payload layout: marker(2) length(2) precision(1) height(2)
-    // width(2) nComponents(1) — T.81 §B.2.2
-    struct(
-      when(isPng, lit("png")).when(isJpeg, lit("jpeg"))
-        .otherwise(lit("unknown")).as("format"),
-      when(isPng, beAt(media, lit(16L), 4))
-        .when(isJpeg, beAt(media, sof + lit(7L), 2)).as("width"),
-      when(isPng, beAt(media, lit(20L), 4))
-        .when(isJpeg, beAt(media, sof + lit(5L), 2)).as("height"),
-      when(isPng, beAt(media, lit(24L), 1))
-        .when(isJpeg, beAt(media, sof + lit(4L), 1)).as("bit_depth"),
-      when(isPng, pngChannels)
-        .when(isJpeg, beAt(media, sof + lit(9L), 1)).as("channels"))
+    // width(2) nComponents(1) — T.81 §B.2.2. All four dimension fields
+    // are computed inside the fold's finish lambda (acc is evaluated
+    // once) — see parseWavHeader for why reading the fold result from
+    // outside would splice a copy of the marker walk into each field.
+    val jpegStruct = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(2L).as("off"), nul.as("sof")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val sof = acc.getField("sof")
+        // a usable segment: nothing found yet, marker byte is FF, and
+        // the smallest SOF payload (10 bytes incl. marker+length) fits
+        val ok = sof.isNull &&
+          (off + lit(10L)) <= length(media).cast("long") &&
+          u8At(media, off) === lit(0xFFL)
+        val isSof = ok && u8At(media, off + lit(1L)).isin(JpegSofMarkers: _*)
+        struct(
+          when(isSof || !ok, off)
+            .otherwise(off + lit(2L) + beAt(media, off + lit(2L), 2)).as("off"),
+          when(sof.isNotNull, sof).when(isSof, off).as("sof"))
+      },
+      acc => {
+        val sof = acc.getField("sof")
+        struct(lit("jpeg").as("format"),
+          beAt(media, sof + lit(7L), 2).as("width"),
+          beAt(media, sof + lit(5L), 2).as("height"),
+          beAt(media, sof + lit(4L), 1).as("bit_depth"),
+          beAt(media, sof + lit(9L), 1).as("channels"))
+      })
+    val unknownStruct = struct(lit("unknown").as("format"),
+      nul.as("width"), nul.as("height"), nul.as("bit_depth"), nul.as("channels"))
+    // when() evaluates only the matching branch per row, so the jpeg
+    // walk runs once per jpeg row and never for png/unknown rows
+    when(isPng, pngStruct).when(isJpeg, jpegStruct).otherwise(unknownStruct)
   }
 
   /** Deterministic synthetic media corpus derived from a documents

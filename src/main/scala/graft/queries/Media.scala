@@ -26,15 +26,18 @@ object Media {
   // SOF offset per row) decoded back via the header parsers.
   val q97_image_meta: Q = (s, dir) => {
     val m = Multimodal.syntheticMedia(Tables.load(s, dir, "documents"))
-    val meta = Multimodal.parseImageHeader(col("media"))
+    // two-step select, like q100: the parse struct is projected once
     m.select(
       col("media_id").as("doc_id"),
-      meta.getField("format").as("format"),
-      meta.getField("width").as("width"),
-      meta.getField("height").as("height"),
-      meta.getField("bit_depth").as("bit_depth"),
-      meta.getField("channels").as("channels"),
+      Multimodal.parseImageHeader(col("media")).as("m"),
       length(col("media")).cast("long").as("payload_bytes"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"),
+        col("payload_bytes"))
       .orderBy("doc_id")
   }
 
