@@ -230,6 +230,103 @@ object Multimodal {
     when(isPng, pngStruct).when(isJpeg, jpegStruct).otherwise(unknownStruct)
   }
 
+  /** Parse an AVI (RIFF/'AVI ') header: struct (format, width, height,
+    * n_frames, n_streams, micro_sec_per_frame, duration_ms) with format
+    * in {avi, unknown}. The top-level RIFF walk skips alignment JUNK
+    * chunks to the LIST/'hdrl' chunk, whose mandatory first child is
+    * the 56-byte 'avih' MainAVIHeader (OpenDML / MSDN AVIMAINHEADER:
+    * dwMicroSecPerFrame at +0, dwTotalFrames at +16, dwStreams at +24,
+    * dwWidth at +32, dwHeight at +36 — all u32le). Same finish-lambda
+    * fold as [[parseWavHeader]]. */
+  def parseAviHeader(media: Column, maxChunks: Int = WavMaxChunks): Column = {
+    val isAvi = length(media) >= 88 &&
+      hex(substring(media, 1, 4)) === lit("52494646") &&  // "RIFF"
+      hex(substring(media, 9, 4)) === lit("41564920")     // "AVI "
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(12L).as("off"), lit(null).cast("long").as("hdrl")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val hdrl = acc.getField("hdrl")
+        val ok = hdrl.isNull && (off + lit(12L)) <= length(media).cast("long")
+        val cid = hex(media.substr(off + lit(1L), lit(4L)))
+        val four = hex(media.substr(off + lit(9L), lit(4L)))
+        val csize = leAt(media, off + lit(4L), 4)
+        val isHdrl = ok && cid === lit("4C495354") && four === lit("6864726C")
+        struct(
+          when(ok && !isHdrl, off + lit(8L) + csize + csize % lit(2L))
+            .otherwise(off).as("off"),
+          when(hdrl.isNotNull, hdrl)
+            .when(isHdrl, off + lit(8L)).as("hdrl")) // offset of the 'hdrl' fourcc
+      },
+      acc => {
+        val hdrl = acc.getField("hdrl")
+        // the avih chunk header sits right after the 'hdrl' fourcc;
+        // its payload (the MainAVIHeader) 8 bytes further
+        val avih = hdrl + lit(12L)
+        val valid = isAvi && hdrl.isNotNull &&
+          hex(media.substr(hdrl + lit(5L), lit(4L))) === lit("61766968") // "avih"
+        val mspf = leAt(media, avih, 4)
+        val frames = leAt(media, avih + lit(16L), 4)
+        struct(
+          when(valid, lit("avi")).otherwise(lit("unknown")).as("format"),
+          when(valid, leAt(media, avih + lit(32L), 4)).as("width"),
+          when(valid, leAt(media, avih + lit(36L), 4)).as("height"),
+          when(valid, frames).as("n_frames"),
+          when(valid, leAt(media, avih + lit(24L), 4)).as("n_streams"),
+          when(valid, mspf).as("micro_sec_per_frame"),
+          when(valid, floor(frames * mspf / lit(1000L)).cast("long")).as("duration_ms"))
+      })
+  }
+
+  /** Deterministic synthetic AVI corpus: real RIFF/'AVI ' byte streams
+    * — an optional odd-length JUNK alignment chunk before LIST/'hdrl'
+    * (shifts the header offset AND exercises pad-to-even), the 56-byte
+    * avih MainAVIHeader, and a minimal LIST/'movi'. */
+  def syntheticAvi(docs: DataFrame,
+                   idCol: Column = col("doc_id"),
+                   textCol: Column = col("text")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    def le(v: Column, n: Int): Column = {
+      val h = lpad(hex(v), 2 * n, "0")
+      unhex(concat((n - 1 to 0 by -1).map(i => h.substr(lit(2 * i + 1), lit(2))): _*))
+    }
+    val body = unhex(md5(textCol))
+    val mspf = when(id % 3L === 0L, 33333L).when(id % 3L === 1L, 41708L)
+      .otherwise(16667L) // ~30 / ~23.976 / ~60 fps
+    val frames = lit(10L) + id % 990L
+    val streams = lit(1L) + id % 2L
+    val w = lit(160L) + id % 1280L
+    val h = lit(120L) + (id * 3L) % 720L
+    val junkLen = id % 11L + 1L // 1..11 → odd sizes exercise padding
+    val junk = concat(
+      unhex(lit("4A554E4B")), le(junkLen, 4),                  // "JUNK"
+      body.substr(lit(1L), junkLen),
+      when(junkLen % 2L === 1L, unhex(lit("00"))).otherwise(unhex(lit(""))))
+    val avih = concat(
+      unhex(lit("61766968")), le(lit(56L), 4),                 // "avih", size 56
+      le(mspf, 4), le(lit(0L), 4), le(lit(0L), 4), le(lit(16L), 4), // mspf, maxbps, pad, flags
+      le(frames, 4), le(lit(0L), 4), le(streams, 4), le(lit(0L), 4), // frames, initial, streams, bufsize
+      le(w, 4), le(h, 4),
+      le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4)) // dwReserved[4]
+    val hdrlList = concat(
+      unhex(lit("4C495354")), le(lit(68L), 4), unhex(lit("6864726C")), // LIST 68 hdrl
+      avih)
+    val moviList = concat(
+      unhex(lit("4C495354")), le(lit(4L), 4), unhex(lit("6D6F7669"))) // LIST 4 movi
+    val hasJunk = id % 2L === 0L
+    val riffSize = lit(4L) +
+      when(hasJunk, lit(8L) + junkLen + junkLen % lit(2L)).otherwise(lit(0L)) +
+      lit(76L) + lit(12L) // hdrl LIST (8+68) + movi LIST (8+4)
+    val avi = concat(
+      unhex(lit("52494646")), le(riffSize, 4), unhex(lit("41564920")),
+      when(hasJunk, junk).otherwise(unhex(lit(""))),
+      hdrlList, moviList)
+    spread.select(id.as("media_id"),
+      when(id % 83L === 0L, body).otherwise(avi).as("media"))
+  }
+
   /** Deterministic synthetic media corpus derived from a documents
     * table: REAL format byte streams (PNG signature + IHDR; JPEG
     * SOI → APP0/JFIF → variable-length COM → SOF0 → EOI), dimensions

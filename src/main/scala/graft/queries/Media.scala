@@ -209,11 +209,93 @@ object Media {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q102
+  // Synthetic AVI corpus (real RIFF/'AVI ' streams; an optional
+  // odd-length JUNK chunk shifts the LIST/'hdrl' offset and exercises
+  // padding) decoded back via the avih MainAVIHeader walk.
+  val q102_video_meta: Q = (s, dir) => {
+    val m = Multimodal.syntheticAvi(Tables.load(s, dir, "documents"))
+    m.select(
+      col("media_id").as("doc_id"),
+      Multimodal.parseAviHeader(col("media")).as("m"),
+      length(col("media")).cast("long").as("payload_bytes"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.n_frames").as("n_frames"),
+        col("m.n_streams").as("n_streams"),
+        col("m.micro_sec_per_frame").as("micro_sec_per_frame"),
+        col("m.duration_ms").as("duration_ms"),
+        col("payload_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val q102_sql: String = {
+    val inBounds = "off + 12 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"hdrl IS NULL AND $inBounds"
+    val isHdrl = s"$open AND substr(hexs, 2*off + 1, 8) = '4C495354'" +
+      " AND substr(hexs, 2*off + 17, 8) = '6864726C'"
+    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
+      s"""s$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open AND NOT ($isHdrl)
+         |       THEN off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2
+         |       ELSE off END AS off,
+         |  CASE WHEN hdrl IS NOT NULL THEN hdrl
+         |       WHEN $isHdrl THEN off + 8 END AS hdrl
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val mspf = "(CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 41708 ELSE 16667 END)"
+    val frames = "(10 + doc_id % 990)"
+    val streams = "(1 + doc_id % 2)"
+    val w = "(160 + doc_id % 1280)"
+    val h = "(120 + (doc_id * 3) % 720)"
+    val junkLen = "(doc_id % 11 + 1)"
+    val zero4 = lew("0", 4)
+    s"""WITH m AS (SELECT doc_id, upper(CASE
+       |    WHEN doc_id % 83 = 0 THEN md5(text)
+       |    ELSE '52494646'
+       |      || ${lew(s"4 + CASE WHEN doc_id % 2 = 0 THEN 8 + $junkLen + $junkLen % 2 ELSE 0 END + 76 + 12", 4)}
+       |      || '41564920'
+       |      || CASE WHEN doc_id % 2 = 0 THEN
+       |           '4A554E4B' || ${lew(junkLen, 4)}
+       |           || substr(md5(text), 1, CAST(2 * $junkLen AS INT))
+       |           || CASE WHEN $junkLen % 2 = 1 THEN '00' ELSE '' END
+       |         ELSE '' END
+       |      || '4C495354' || ${lew("68", 4)} || '6864726C'
+       |      || '61766968' || ${lew("56", 4)}
+       |      || ${lew(mspf, 4)} || $zero4 || $zero4 || ${lew("16", 4)}
+       |      || ${lew(frames, 4)} || $zero4 || ${lew(streams, 4)} || $zero4
+       |      || ${lew(w, 4)} || ${lew(h, 4)} || $zero4 || $zero4 || $zero4 || $zero4
+       |      || '4C495354' || ${lew("4", 4)} || '6D6F7669'
+       |  END) AS hexs FROM documents),
+       |s0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
+       |       CAST(NULL AS BIGINT) AS hdrl FROM m),
+       |$steps,
+       |p AS (SELECT doc_id, hexs, hdrl,
+       |   substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '41564920'
+       |     AND length(hexs) >= 176 AND hdrl IS NOT NULL
+       |     AND substr(hexs, 2*(hdrl + 4) + 1, 8) = '61766968' AS ok
+       | FROM s${Multimodal.WavMaxChunks})
+       |SELECT doc_id,
+       |  CASE WHEN ok THEN 'avi' ELSE 'unknown' END AS format,
+       |  CASE WHEN ok THEN ${ln("hdrl + 12 + 32", 4)} END AS width,
+       |  CASE WHEN ok THEN ${ln("hdrl + 12 + 36", 4)} END AS height,
+       |  CASE WHEN ok THEN ${ln("hdrl + 12 + 16", 4)} END AS n_frames,
+       |  CASE WHEN ok THEN ${ln("hdrl + 12 + 24", 4)} END AS n_streams,
+       |  CASE WHEN ok THEN ${ln("hdrl + 12", 4)} END AS micro_sec_per_frame,
+       |  CASE WHEN ok THEN CAST(floor(${ln("hdrl + 12 + 16", 4)} * ${ln("hdrl + 12", 4)} / 1000) AS BIGINT) END AS duration_ms,
+       |  CAST(length(hexs) / 2 AS BIGINT) AS payload_bytes
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q97_image_meta" -> q97_image_meta,
-    "q100_audio_meta" -> q100_audio_meta)
+    "q100_audio_meta" -> q100_audio_meta,
+    "q102_video_meta" -> q102_video_meta)
 
   val oracle: Map[String, String] = Map(
     "q97_image_meta" -> q97_sql,
-    "q100_audio_meta" -> q100_sql)
+    "q100_audio_meta" -> q100_sql,
+    "q102_video_meta" -> q102_sql)
 }

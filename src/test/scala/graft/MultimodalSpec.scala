@@ -149,6 +149,64 @@ class MultimodalSpec extends SparkSpec {
     assert(parseWav(hexToBytes("524946460400000057415645")).getString(0) === "unknown")
   }
 
+  private def parseAvi(payload: Array[Byte]): Row = {
+    import spark.implicits._
+    Seq(Tuple1(payload)).toDF("media")
+      .select(Multimodal.parseAviHeader(col("media")).as("m"))
+      .select("m.format", "m.width", "m.height", "m.n_frames", "m.n_streams",
+        "m.micro_sec_per_frame", "m.duration_ms")
+      .head()
+  }
+
+  test("parseAviHeader decodes a hand-built RIFF/'AVI ' with a JUNK chunk before hdrl") {
+    // RIFF/AVI, 3-byte JUNK (+1 pad), LIST/hdrl with a 56-byte avih:
+    // 320x240, 100 frames, 1 stream, 33333 us/frame -> 3333 ms
+    val avi = hexToBytes(
+      "52494646" + "66000000" + "41564920" +
+        "4a554e4b" + "03000000" + "aabbcc" + "00" +
+        "4c495354" + "44000000" + "6864726c" +
+        "61766968" + "38000000" +
+        "35820000" + "00000000" + "00000000" + "10000000" + // mspf=33333
+        "64000000" + "00000000" + "01000000" + "00000000" + // frames=100, streams=1
+        "40010000" + "f0000000" +                            // w=320, h=240
+        "00000000" + "00000000" + "00000000" + "00000000" +
+        "4c495354" + "04000000" + "6d6f7669")
+    assert(parseAvi(avi) === Row("avi", 320L, 240L, 100L, 1L, 33333L, 3333L))
+  }
+
+  test("parseAviHeader: garbage and non-AVI RIFF payloads are unknown") {
+    assert(parseAvi("not a video".getBytes("UTF-8")).getString(0) === "unknown")
+    // a valid WAV is RIFF but not 'AVI ' — must not parse as avi
+    val wav = hexToBytes(
+      "52494646" + "2c000000" + "57415645" +
+        "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+        "803e0000" + "0200" + "1000" + "64617461" + "08000000" + "0011223344556677")
+    assert(parseAvi(wav).getString(0) === "unknown")
+  }
+
+  test("syntheticAvi round-trips through parseAviHeader") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val parsed = Multimodal.syntheticAvi(docs)
+      .select(col("media_id"), Multimodal.parseAviHeader(col("media")).as("m"))
+      .select(col("media_id"), col("m.format"), col("m.width"), col("m.height"),
+        col("m.n_frames"), col("m.n_streams"))
+      .collect()
+    assert(parsed.length === 200)
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 83 == 0) {
+        assert(r.getString(1) === "unknown", s"id=$id")
+      } else {
+        assert(r.getString(1) === "avi", s"id=$id")
+        assert(r.getLong(2) === 160 + id % 1280, s"width id=$id")
+        assert(r.getLong(3) === 120 + (id * 3) % 720, s"height id=$id")
+        assert(r.getLong(4) === 10 + id % 990, s"frames id=$id")
+        assert(r.getLong(5) === 1 + id % 2, s"streams id=$id")
+      }
+    }
+  }
+
   test("syntheticWav round-trips through parseWavHeader") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
