@@ -8,11 +8,11 @@ import graft.operators.Sampling
 import graft.text.{Packing, TextAnalysis}
 
 /** The end-to-end corpus-cleaning composition a training-data team
-  * actually runs — quality gate → exact dedup → near-dup clustering →
-  * canonical selection → deterministic sample → sequence packing —
-  * wired from the library's operators so a user gets the whole pipeline
-  * as one call. Every stage is a lazy DataFrame transform; stage counts
-  * are the only actions.
+  * actually runs — quality gate → benchmark decontamination → exact
+  * dedup → near-dup clustering → canonical selection → deterministic
+  * sample → sequence packing — wired from the library's operators so a
+  * user gets the whole pipeline as one call. Every stage is a lazy
+  * DataFrame transform; stage counts are the only actions.
   *
   * Scale shape: the gate and fingerprints are per-row expressions; the
   * dedup stages shuffle content hashes and (band, hash, id) keys only;
@@ -29,6 +29,9 @@ object CorpusPipeline {
       minStopwordRatio: Double = 0.01,
       maxPunctRatio: Double = 0.2,
       nearDupThreshold: Double = 0.8,
+      benchmark: Option[DataFrame] = None,
+      decontamN: Int = 8,
+      benchTextCol: String = "text",
       sampleFraction: Double = 1.0,
       sampleSeed: Long = 42L,
       packBudget: Int = 2048)
@@ -54,24 +57,41 @@ object CorpusPipeline {
       .drop("n_chars", "avg_token_len", "stopword_ratio", "punct_ratio")
     counts += ("quality_gate" -> gated.count())
 
-    // 2. exact dedup: min-id representative per identical content
-    val exact = Dedup.dropExactDups(gated, id, text)
+    // 2. benchmark decontamination (when an eval set is supplied):
+    //    drop any doc sharing a word n-gram with the benchmark — the
+    //    leakage check belongs BEFORE dedup so a contaminated doc can't
+    //    become its cluster's surviving canonical
+    val decontaminated = cfg.benchmark match {
+      case Some(bench) =>
+        val flagged = graft.text.Decontam.contaminationReport(
+          gated, bench, cfg.decontamN,
+          idCol = id.toString(), textCol = text.toString(),
+          benchTextCol = cfg.benchTextCol)
+          .select(id.as("__contaminated_id"))
+        gated.join(flagged, id === col("__contaminated_id"), "left_anti")
+      case None => gated
+    }
+    if (cfg.benchmark.isDefined)
+      counts += ("decontaminate" -> decontaminated.count())
+
+    // 3. exact dedup: min-id representative per identical content
+    val exact = Dedup.dropExactDups(decontaminated, id, text)
     counts += ("exact_dedup" -> exact.count())
 
-    // 3. near-dup clustering: LSH pairs → components → keep the
+    // 4. near-dup clustering: LSH pairs → components → keep the
     //    component label (min id); docs outside any component survive
     val pairs = Dedup.minhashNearDups(exact, id, text, cfg.nearDupThreshold)
     val nearDeduped = Dedup.keepCanonical(exact, id, pairs)
     counts += ("near_dedup" -> nearDeduped.count())
 
-    // 4. deterministic key-hash sample
+    // 5. deterministic key-hash sample
     val sampled =
       if (cfg.sampleFraction >= 1.0) nearDeduped
       else Sampling.deterministicSample(nearDeduped,
         Seq(id.toString()), cfg.sampleFraction, cfg.sampleSeed)
     counts += ("sample" -> sampled.count())
 
-    // 5. sequence packing into token-budget batches
+    // 6. sequence packing into token-budget batches
     val packed = Packing.packSequential(sampled, col("n_tokens"),
       cfg.packBudget, Seq(id))
     Result(packed, counts.result())

@@ -40,4 +40,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.select("doc_id", "batch_id").collect().toSet ===
       again.cleaned.select("doc_id", "batch_id").collect().toSet)
   }
+
+  test("clean with a benchmark: contaminated docs are dropped before dedup") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val base = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10))
+    // an eval set built from slices of two surviving docs — those docs
+    // (and any doc sharing the 5-gram) must vanish from the output
+    val survivors = base.cleaned.select("doc_id").as[Long].collect().sorted.take(2)
+    val bench = docs.filter(col("doc_id").isin(survivors: _*))
+      .select(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 3, 7), " ")
+        .as("text"))
+    val res = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, benchmark = Some(bench), decontamN = 5))
+    val counts = res.stageCounts.toMap
+    assert(res.stageCounts.map(_._1).contains("decontaminate"))
+    assert(counts("decontaminate") < counts("quality_gate")) // it actually dropped
+    val outIds = res.cleaned.select("doc_id").as[Long].collect().toSet
+    survivors.foreach(s => assert(!outIds.contains(s), s"doc $s leaked through"))
+  }
 }
