@@ -111,7 +111,36 @@ object GraftExtensions {
         TokenSetCount(args(0),
           literalStringSet("token_set_count.dict", args(1)),
           literalBoolean("token_set_count.lowercase", args(2)))
+      }),
+    // the media header parsers are Column-composed expression trees
+    // (substr/conv/aggregate-fold over BinaryType), not native kernels;
+    // the builder splices the same tree the DataFrame API would build
+    (FunctionIdentifier("parse_image_header"),
+      info("parse_image_header",
+        "parse_image_header(media) - (format, width, height, bit_depth, channels) from PNG/JPEG bytes"),
+      (args: Seq[Expression]) => {
+        requireArgs("parse_image_header", 1, args)
+        columnExpr(graft.multimodal.Multimodal.parseImageHeader(bridgeCol(args(0))))
+      }),
+    (FunctionIdentifier("parse_wav_header"),
+      info("parse_wav_header",
+        "parse_wav_header(media) - (format, channels, sample_rate, bits_per_sample, n_samples, duration_ms) from RIFF/WAVE bytes"),
+      (args: Seq[Expression]) => {
+        requireArgs("parse_wav_header", 1, args)
+        columnExpr(graft.multimodal.Multimodal.parseWavHeader(bridgeCol(args(0))))
+      }),
+    (FunctionIdentifier("parse_avi_header"),
+      info("parse_avi_header",
+        "parse_avi_header(media) - (format, width, height, n_frames, n_streams, micro_sec_per_frame, duration_ms) from RIFF/AVI bytes"),
+      (args: Seq[Expression]) => {
+        requireArgs("parse_avi_header", 1, args)
+        columnExpr(graft.multimodal.Multimodal.parseAviHeader(bridgeCol(args(0))))
       }))
+
+  private def bridgeCol(e: Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def columnExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(c)
 
   /** Register on an already-running session (the extensions hook only
     * applies at session build time). */

@@ -14,6 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode → catalyst conversion. `expression` returns a
+    * lazy `ColumnNodeExpression` wrapper, which Dataset APIs unwrap at
+    * plan construction — but a `FunctionRegistry` builder's output goes
+    * straight into the analyzer, which treats the wrapper as an opaque
+    * resolved leaf (it reports NullType → the function "returns" void).
+    * SQL-function builders must convert through this instead. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * `SparkSessionExtensions` hook only applies at session build). */
   def registerFunction(spark: SparkSession, ident: FunctionIdentifier,

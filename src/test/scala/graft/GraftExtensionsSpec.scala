@@ -43,6 +43,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("media header parsers from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val docs = (0L until 50L).map(i => (i, s"doc body $i"))
+      .toDF("doc_id", "text")
+    // WAV: SQL function vs Column API over the same synthetic corpus
+    val wav = Multimodal.syntheticWav(docs)
+    wav.createOrReplaceTempView("gx_wav")
+    val viaSql = spark.sql(
+      "SELECT media_id, parse_wav_header(media) AS m FROM gx_wav")
+      .select("media_id", "m.format", "m.sample_rate", "m.n_samples")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2), r.get(3))).toMap
+    val viaApi = wav.select(col("media_id"),
+      Multimodal.parseWavHeader(col("media")).as("m"))
+      .select("media_id", "m.format", "m.sample_rate", "m.n_samples")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2), r.get(3))).toMap
+    assert(viaSql === viaApi)
+    // image + avi: smoke via selectExpr on one payload each
+    val img = Multimodal.syntheticMedia(docs.filter(col("doc_id") === 2))
+      .selectExpr("parse_image_header(media) AS m").select("m.format").head()
+    assert(img.getString(0) === "png")
+    val avi = Multimodal.syntheticAvi(docs.filter(col("doc_id") === 2))
+      .selectExpr("parse_avi_header(media) AS m").select("m.format", "m.width").head()
+    assert(avi.getString(0) === "avi" && avi.getLong(1) === 162L)
+  }
+
   test("non-literal kernel parameters are rejected") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array(1L), id + 1, 42) FROM range(1)").collect()
