@@ -173,9 +173,8 @@ class StreamingSpec extends SparkSpec {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
-    val deduped = mem.toDF().toDF("ts", "doc_id", "text")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("doc_id")
+    val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), Seq("doc_id"), "ts", "10 minutes")
     val q = deduped.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
@@ -183,10 +182,21 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData((t(3), 1L, "a-again"), (t(4), 3L, "c"))
     q.processAllAvailable()
-    q.stop()
     val ids = spark.table("dedup_stream").select("doc_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(ids === Seq(1L, 2L, 3L)) // replays of doc 1 dropped across batches
+    // the guarantee is exactly-once WITHIN the horizon: advance the
+    // watermark far past doc 1's entry (state evicted), then replay it —
+    // the late duplicate is re-admitted, which is exactly why the
+    // downstream keyed upsert stays in the topology for true end-to-end
+    // idempotency
+    mem.addData((t(40), 4L, "d")) // watermark → 10:30, evicts doc 1 state
+    q.processAllAvailable()
+    mem.addData((t(41), 1L, "a-after-horizon"))
+    q.processAllAvailable()
+    q.stop()
+    val replayed = spark.table("dedup_stream").filter(col("doc_id") === 1L).count()
+    assert(replayed === 2L) // original + post-horizon replay
     spark.sql("DROP TABLE IF EXISTS dedup_stream")
   }
 
