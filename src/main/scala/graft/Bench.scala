@@ -53,10 +53,7 @@ object Bench {
     // query exists to measure.
     // Optional name filter for fast local iteration (mirrors Verify);
     // the driver sets nothing and benches the full set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected =
-      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

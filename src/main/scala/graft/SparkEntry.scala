@@ -27,6 +27,20 @@ object SparkEntry {
       graft.queries.Media.all ++
       graft.queries.Governance.all
 
+  /** Queries selected by the optional comma-separated name filter
+    * (`SPARK_GRAFT_ONLY` in Verify/Bench). Unknown names are an ERROR —
+    * a typo must not produce a silently-empty artifact that looks like
+    * a valid run. `None` (the driver) gets the full map. */
+  def selected(only: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    only.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case None => queries
+      case Some(names) =>
+        val unknown = names.diff(queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown query names in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+        queries.view.filterKeys(names).toMap
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     *

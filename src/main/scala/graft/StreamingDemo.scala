@@ -71,7 +71,9 @@ object StreamingDemo {
     query.processAllAvailable()
     query.stop()
 
-    val warehouse = spark.read.parquet(table)
+    // the merge sink writes versioned vNNNNNNNN dirs — read the
+    // committed snapshot through its reader, not the bare root
+    val warehouse = graft.streaming.UpsertSink.ParquetMergeSink.read(spark, table)
     println(s"warehouse rows: ${warehouse.count()} (expect 781, replay-safe)")
     graft.analytics.Views.register(spark, warehouse.select(
       col("Country").as("country"), col("Year").as("year"),

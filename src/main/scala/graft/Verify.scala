@@ -17,11 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated name filter for fast local iteration on a
     // single query; the driver sets nothing and gets the full dump.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter(kv => only(kv._1))
+    val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -122,7 +122,7 @@ object Governance {
   val q101_sql: String = {
     val n = BenchN
     def gh(arr: String, i: String) =
-      s"CAST('0x' || substr(md5(array_to_string(list_slice($arr, $i, $i + ${n - 1}), ' ')), 1, 8) AS BIGINT)"
+      s"CAST('0x' || substr(md5(array_to_string(list_slice($arr, $i, $i + ${n - 1}), ' ')), 1, 15) AS BIGINT)"
     s"""WITH toks AS (SELECT doc_id,
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
        |b AS (SELECT list_slice(t, 3, ${n + 4}) AS bt FROM toks

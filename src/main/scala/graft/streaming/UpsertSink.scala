@@ -198,11 +198,15 @@ object UpsertSink {
         .map(st => st.getPath.getName.drop(1).toLong -> st.getPath)
         .sortBy(_._1)
 
-    /** Resolve the active version: `_latest` hint first (validated — a
-      * hint naming a dir without `_SUCCESS` is ignored), listing as the
-      * source of truth. */
+    /** Resolve the active version. The LISTING is authoritative: the
+      * `_latest` hint is only consulted as a candidate alongside the
+      * highest listed committed version, and the maximum of the two
+      * wins. A stale hint (crash or swallowed IOException between job
+      * commit and pointer flip leaves it one version behind) must never
+      * roll the table back to an older snapshot — basing the next merge
+      * on it would silently drop the committed-but-unhinted rows. */
     def latestVersionPath(fs: FileSystem, root: Path): Option[Path] = {
-      val hinted =
+      val hinted: Option[(Long, Path)] =
         try {
           val ptr = new Path(root, Pointer)
           if (!fs.exists(ptr)) None
@@ -213,9 +217,11 @@ object UpsertSink {
               finally in.close()
             Some(new Path(root, name))
               .filter(p => name.matches("v\\d{8}") && fs.exists(new Path(p, "_SUCCESS")))
+              .map(p => name.drop(1).toLong -> p)
           }
         } catch { case _: java.io.IOException => None }
-      hinted.orElse(committedVersions(fs, root).lastOption.map(_._2))
+      (hinted.toSeq ++ committedVersions(fs, root).lastOption.toSeq)
+        .sortBy(_._1).lastOption.map(_._2)
     }
 
     /** Read the current committed snapshot. Throws when the table has no

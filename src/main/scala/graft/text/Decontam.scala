@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: the benchmark side is an eval set — megabytes, not
   * terabytes — so its distinct gram set is BROADCAST and the corpus
-  * side never shuffles its text at all: grams are hashed to 64-bit
-  * md5-prefix keys in the scan projection, the broadcast hash join
-  * filters them map-side, and only (doc_id, gram_hash) survivors reach
+  * side never shuffles its text at all: grams are hashed to 60-bit
+  * md5-prefix keys (15 hex chars, the repo convention for
+  * membership-bearing hashes — 32 bits would produce false-positive
+  * contamination hits at real corpus scale) in the scan projection,
+  * the broadcast hash join filters them map-side, and only (doc_id, gram_hash) survivors reach
   * the one aggregation shuffle. For a benchmark too big to broadcast,
   * pass `broadcastBench = false` to fall back to a plain shuffled
   * equi-join on the same hashed keys.
@@ -21,7 +23,7 @@ object Decontam {
 
   private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Explode a token array into its n-gram 64-bit hashes (md5-prefix,
+  /** Explode a token array into its n-gram 60-bit hashes (md5-prefix,
     * cross-engine reproducible). Docs shorter than n emit nothing.
     *
     * The tokenization is materialized in its OWN projection before the
@@ -38,7 +40,7 @@ object Decontam {
     df.select(id :+ tokens.as("__graft_toks"): _*)
       .filter(size(tk) >= n)
       .select(id :+ explode(grams).as("gram"): _*)
-      .select(id :+ conv(substring(md5(col("gram")), 1, 8), 16, 10)
+      .select(id :+ conv(substring(md5(col("gram")), 1, 15), 16, 10)
         .cast("long").as("gram_h"): _*)
   }
 

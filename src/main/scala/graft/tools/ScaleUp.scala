@@ -52,11 +52,19 @@ object ScaleUp {
     "events" -> Map("event_id" -> "event", "user_id" -> "user"))
 
   private val Vowels = "aeiouAEIOU"
+  private val Digits = "0123456789"
 
-  /** Per-replica text perturbation: rotate the vowel alphabet by `i`. */
+  private def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+
+  /** Per-replica text perturbation: vowel rotation (1..9, never the
+    * identity) composed with digit rotation. Two replicas share a map
+    * only when i ≡ j (mod 90) — the earlier single rotation had period
+    * 5, so factor > 5 produced byte-identical text across replicas and
+    * quadratic near-dup growth, exactly what this tool must avoid. */
   private def perturbText(c: Column, i: Int): Column =
     if (i == 0) c
-    else translate(c, Vowels, Vowels.drop(i % 5) + Vowels.take(i % 5))
+    else translate(translate(c, Vowels, rot(Vowels, i % 9 + 1)),
+      Digits, rot(Digits, i % 10))
 
   /** Per-replica embedding perturbation: rotate the array by 7·i. */
   private def perturbVec(c: Column, i: Int, dim: Int = 64): Column =

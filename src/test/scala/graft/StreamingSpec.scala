@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertSink.ParquetMergeSink.read(spark, path).count() === 3)
   }
 
+  test("versioned merge: a STALE pointer hint cannot roll the table back") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_stale").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    UpsertSink.ParquetMergeSink.merge(Seq(("a", 1.0)).toDF("k", "v"), path, Seq("k"))
+    UpsertSink.ParquetMergeSink.merge(Seq(("b", 2.0)).toDF("k", "v"), path, Seq("k"))
+    // simulate a swallowed pointer-flip failure: v2 committed but the
+    // hint still names v1 (a VALID committed dir, so hint validation
+    // alone would accept it)
+    val out = fs.create(new Path(path, "_latest"), true)
+    out.write("v00000001".getBytes("UTF-8")); out.close()
+    // the reader must follow the listing, not the stale hint
+    val seen = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(seen === Map("a" -> 1.0, "b" -> 2.0), "stale hint rolled the read back")
+    // and the next merge must base on v2 — with the hint load-bearing,
+    // b's committed row would vanish from v3
+    UpsertSink.ParquetMergeSink.merge(Seq(("c", 3.0)).toDF("k", "v"), path, Seq("k"))
+    val after = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after === Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0),
+      "stale hint dropped a committed batch")
+  }
+
   test("ON CONFLICT SQL matches the reference's upsert shape") {
     val sql = UpsertSink.onConflictSql("predictions",
       Seq("country", "year", "y_pred"), Seq("country", "year"))
