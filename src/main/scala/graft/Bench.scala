@@ -54,10 +54,20 @@ object Bench {
     // Optional name filter for fast local iteration (mirrors Verify);
     // the driver sets nothing and benches the full set.
     val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
+    // SPARK_GRAFT_BENCH_WARM=1 runs each query once untimed first, so
+    // the recorded number measures throughput rather than the one-time
+    // Catalyst planning + interpreter JIT that dominates the heaviest
+    // expression-tree queries at small SFs (q100: 10.9s cold vs 1.3s
+    // warm). The driver leaves it unset → cold, comparable across
+    // rounds; BENCH_NOTES quotes warm numbers from this switch.
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Unit =
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      if (warm) once()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      once()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -67,7 +77,7 @@ object Bench {
     val tsEnd = System.currentTimeMillis()
     val env = s""""env":{"cpus":$cpus,"loadavg_start":$loadStart,""" +
       s""""loadavg_end":$loadEnd,"ts_start_ms":$tsStart,"ts_end_ms":$tsEnd,""" +
-      s""""contended":${loadStart > 2.0}}"""
+      s""""contended":${loadStart > 2.0},"mode":"${if (warm) "warm" else "cold"}"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     println(json)
