@@ -119,17 +119,91 @@ object CorpusQueries {
       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
       |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  // BPE merge learning (graft.text.Bpe): 5 rounds of freq-weighted
+  // pair counting over the vocabulary, lexicographic tie-break; the
+  // DuckDB twin unrolls the rounds as MATERIALIZED CTE stages.
+  val BpeRounds = 5
+
+  val q103_bpe_merges: Q = (s, dir) => {
+    import s.implicits._
+    graft.text.Bpe.learnMerges(Tables.load(s, dir, "documents"), col("text"), BpeRounds)
+      .toDF("step", "pair", "freq")
+      .orderBy("step")
+  }
+
+  /** Shared DuckDB CTE chain for the BPE rounds: vocabulary w, char-
+    * spaced s0, then per-round (p_k winning pair, s_k rewritten vocab).
+    * Stages carry `word` so the final vocab is joinable back to docs
+    * (q104); p_k reads only (seq, freq) so q103's counts are unchanged. */
+  private def bpeCtes(rounds: Int): String = {
+    val stages = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT pair, sum(freq) AS c FROM (
+         |    SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1])) AS pair, freq
+         |    FROM (SELECT regexp_split_to_array(seq, ' ') AS t, freq FROM s${k - 1}))
+         |  GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT word, trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT pair FROM p$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM p$k), ' ', '') || ' ')) AS seq, freq
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+       |    SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word,
+       |       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, freq FROM w),
+       |$stages""".stripMargin
+  }
+
+  val q103_sql: String = {
+    val union = (1 to BpeRounds).map { k =>
+      s"SELECT $k AS step, pair, CAST(c AS BIGINT) AS freq FROM p$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(BpeRounds)}
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q104
+  // BPE encode (graft.text.Bpe.tokenCounts): the learned merges are
+  // applied VOCABULARY-sized (one replace chain over distinct words),
+  // then one equi-join maps per-word token counts back onto the
+  // exploded corpus — per-doc BPE token counts without ever shuffling
+  // token arrays.
+  val q104_bpe_encode: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val merges = graft.text.Bpe.learnMerges(docs, col("text"), BpeRounds)
+    graft.text.Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id")
+  }
+
+  val q104_sql: String =
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |d AS (SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |      FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(sum(len(regexp_split_to_array(v.seq, ' '))) AS BIGINT) AS n_bpe_tokens
+       |FROM d JOIN s$BpeRounds v ON d.word = v.word
+       |WHERE length(d.word) > 0
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
     "q47_tfidf" -> q47_tfidf,
     "q49_histogram" -> q49_histogram,
-    "q50_packing" -> q50_packing)
+    "q50_packing" -> q50_packing,
+    "q103_bpe_merges" -> q103_bpe_merges,
+    "q104_bpe_encode" -> q104_bpe_encode)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
     "q46_bigrams" -> q46_sql,
     "q47_tfidf" -> q47_sql,
     "q49_histogram" -> q49_sql,
-    "q50_packing" -> q50_sql)
+    "q50_packing" -> q50_sql,
+    "q103_bpe_merges" -> q103_sql,
+    "q104_bpe_encode" -> q104_sql)
 }
