@@ -664,16 +664,22 @@ object TextSim {
       .orderBy("query_id", "rank")
   }
 
-  val q78_sql: String = {
-    // negdist of a vector e against a centroid row c: 2·dot − ‖c‖²,
-    // double accumulation left-to-right in both engines
-    val nd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
-      "i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) " +
-      "- list_sum(list_transform(c.cv, x -> x * x)))"
+  // negdist of a vector e against a centroid row c: 2·dot − ‖c‖²,
+  // double accumulation left-to-right in both engines
+  private val ivfNd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
+    "i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) " +
+    "- list_sum(list_transform(c.cv, x -> x * x)))"
+
+  /** Shared DuckDB chain replaying `Ivf.trainChecked(nlist=8, iters=3)`:
+    * md5-seeded init, three unrolled integer-micro-unit Lloyd rounds,
+    * then the final assignment — ends at `corpus(vec_id, embedding,
+    * cell)`. q78 appends probe routing + rank; q105 appends the
+    * within-cell semantic dedup. */
+  private def ivfCtes: String = {
     def assign(k: Int, prev: String) =
       s"""a$k AS (SELECT e.vec_id, e.embedding, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY $nd DESC, c.cell ASC) AS rn
+         |    ORDER BY $ivfNd DESC, c.cell ASC) AS rn
          |  FROM embeddings e CROSS JOIN $prev c)""".stripMargin
     def update(k: Int, prev: String) =
       s"""s$k AS (SELECT cell, UNNEST(generate_series(1, 64)) AS pos, embedding
@@ -688,7 +694,7 @@ object TextSim {
          |        FROM $prev p LEFT JOIN m$k m ON p.cell = m.cell)""".stripMargin
     val iterations = (1 to 3).map(k => s"${assign(k, s"c${k - 1}")},\n${update(k, s"c${k - 1}")}")
       .mkString(",\n")
-    s"""WITH h AS (SELECT vec_id, embedding,
+    s"""h AS (SELECT vec_id, embedding,
        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
        |  FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell,
@@ -697,12 +703,16 @@ object TextSim {
        |$iterations,
        |af AS (SELECT e.vec_id, e.embedding, c.cell,
        |  row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY $nd DESC, c.cell ASC) AS rn
+       |    ORDER BY $ivfNd DESC, c.cell ASC) AS rn
        |  FROM embeddings e CROSS JOIN c3 c),
-       |corpus AS (SELECT vec_id, embedding, cell FROM af WHERE rn = 1),
+       |corpus AS (SELECT vec_id, embedding, cell FROM af WHERE rn = 1)""".stripMargin
+  }
+
+  val q78_sql: String =
+    s"""WITH $ivfCtes,
        |probes AS (SELECT e.vec_id AS query_id, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY $nd DESC, c.cell DESC) AS pr
+       |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
        |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id < 20),
        |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
        |         FROM probes p JOIN corpus co ON p.cell = co.cell AND p.pr <= 3
@@ -716,7 +726,31 @@ object TextSim {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  // SemDeDup-style semantic dedup: cluster with the oracle-replayable
+  // IVF quantizer, then drop any vector whose cell holds a lower-id
+  // vector with cosine ≥ tau. Pairwise cost is bounded per cell
+  // (Σ|cell|² ≈ n²/nlist) and the join is an equi-join on cell — the
+  // 100 TB shape (store partitioned by cell; nothing all-pairs).
+  val SemDedupTau = 0.4
+
+  val q105_semdedup: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    Similarity.semDedup(idx.assigned, SemDedupTau).orderBy("vec_id")
   }
+
+  val q105_sql: String =
+    s"""WITH $ivfCtes,
+       |drops AS (SELECT DISTINCT b.vec_id
+       |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = a.vec_id
+       |  JOIN embeddings ce ON ce.vec_id = b.vec_id
+       |  WHERE $cosineSql >= $SemDedupTau)
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, d.vec_id IS NULL AS kept
+       |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q93_jaccard_dfcut" -> q93_jaccard_dfcut,
@@ -728,6 +762,7 @@ object TextSim {
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
     "q78_ann_ivf_checked" -> q78_ann_ivf_checked,
+    "q105_semdedup" -> q105_semdedup,
     "q76_repetition" -> q76_repetition,
     "q77_quality_gate" -> q77_quality_gate,
     "q25_text_stats" -> q25_text_stats,
@@ -754,6 +789,7 @@ object TextSim {
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,
     "q78_ann_ivf_checked" -> q78_sql,
+    "q105_semdedup" -> q105_sql,
     "q76_repetition" -> q76_sql,
     "q77_quality_gate" -> q77_sql,
     "q25_text_stats" -> q25_sql,

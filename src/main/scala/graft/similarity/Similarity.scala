@@ -156,4 +156,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup over a cell-assigned corpus (e.g.
+    * [[Ivf.train]]'s `assigned`): a vector is dropped when ANY lower-id
+    * vector in the SAME cell has cosine ≥ threshold — "near-duplicate
+    * of an earlier document", the deterministic parallel form of greedy
+    * pruning (EXISTS-semantics, not the sequential chain, so it is one
+    * self-join, not an un-parallelizable scan).
+    *
+    * Scale shape: the pairwise work is an equi-join on `cell`, so cost
+    * is Σ|cell|² ≈ n²/nlist, tuned by the quantizer — at 100 TB the
+    * corpus is stored partitioned BY cell and the join co-locates;
+    * nothing all-pairs ever shuffles. Returns (id, cell, kept). */
+  def semDedup(assigned: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               cellCol: String = "cell"): DataFrame = {
+    val a = assigned.select(col(cellCol).as("cell"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = assigned.select(col(cellCol).as("cell"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_b").as("drop_id"))
+      .distinct()
+    assigned
+      .join(drops, col(idCol) === col("drop_id"), "left")
+      .select(col(idCol), col(cellCol), col("drop_id").isNull.as("kept"))
+  }
 }

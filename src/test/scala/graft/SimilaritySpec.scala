@@ -50,6 +50,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("semDedup: within-cell pruning with EXISTS-vs-lower-id semantics") {
+    import spark.implicits._
+    // cell 0 chain: a=(1,0) ~ b=rot20° (cos .940 ≥ .9), b ~ c=rot40°
+    // (cos .940), but a !~ c (cos .766). EXISTS-semantics: b dropped by
+    // a, and c dropped by b EVEN THOUGH b itself is dropped (sequential
+    // greedy would keep c — this pins the parallel form). d duplicates
+    // a but sits in cell 1, so the check is cell-local and keeps it.
+    val rows = Seq(
+      (1L, 0, Array(1f, 0f)),
+      (2L, 0, Array(0.93969f, 0.34202f)),
+      (3L, 0, Array(0.76604f, 0.64279f)),
+      (4L, 1, Array(1f, 0f)))
+    val df = rows.toDF("vec_id", "cell", "embedding")
+    val got = Similarity.semDedup(df, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("LSH recall vs brute force on real embeddings (sf0.001)") {
     val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)
