@@ -9,10 +9,11 @@ import graft.text.{Packing, TextAnalysis}
 
 /** The end-to-end corpus-cleaning composition a training-data team
   * actually runs — quality gate → benchmark decontamination → exact
-  * dedup → near-dup clustering → canonical selection → deterministic
-  * sample → sequence packing — wired from the library's operators so a
-  * user gets the whole pipeline as one call. Every stage is a lazy
-  * DataFrame transform; stage counts are the only actions.
+  * dedup → near-dup clustering → canonical selection → semantic dedup
+  * (optional, embedding-based) → deterministic sample → sequence
+  * packing — wired from the library's operators so a user gets the
+  * whole pipeline as one call. Every stage is a lazy DataFrame
+  * transform; stage counts are the only actions.
   *
   * Scale shape: the gate and fingerprints are per-row expressions; the
   * dedup stages shuffle content hashes and (band, hash, id) keys only;
@@ -32,6 +33,12 @@ object CorpusPipeline {
       benchmark: Option[DataFrame] = None,
       decontamN: Int = 8,
       benchTextCol: String = "text",
+      embeddings: Option[DataFrame] = None,
+      semDedupTau: Double = 0.4,
+      semDedupNlist: Int = 8,
+      semDedupIters: Int = 3,
+      embIdCol: String = "vec_id",
+      embVecCol: String = "embedding",
       sampleFraction: Double = 1.0,
       sampleSeed: Long = 42L,
       packBudget: Int = 2048)
@@ -84,14 +91,34 @@ object CorpusPipeline {
     val nearDeduped = Dedup.keepCanonical(exact, id, pairs)
     counts += ("near_dedup" -> nearDeduped.count())
 
-    // 5. deterministic key-hash sample
+    // 5. semantic dedup (when an embedding table is supplied): IVF
+    //    cells bound the pairwise cosine work, drop any doc whose cell
+    //    holds a lower-id embedding at cosine ≥ tau. Anti-join on the
+    //    DROPPED ids so docs without an embedding row survive — absence
+    //    of evidence never deletes a document.
+    val semantic = cfg.embeddings match {
+      case Some(embs) =>
+        val idx = graft.similarity.Ivf.train(embs, cfg.semDedupNlist,
+          cfg.semDedupIters, idCol = cfg.embIdCol, vecCol = cfg.embVecCol)
+        val dropIds = graft.similarity.Similarity
+          .semDedup(idx.assigned, cfg.semDedupTau,
+            idCol = cfg.embIdCol, vecCol = cfg.embVecCol)
+          .filter(!col("kept"))
+          .select(col(cfg.embIdCol).as("__sem_drop_id"))
+        nearDeduped.join(dropIds, id === col("__sem_drop_id"), "left_anti")
+      case None => nearDeduped
+    }
+    if (cfg.embeddings.isDefined)
+      counts += ("semantic_dedup" -> semantic.count())
+
+    // 6. deterministic key-hash sample
     val sampled =
-      if (cfg.sampleFraction >= 1.0) nearDeduped
-      else Sampling.deterministicSample(nearDeduped,
+      if (cfg.sampleFraction >= 1.0) semantic
+      else Sampling.deterministicSample(semantic,
         Seq(id.toString()), cfg.sampleFraction, cfg.sampleSeed)
     counts += ("sample" -> sampled.count())
 
-    // 6. sequence packing into token-budget batches
+    // 7. sequence packing into token-budget batches
     val packed = Packing.packSequential(sampled, col("n_tokens"),
       cfg.packBudget, Seq(id))
     Result(packed, counts.result())

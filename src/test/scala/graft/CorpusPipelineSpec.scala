@@ -60,4 +60,31 @@ class CorpusPipelineSpec extends SparkSpec {
     val outIds = res.cleaned.select("doc_id").as[Long].collect().toSet
     survivors.foreach(s => assert(!outIds.contains(s), s"doc $s leaked through"))
   }
+
+  test("clean with embeddings: semantic dedup drops cell-local near-dups only") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val embs = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val base = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10))
+    val res = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, embeddings = Some(embs)))
+    val counts = res.stageCounts.toMap
+    assert(res.stageCounts.map(_._1) === Seq("input", "quality_gate",
+      "exact_dedup", "near_dedup", "semantic_dedup", "sample"))
+    assert(counts("semantic_dedup") < counts("near_dedup")) // it actually dropped
+    // only a subset was removed relative to the embedding-less run
+    val baseIds = base.cleaned.select("doc_id").as[Long].collect().toSet
+    val semIds = res.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(semIds.subsetOf(baseIds) && semIds.nonEmpty)
+    // docs with no embedding row survive: re-run with embeddings
+    // restricted to half the id space; docs above the cut can't be
+    // judged, so every base survivor above the cut must remain
+    val cut = 250L
+    val resHalf = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10,
+        embeddings = Some(embs.filter(col("vec_id") < cut))))
+    val halfIds = resHalf.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(baseIds.filter(_ >= cut).subsetOf(halfIds))
+  }
 }
