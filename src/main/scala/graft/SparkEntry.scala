@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.all ++
       graft.queries.Extended.all ++
       graft.queries.Media.all ++
-      graft.queries.Governance.all
+      graft.queries.Governance.all ++
+      graft.queries.Curation.all
 
   /** Queries selected by the optional comma-separated name filter
     * (`SPARK_GRAFT_ONLY` in Verify/Bench). Unknown names are an ERROR —
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++
       graft.queries.Extended.oracle ++
       graft.queries.Media.oracle ++
-      graft.queries.Governance.oracle
+      graft.queries.Governance.oracle ++
+      graft.queries.Curation.oracle
 }

@@ -19,7 +19,10 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: `/` on columns is DOUBLE division, which at
+      // ~1.7e18 nanos exceeds double's 53-bit mantissa and rounds the
+      // microsecond (caught by q110's exact-timestamp compare)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -1,0 +1,110 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ) for approximate nearest-neighbor search —
+  * the FAISS SQ-family compression: each dimension is binned into
+  * `bins` uniform buckets between the corpus per-dimension min and
+  * max, a vector becomes one small integer code per dimension (dim
+  * bytes at bins ≤ 256 vs 4·dim float bytes — 4–8× memory cut), and
+  * queries scan the codes with an asymmetric distance computation
+  * (ADC) against per-bucket centroids, exactly re-ranking a shortlist.
+  *
+  * Everything runs in integer micro-units (`round(x·10⁶)` as BIGINT,
+  * the [[Ivf.trainChecked]] trick): bin assignment is integer
+  * division, bucket centroids are floor-averages, and both the ADC and
+  * exact distances are BIGINT sums of squares — the whole pipeline is
+  * bit-replayable by an ANSI oracle, no float drift anywhere.
+  *
+  * 100 TB shape: the codebook is ONE broadcast row (dim·bins longs);
+  * encoding is a per-row projection fused into the scan; the ADC pass
+  * is corpus-linear with the query batch broadcast (no shuffle of the
+  * corpus); only shortlist ids shuffle for the per-query top-k window,
+  * and the exact re-rank re-fetches just |queries|·rerank vectors via
+  * a broadcast semi-join back onto the store — the full-precision
+  * vectors never ride along with the scan. For huge query batches swap
+  * the window for [[graft.expressions.TopKAgg]] (map-side heap).
+  */
+object Sq {
+
+  /** Exact micronization: `round(x·10⁶)` per element as BIGINT. */
+  def micronize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000000.0).cast("long"))
+
+  /** Learn the per-dimension codebook: a single row with
+    * `mns[dim]`, `ws[dim]` (bin range width = mx−mn+1) and the dense
+    * position-major centroid array `cents[dim·bins]` where
+    * `cents[d·bins + c]` = mn_d + floor-avg of (v−mn_d) in bucket c
+    * (empty buckets fall back to mn_d; no vector maps to them). */
+  def fit(corpus: DataFrame, bins: Int, vecCol: String = "embedding"): DataFrame = {
+    val flat = corpus.select(posexplode(micronize(col(vecCol))).as(Seq("pos", "v")))
+    val ranges = flat.groupBy("pos")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+      .withColumn("w", col("mx") - col("mn") + lit(1L))
+    val coded = flat.join(broadcast(ranges), "pos")
+      .select(col("pos"), expr(s"((v - mn) * $bins) div w").as("code"),
+        (col("v") - col("mn")).as("rel"))
+    val buckets = coded.groupBy("pos", "code")
+      .agg(expr("sum(rel) div count(1)").as("crel"))
+    val grid = ranges
+      .select(col("pos"), col("mn"), col("w"),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("code"))
+      .join(buckets, Seq("pos", "code"), "left")
+      .select(col("pos"), col("code"),
+        (col("mn") + coalesce(col("crel"), lit(0L))).as("cent"))
+    val cents = grid.groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("code"), col("cent"))))
+        .as("g"))
+      .select(transform(col("g"), x => x.getField("cent")).as("cents"))
+    val rangeArrays = ranges.groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("w")))).as("r"))
+      .select(transform(col("r"), x => x.getField("mn")).as("mns"),
+        transform(col("r"), x => x.getField("w")).as("ws"))
+    rangeArrays.crossJoin(cents)
+  }
+
+  /** Encode the corpus: (idCol, codes[dim]) — the compressed index. */
+  def encode(corpus: DataFrame, codebook: DataFrame, bins: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), micronize(col(vecCol)).as("mv"))
+      .crossJoin(broadcast(codebook.select("mns", "ws")))
+      .select(col(idCol),
+        expr(s"transform(mv, (x, d) -> ((x - mns[d]) * $bins) div ws[d])")
+          .as("codes"))
+
+  /** Two-stage ANN: ADC scan over the codes → `rerank`-deep shortlist
+    * per query → exact integer-distance re-rank → top `k`.
+    * Output: (query_id, rank, neighbor_id, adist, edist), all BIGINT. */
+  def adcTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
+              queries: DataFrame, k: Int, rerank: Int, dim: Int, bins: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      micronize(col(vecCol)).as("qmv"))
+    val sqDiff = s"(qmv[d] - cents[d * $bins + codes[d]])"
+    val approx = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(codebook.select("cents")))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qmv"),
+        expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), " +
+          s"(acc, d) -> acc + $sqDiff * $sqDiff)").as("adist"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+    val store = corpus.select(col(idCol).as("neighbor_id"),
+      micronize(col(vecCol)).as("mv"))
+    val exact = store.join(broadcast(shortlist), Seq("neighbor_id"))
+      .withColumn("edist",
+        expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("edist").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adist"), col("edist"))
+  }
+}

@@ -28,6 +28,27 @@ object Corpus {
     df.select(explode(TextAnalysis.ngrams(TextAnalysis.tokens(text), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
 
+  /** Heaps-law vocabulary-growth curve: for every document id that
+    * introduces at least one new token type, the number of new types it
+    * contributes and the cumulative vocabulary size after it — the
+    * measurement behind "how much new vocabulary does the next shard
+    * buy". First occurrences come from one token-keyed `min(doc_id)`
+    * aggregate (map-side combined); the cumulative sum runs through the
+    * distributed range-bucketed prefix sum
+    * ([[graft.operators.Operators.withRunningTotal]]) — no
+    * single-partition window even when millions of documents introduce
+    * types. */
+  def vocabGrowth(df: DataFrame, id: Column, toks: Column): DataFrame = {
+    val firstDoc = df
+      .select(id.as("doc_id"), explode(toks).as("token"))
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+    val newTypes = firstDoc.groupBy("first_doc")
+      .agg(count(lit(1)).as("new_types"))
+    graft.operators.Operators
+      .withRunningTotal(newTypes, col("new_types"), Seq(col("first_doc")))
+      .select(col("first_doc"), col("new_types"), col("__run").as("vocab_size"))
+  }
+
   /** Per-(doc, term) TF-IDF with sklearn-style smoothing:
     * idf = ln((1+N)/(1+df)) + 1. One explode → tf groupBy; df from the
     * same relation; N broadcast as a literal-free 1-row aggregate. */

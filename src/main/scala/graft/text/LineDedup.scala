@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide exact line deduplication — the RefinedWeb / MassiveText
+  * cleaning stage that removes every repeated line across the WHOLE
+  * corpus, keeping only its first occurrence (document order, then
+  * position order), and reassembles each document from its surviving
+  * lines.
+  *
+  * The reference corpus carries no newlines, so "lines" here are fixed
+  * `tokensPerLine` word chunks — the operator is identical once a real
+  * corpus swaps in `split(text, '\n')`.
+  *
+  * 100 TB shape: one shuffle keyed by line content decides first
+  * occurrence (a `row_number` window partitioned BY LINE — partition
+  * size = duplicate count of one line, never corpus-sized), one shuffle
+  * keyed by doc_id reassembles. Line text never moves more than those
+  * two hops; for extreme corpora group on `xxhash64(line)` first and
+  * keep the text only on the winner. Both aggregations map-side
+  * combine.
+  */
+object LineDedup {
+
+  /** Explode `textCol` into (idCol, line_idx, line) rows of
+    * `tokensPerLine` whitespace tokens each. */
+  def chunkLines(df: DataFrame, idCol: Column, textCol: Column,
+                 tokensPerLine: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(textCol)
+    val nLines = ceil(size(toks) / lit(tokensPerLine.toDouble)).cast("long")
+    val lines = transform(
+      sequence(lit(0L), greatest(nLines, lit(1L)) - 1),
+      i => array_join(slice(toks, (i * tokensPerLine + 1).cast("int"),
+        lit(tokensPerLine)), " "))
+    df.select(idCol.as("doc_id"), posexplode(lines).as(Seq("line_idx", "line")))
+  }
+
+  /** Mark each (doc_id, line_idx, line) row with `keep`: true iff it is
+    * the corpus-wide first occurrence of that exact line. */
+  def markFirstOccurrence(lines: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col("doc_id").asc, col("line_idx").asc)
+    lines.withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Per-document census after corpus-wide line dedup: total lines,
+    * surviving lines, and an md5 fingerprint of the reassembled
+    * (kept-lines-only, original order) text. */
+  def dedupCensus(df: DataFrame, idCol: Column, textCol: Column,
+                  tokensPerLine: Int): DataFrame = {
+    val marked = markFirstOccurrence(chunkLines(df, idCol, textCol, tokensPerLine))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")),
+          " ")).as("kept_fp"))
+  }
+}

