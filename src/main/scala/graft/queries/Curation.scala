@@ -29,8 +29,11 @@ object Curation {
         col("doc_id"), col("text"), LineTokens)
       .orderBy("doc_id")
 
-  val q106_sql: String =
-    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  /** Shared DuckDB CTE chain: documents → fixed-width token lines
+    * (doc_id, line_idx, line) — q106 dedups them, q111 builds the
+    * duplicate-cluster graph from them. */
+  private def linesCtes: String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |              FROM documents),
        |ln AS (SELECT doc_id, t,
        |         UNNEST(generate_series(1,
@@ -39,7 +42,10 @@ object Curation {
        |lines AS (SELECT doc_id, i - 1 AS line_idx,
        |            array_to_string(list_slice(t, (i - 1) * $LineTokens + 1,
        |              (i - 1) * $LineTokens + $LineTokens), ' ') AS line
-       |          FROM ln),
+       |          FROM ln)""".stripMargin
+
+  val q106_sql: String =
+    s"""WITH $linesCtes,
        |k AS (SELECT doc_id, line_idx, line,
        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1
        |          AS keep
@@ -209,17 +215,142 @@ object Curation {
       |  vt IS NULL AS is_current
       |FROM i ORDER BY user_id, valid_from""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  // PageRank over the duplicate-cluster graph (docs joined by shared
+  // lines, hot-line cap at 20 docs): 3 exact integer-micro-unit
+  // rounds — the oracle unrolls the identical iterations. Finds the
+  // "hub" documents a dedup pass should canonicalize first.
+  val PrMinDocs = 2
+  val PrMaxDocs = 20
+  val PrIters = 3
+  val PrMass = 1000000000000L
+
+  val q111_pagerank: Q = (s, dir) => {
+    val lines = graft.text.LineDedup.chunkLines(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"), LineTokens)
+    val edges = graft.text.LineDedup.shareEdges(lines, PrMinDocs, PrMaxDocs)
+    graft.graph.PageRank.run(edges, iters = PrIters, totalMass = PrMass)
+      .select(col("node").as("doc_id"), col("r").as("rank_micro"))
+      .orderBy("doc_id")
+  }
+
+  val q111_sql: String = {
+    def iter(k: Int, prev: String) =
+      s"""i$k AS (SELECT p.node,
+         |    (15 * ($PrMass // p.n)) // 100
+         |      + (85 * coalesce(s.inc, 0)) // 100 AS r, p.n
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT e.dst, sum(r.r // d.deg) AS inc
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |                 JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = p.node)""".stripMargin
+    val rounds = (1 to PrIters).map(k => iter(k, s"i${k - 1}")).mkString(",\n")
+    s"""WITH $linesCtes,
+       |eligible AS (SELECT line FROM lines
+       |             GROUP BY line
+       |             HAVING count(DISTINCT doc_id) BETWEEN $PrMinDocs AND $PrMaxDocs),
+       |dl AS (SELECT DISTINCT l.line, l.doc_id
+       |       FROM lines l JOIN eligible USING (line)),
+       |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |          FROM dl a JOIN dl b USING (line)
+       |          WHERE a.doc_id <> b.doc_id),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |i0 AS (SELECT node, $PrMass // n AS r, n FROM nodes, nn),
+       |$rounds
+       |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro
+       |FROM i$PrIters ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q112
+  // Quality-classifier scoring: sigmoid over the quality features with
+  // pinned model weights (a trained Logit.Model ships as constants —
+  // Ols's F10 discipline extended to classification). The features are
+  // 6dp-rounded on both sides, the linear part folds left-to-right in
+  // both engines, so the score hash-matches at 6dp.
+  val QwIntercept = -2.0
+  val QwNTokens = 0.02
+  val QwAvgLen = 0.3
+  val QwStopword = 8.0
+  val QwPunct = -20.0
+
+  val q112_quality_score: Q = (s, dir) => {
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(QwNTokens, QwAvgLen, QwStopword, QwPunct), QwIntercept)
+    graft.text.TextAnalysis
+      .qualityFeatures(Tables.load(s, dir, "documents"), col("text"))
+      .select(col("doc_id"), round(model.scoreExpr, 6).as("qscore"),
+        (model.scoreExpr >= 0.5).as("pred_keep"))
+      .orderBy("doc_id")
+  }
+
+  val q112_sql: String = {
+    val stop = graft.text.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val z = s"(((($QwIntercept + n_tokens * $QwNTokens) + avg_token_len * $QwAvgLen)" +
+      s" + stopword_ratio * $QwStopword) + punct_ratio * $QwPunct)"
+    s"""WITH f AS (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-$z)), 6) AS qscore,
+       |  1.0 / (1.0 + exp(-$z)) >= 0.5 AS pred_keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q113
+  // Z-order (Morton) clustering key: interleave 10 bits of two join
+  // dimensions of lineitem; the census per z-cell (z determines the
+  // cell bijectively, so ORDER BY z is total) hash-checks the exact
+  // curve arithmetic both engines compute with plain integer ops.
+  val ZBits = 10
+
+  val q113_zorder: Q = (s, dir) => {
+    val z = graft.storage.ZOrder.zValue(
+      pmod(col("l_orderkey"), lit(1024L)), pmod(col("l_partkey"), lit(1024L)),
+      ZBits)
+    Tables.load(s, dir, "lineitem")
+      .select(pmod(col("l_orderkey"), lit(1024L)).as("x"),
+        pmod(col("l_partkey"), lit(1024L)).as("y"), z.as("zv"))
+      .groupBy("x", "y", "zv").agg(count(lit(1)).as("n"))
+      .orderBy("zv")
+      .limit(100)
+  }
+
+  val q113_sql: String = {
+    val z = graft.storage.ZOrder.zValueSql("(l_orderkey % 1024)",
+      "(l_partkey % 1024)", ZBits)
+    s"""SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+       |  $z AS zv, count(*) AS n
+       |FROM lineitem GROUP BY 1, 2, 3 ORDER BY zv LIMIT 100""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q106_line_dedup" -> q106_line_dedup,
     "q107_sq_ann" -> q107_sq_ann,
     "q108_ks_drift" -> q108_ks_drift,
     "q109_vocab_growth" -> q109_vocab_growth,
-    "q110_scd2" -> q110_scd2)
+    "q110_scd2" -> q110_scd2,
+    "q111_pagerank" -> q111_pagerank,
+    "q112_quality_score" -> q112_quality_score,
+    "q113_zorder" -> q113_zorder)
 
   val oracle: Map[String, String] = Map(
     "q106_line_dedup" -> q106_sql,
     "q107_sq_ann" -> q107_sql,
     "q108_ks_drift" -> q108_sql,
     "q109_vocab_growth" -> q109_sql,
-    "q110_scd2" -> q110_sql)
+    "q110_scd2" -> q110_sql,
+    "q111_pagerank" -> q111_sql,
+    "q112_quality_score" -> q112_sql,
+    "q113_zorder" -> q113_sql)
 }

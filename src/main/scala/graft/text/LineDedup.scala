@@ -45,6 +45,24 @@ object LineDedup {
     lines.withColumn("keep", row_number().over(w) === 1)
   }
 
+  /** Directed (symmetric) doc–doc edge list: an edge joins every pair
+    * of documents sharing a line that appears in `minDocs..maxDocs`
+    * distinct documents — the duplicate-cluster graph. The occupancy
+    * cap (`maxDocs`) is the df-cut analog: a boilerplate line shared
+    * by millions of docs would otherwise emit a quadratic clique. */
+  def shareEdges(lines: DataFrame, minDocs: Int, maxDocs: Int): DataFrame = {
+    val eligible = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d").between(minDocs, maxDocs))
+      .select("line")
+    val l = lines.select(col("line"), col("doc_id")).distinct()
+      .join(eligible, "line")
+    l.join(l.withColumnRenamed("doc_id", "other"), "line")
+      .filter(col("doc_id") =!= col("other"))
+      .select(col("doc_id").as("src"), col("other").as("dst"))
+      .distinct()
+  }
+
   /** Per-document census after corpus-wide line dedup: total lines,
     * surviving lines, and an md5 fingerprint of the reassembled
     * (kept-lines-only, original order) text. */

@@ -92,6 +92,71 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("ks_num") === 2L && r.getAs[Double]("ks") === 0.5)
   }
 
+  // --------------------------------------------------------------- Logit
+
+  test("Logit fit separates a margin-separated synthetic set exactly") {
+    // y = 1 iff 2·x1 − x2 > 0, with a wide margin
+    val rows = for (i <- -20 to 20; j <- -20 to 20
+                    if math.abs(2.0 * i - j) > 5.0)
+      yield (i.toDouble, j.toDouble, if (2.0 * i - j > 0) 1.0 else 0.0)
+    val df = rows.toDF("x1", "x2", "y")
+    val m = graft.ml.Logit.fit(df, Seq("x1", "x2"), "y")
+    assert(m.coef(0) > 0 && m.coef(1) < 0) // signs recover the rule
+    val acc = df.withColumn("p", m.scoreExpr)
+      .filter((col("p") >= 0.5) === (col("y") === 1.0)).count()
+    assert(acc === rows.size.toLong) // 100% on the training margin
+  }
+
+  test("Logit learns the quality gate from its own labels") {
+    val d = graft.text.TextAnalysis.qualityFeatures(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      col("text"))
+      .withColumn("y",
+        (col("stopword_ratio") >= 0.05 && col("punct_ratio") <= 0.1)
+          .cast("double"))
+    val feats = Seq("avg_token_len", "stopword_ratio", "punct_ratio")
+    val m = graft.ml.Logit.fit(d, feats, "y", iters = 10)
+    val scored = d.withColumn("p", m.scoreExpr)
+    val n = scored.count().toDouble
+    val right = scored.filter((col("p") >= 0.5) === (col("y") === 1.0))
+      .count().toDouble
+    assert(right / n >= 0.95) // the linear rule is recoverable
+  }
+
+  // ------------------------------------------------------------ PageRank
+
+  test("PageRank: one exact integer round on the path graph a–b–c") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r = graft.graph.PageRank.run(edges, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // S=1e12, N=3: r0 = 333333333333 each; base = 49999999999;
+    // ends get 85%·(r0/2), the middle gets 85%·(r0 + r0) — by hand:
+    assert(r === Seq((1L, 191666666665L), (2L, 616666666665L),
+      (3L, 191666666665L)))
+  }
+
+  test("PageRank: the hub outranks leaves and mass stays conserved-ish") {
+    val star = Seq((1L, 9L), (9L, 1L), (2L, 9L), (9L, 2L), (3L, 9L), (9L, 3L))
+      .toDF("src", "dst")
+    val r = graft.graph.PageRank.run(star, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(9L) > r(1L) && r(1L) === r(2L) && r(2L) === r(3L))
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 999999990000L) // floor losses only
+  }
+
+  test("shareEdges: symmetric pairs from shared lines, hot lines capped") {
+    val d = Seq(
+      (0L, "a b c"), (1L, "a b c"), // share line "a b c"
+      (2L, "z z z"), (3L, "z z z"), (4L, "z z z") // 3 docs > maxDocs=2
+    ).toDF("doc_id", "text")
+    val lines = graft.text.LineDedup.chunkLines(d, col("doc_id"), col("text"), 3)
+    val e = graft.text.LineDedup.shareEdges(lines, 2, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(e === Set((0L, 1L), (1L, 0L))) // the z-clique is cut by the cap
+  }
+
   // ----------------------------------------------------------------- Scd
 
   test("SCD2 collapses runs and chains validity intervals per key") {

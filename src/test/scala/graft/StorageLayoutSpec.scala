@@ -156,4 +156,42 @@ class StorageLayoutSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("z-order clustering: box queries touch fewer chunks than a linear sort") {
+    import graft.storage.ZOrder
+    // a 64×64 grid of points, chunked into 64 "files" of 64 rows each;
+    // chunk min/max stats decide which files a box predicate must read
+    val pts = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    def chunksHit(ordered: org.apache.spark.sql.DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("ord") // test-scale only: 4096 rows on one partition
+      ordered.withColumn("chunk", ((row_number().over(w) - 1) / 64).cast("long"))
+        .groupBy("chunk")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        // a 16×16 box query in the middle: files whose stats intersect
+        .filter(col("x1") >= 24 && col("x0") <= 39 &&
+          col("y1") >= 24 && col("y0") <= 39)
+        .count()
+    }
+    val zHit = chunksHit(pts.withColumn("ord",
+      ZOrder.zValue(col("x"), col("y"), 6)))
+    val linHit = chunksHit(pts.withColumn("ord", col("x") * 64 + col("y")))
+    // row-major order: the 16-column x-band spans 16 chunks vertically;
+    // the z-curve keeps the box in O(box-area/chunk) chunks
+    assert(zHit < linHit, s"z=$zHit lin=$linHit")
+    assert(zHit <= 12)
+  }
+
+  test("zValue matches its SQL twin bit-for-bit") {
+    import graft.storage.ZOrder
+    val df = spark.range(0, 1000).select(
+      (col("id") % 37).as("x"), (col("id") % 53).as("y"))
+    val mismatch = df
+      .withColumn("a", ZOrder.zValue(col("x"), col("y"), 10))
+      .withColumn("b", expr(ZOrder.zValueSql("x", "y", 10)))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch === 0L)
+  }
 }
