@@ -135,6 +135,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArgs("parse_avi_header", 1, args)
         columnExpr(graft.multimodal.Multimodal.parseAviHeader(bridgeCol(args(0))))
+      }),
+    (FunctionIdentifier("parse_mp4_header"),
+      info("parse_mp4_header",
+        "parse_mp4_header(media) - (format, major_brand_hex, timescale, duration, duration_ms) from ISO-BMFF/MP4 bytes"),
+      (args: Seq[Expression]) => {
+        requireArgs("parse_mp4_header", 1, args)
+        columnExpr(graft.multimodal.Multimodal.parseMp4Header(bridgeCol(args(0))))
       }))
 
   private def bridgeCol(e: Expression) =

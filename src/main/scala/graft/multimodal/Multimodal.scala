@@ -327,6 +327,89 @@ object Multimodal {
       when(id % 83L === 0L, body).otherwise(avi).as("media"))
   }
 
+  /** Bounded depth of the ISO-BMFF top-level box walk (ftyp, optional
+    * free/skip boxes, moov). */
+  val Mp4MaxBoxes = 4
+
+  /** Parse an MP4 (ISO-BMFF, ISO 14496-12) header: walk the top-level
+    * box sequence (4-byte BE size + 4-byte type, NO padding — unlike
+    * RIFF) to the `moov` box, require its first child to be `mvhd`
+    * version 0, and read the u32be timescale/duration at fixed offsets
+    * of the mvhd payload. Struct: (format, major_brand_hex, timescale,
+    * duration, duration_ms). Same finish-lambda discipline as the
+    * other walks: every output field is computed inside the fold's
+    * finish, where the accumulator binds once. */
+  def parseMp4Header(media: Column, maxBoxes: Int = Mp4MaxBoxes): Column = {
+    val isMp4 = length(media) >= 16 &&
+      hex(media.substr(lit(5L), lit(4L))) === lit("66747970") // "ftyp" at +4
+    aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      struct(lit(0L).as("off"), lit(null).cast("long").as("moov")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val moov = acc.getField("moov")
+        val bsize = beAt(media, off, 4)
+        val ok = moov.isNull && (off + lit(8L)) <= length(media).cast("long") &&
+          bsize >= lit(8L)
+        val btype = hex(media.substr(off + lit(5L), lit(4L)))
+        val isMoov = ok && btype === lit("6D6F6F76") // "moov"
+        struct(
+          when(ok && !isMoov, off + bsize).otherwise(off).as("off"),
+          when(moov.isNotNull, moov)
+            .when(isMoov, off + lit(8L)).as("moov")) // first child box offset
+      },
+      acc => {
+        val moov = acc.getField("moov")
+        val valid = isMp4 && moov.isNotNull &&
+          (moov + lit(32L)) <= length(media).cast("long") &&
+          hex(media.substr(moov + lit(5L), lit(4L))) === lit("6D766864") && // "mvhd"
+          u8At(media, moov + lit(8L)) === lit(0L) // version 0: u32 fields
+        val ts = beAt(media, moov + lit(20L), 4)
+        val dur = beAt(media, moov + lit(24L), 4)
+        struct(
+          when(valid, lit("mp4")).otherwise(lit("unknown")).as("format"),
+          when(valid, hex(media.substr(lit(9L), lit(4L)))).as("major_brand_hex"),
+          when(valid, ts).as("timescale"),
+          when(valid, dur).as("duration"),
+          when(valid, floor(dur * lit(1000L) / ts).cast("long")).as("duration_ms"))
+      })
+  }
+
+  /** Deterministic synthetic MP4 corpus: real ISO-BMFF byte streams —
+    * ftyp('isom'), an optional variable-length `free` box (including
+    * the size-8 empty-box edge) that shifts the moov offset, and a
+    * moov whose first child is a full 108-byte mvhd v0. */
+  def syntheticMp4(docs: DataFrame,
+                   idCol: Column = col("doc_id"),
+                   textCol: Column = col("text")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    def be(v: Column, n: Int): Column = unhex(lpad(hex(v), 2 * n, "0"))
+    val body = unhex(md5(textCol))
+    val ts = when(id % 4L === 0L, 600L).when(id % 4L === 1L, 1000L)
+      .when(id % 4L === 2L, 90000L).otherwise(44100L)
+    val dur = (id % 7200L + 1L) * 100L
+    val freeLen = id % 9L // 0..8; 0 → the legal empty box (size 8)
+    val free = concat(be(lit(8L) + freeLen, 4), unhex(lit("66726565")),
+      body.substr(lit(1L), freeLen))
+    // mvhd v0: ver+flags, ctime, mtime, timescale, duration, then the
+    // fixed tail (rate 1.0, volume 1.0, reserved, unity matrix,
+    // predefined, next_track_id=2) — 108 bytes total
+    val mvhdTail = "00010000" + "0100" + "0000" + "0" * 16 +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" + "0" * 48 + "00000002"
+    val mvhd = concat(be(lit(108L), 4), unhex(lit("6D766864")),
+      unhex(lit("00000000")), be(lit(0L), 4), be(lit(0L), 4),
+      be(ts, 4), be(dur, 4), unhex(lit(mvhdTail)))
+    val moov = concat(be(lit(116L), 4), unhex(lit("6D6F6F76")), mvhd)
+    val ftyp = unhex(lit("00000010" + "66747970" + "69736F6D" + "00000000"))
+    val hasFree = id % 2L === 0L
+    val mp4 = concat(ftyp,
+      when(hasFree, free).otherwise(unhex(lit(""))), moov)
+    spread.select(id.as("media_id"),
+      when(id % 89L === 0L, body).otherwise(mp4).as("media"))
+  }
+
   /** Deterministic synthetic media corpus derived from a documents
     * table: REAL format byte streams (PNG signature + IHDR; JPEG
     * SOI → APP0/JFIF → variable-length COM → SOF0 → EOI), dimensions

@@ -289,13 +289,90 @@ object Media {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q114
+  // Synthetic MP4 corpus (real ISO-BMFF box streams; an optional
+  // variable-length 'free' box — including the size-8 empty box —
+  // shifts the moov offset) decoded back via the top-level box walk +
+  // mvhd v0 reads.
+  val q114_container_meta: Q = (s, dir) => {
+    val m = Multimodal.syntheticMp4(Tables.load(s, dir, "documents"))
+    m.select(
+      col("media_id").as("doc_id"),
+      Multimodal.parseMp4Header(col("media")).as("m"),
+      length(col("media")).cast("long").as("payload_bytes"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.major_brand_hex").as("major_brand_hex"),
+        col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"),
+        col("m.duration_ms").as("duration_ms"),
+        col("payload_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val q114_sql: String = {
+    val inBounds = s"off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"moov IS NULL AND $inBounds AND ${bn("off", 4)} >= 8"
+    val isMoov = s"$open AND substr(hexs, 2*off + 9, 8) = '6D6F6F76'"
+    val steps = (1 to Multimodal.Mp4MaxBoxes).map { k =>
+      s"""s$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open AND NOT ($isMoov)
+         |       THEN least(off + ${bn("off", 4)}, CAST(length(hexs)/2 AS BIGINT))
+         |       ELSE off END AS off,
+         |  CASE WHEN moov IS NOT NULL THEN moov
+         |       WHEN $isMoov THEN off + 8 END AS moov
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val ts = "(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000" +
+      " WHEN 2 THEN 90000 ELSE 44100 END)"
+    val dur = "((doc_id % 7200 + 1) * 100)"
+    val freeLen = "(doc_id % 9)"
+    val mvhdTail = "00010000" + "0100" + "0000" + "0" * 16 +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" + "0" * 48 + "00000002"
+    s"""WITH m AS (SELECT doc_id, upper(CASE
+       |    WHEN doc_id % 89 = 0 THEN md5(text)
+       |    ELSE '000000106674797069736F6D00000000'
+       |      || CASE WHEN doc_id % 2 = 0 THEN
+       |           lpad(to_hex(8 + $freeLen), 8, '0') || '66726565'
+       |           || substr(md5(text), 1, CAST(2 * $freeLen AS INT))
+       |         ELSE '' END
+       |      || '000000746D6F6F76'
+       |      || '0000006C6D76686400000000' || lpad(to_hex(0), 8, '0')
+       |      || lpad(to_hex(0), 8, '0')
+       |      || lpad(to_hex($ts), 8, '0') || lpad(to_hex($dur), 8, '0')
+       |      || '$mvhdTail'
+       |  END) AS hexs FROM documents),
+       |s0 AS (SELECT doc_id, hexs, CAST(0 AS BIGINT) AS off,
+       |              CAST(NULL AS BIGINT) AS moov FROM m),
+       |$steps,
+       |p AS (SELECT doc_id, hexs, moov,
+       |   length(hexs) >= 32 AND substr(hexs, 9, 8) = '66747970'
+       |     AND moov IS NOT NULL
+       |     AND moov + 32 <= CAST(length(hexs)/2 AS BIGINT)
+       |     AND substr(hexs, 2*(moov + 4) + 1, 8) = '6D766864'
+       |     AND ${b1("moov + 8")} = 0 AS ok
+       | FROM s${Multimodal.Mp4MaxBoxes})
+       |SELECT doc_id,
+       |  CASE WHEN ok THEN 'mp4' ELSE 'unknown' END AS format,
+       |  CASE WHEN ok THEN substr(hexs, 17, 8) END AS major_brand_hex,
+       |  CASE WHEN ok THEN ${bn("moov + 20", 4)} END AS timescale,
+       |  CASE WHEN ok THEN ${bn("moov + 24", 4)} END AS duration,
+       |  CASE WHEN ok THEN CAST(floor(${bn("moov + 24", 4)} * 1000
+       |       / ${bn("moov + 20", 4)}) AS BIGINT) END AS duration_ms,
+       |  CAST(length(hexs) / 2 AS BIGINT) AS payload_bytes
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q97_image_meta" -> q97_image_meta,
     "q100_audio_meta" -> q100_audio_meta,
-    "q102_video_meta" -> q102_video_meta)
+    "q102_video_meta" -> q102_video_meta,
+    "q114_container_meta" -> q114_container_meta)
 
   val oracle: Map[String, String] = Map(
     "q97_image_meta" -> q97_sql,
     "q100_audio_meta" -> q100_sql,
-    "q102_video_meta" -> q102_sql)
+    "q102_video_meta" -> q102_sql,
+    "q114_container_meta" -> q114_sql)
 }

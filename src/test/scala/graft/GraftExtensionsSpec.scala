@@ -68,6 +68,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val avi = Multimodal.syntheticAvi(docs.filter(col("doc_id") === 2))
       .selectExpr("parse_avi_header(media) AS m").select("m.format", "m.width").head()
     assert(avi.getString(0) === "avi" && avi.getLong(1) === 162L)
+    val mp4 = Multimodal.syntheticMp4(docs.filter(col("doc_id") === 2))
+      .selectExpr("parse_mp4_header(media) AS m")
+      .select("m.format", "m.timescale").head()
+    assert(mp4.getString(0) === "mp4" && mp4.getLong(1) === 90000L)
   }
 
   test("non-literal kernel parameters are rejected") {

@@ -232,4 +232,38 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  private def parseMp4(payload: Array[Byte]): Row = {
+    import spark.implicits._
+    Seq(Tuple1(payload)).toDF("media")
+      .select(Multimodal.parseMp4Header(col("media")).as("m"))
+      .select("m.format", "m.major_brand_hex", "m.timescale", "m.duration",
+        "m.duration_ms")
+      .head()
+  }
+
+  test("parseMp4Header walks ftyp → free → moov and reads mvhd v0") {
+    // ftyp(isom) + a 3-byte 'free' box (shifts moov) + moov/mvhd:
+    // timescale 600, duration 1500 → 2500 ms
+    val mvhdTail = "00010000" + "0100" + "0000" + "0" * 16 +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" + "0" * 48 + "00000002"
+    val mp4 = hexToBytes(
+      "00000010" + "66747970" + "69736F6D" + "00000000" +
+        "0000000B" + "66726565" + "AABBCC" +
+        "00000074" + "6D6F6F76" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        "00000258" + "000005DC" + mvhdTail)
+    assert(parseMp4(mp4) === Row("mp4", "69736F6D", 600L, 1500L, 2500L))
+  }
+
+  test("parseMp4Header: garbage, truncated and versionless payloads are unknown") {
+    assert(parseMp4("not a movie".getBytes).getString(0) === "unknown")
+    assert(parseMp4(hexToBytes("0000001066747970")).getString(0) === "unknown")
+    // a moov whose first child is NOT mvhd must not parse
+    val noMvhd = hexToBytes(
+      "00000010" + "66747970" + "69736F6D" + "00000000" +
+        "00000010" + "6D6F6F76" + "00000008" + "75647461") // moov/udta
+    assert(parseMp4(noMvhd).getString(0) === "unknown")
+  }
 }

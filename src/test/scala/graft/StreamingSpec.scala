@@ -281,6 +281,35 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sessions")
   }
 
+  test("transformWithState: typed per-key state across batches (Spark 4 API)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TwsStats
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[TwsStats.In]
+      val q = TwsStats.stream(mem.toDS()).writeStream
+        .format("memory").queryName("tws").outputMode("update").start()
+      mem.addData(TwsStats.In("a", 1.0), TwsStats.In("a", 3.0), TwsStats.In("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(TwsStats.In("a", 5.0)) // state must survive the batch boundary
+      q.processAllAvailable()
+      val last = spark.table("tws").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      q.stop()
+      assert(last("a") === ((3L, 3.0, 4.0))) // n=3, mean=3, var={1,3,5}=4
+      assert(last("b") === ((1L, 10.0, 0.0)))
+      spark.sql("DROP TABLE IF EXISTS tws")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful streaming per-key stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Welford.In]
