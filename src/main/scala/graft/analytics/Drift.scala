@@ -26,6 +26,46 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Pearson χ² test of independence between two categorical columns:
+    * one row (n, n_cells, dof, chi2). Every grid cell contributes —
+    * including observed-zero cells (their expected count still adds) —
+    * via the exact-integer numerator (o·N − r·c)²; only the final
+    * per-cell division is floating point, and the cell terms are
+    * summed in a DETERMINISTIC (a, b) order through a left-to-right
+    * fold, so the statistic is bit-stable across engines and runs.
+    * BIGINT bound: o·N needs N² < 9.2·10¹⁸ — beyond ~3·10⁹ rows
+    * switch the numerator to DECIMAL(38,0).
+    *
+    * 100 TB shape: the corpus collapses immediately to |A|·|B| cells;
+    * marginals re-aggregate from the cells (map-side combined); the
+    * tiny grid cross-joins broadcast marginals and the fold runs over
+    * one collected array inside a single aggregate row. */
+  def chi2Independence(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val obs = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("a").agg(sum("o").as("r"))
+    val ct = obs.groupBy("b").agg(sum("o").as("c"))
+    val tot = obs.agg(sum("o").as("n"), count(lit(1)).as("n_obs_cells"))
+    val grid = rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .withColumn("term",
+        ((col("o") * col("n") - col("r") * col("c")) *
+          (col("o") * col("n") - col("r") * col("c"))).cast("double") /
+          (col("n") * col("r") * col("c")).cast("double"))
+    grid.groupBy()
+      .agg(max("n").as("n"),
+        countDistinct("a").as("na"), countDistinct("b").as("nb"),
+        array_sort(collect_list(struct(col("a"), col("b"), col("term"))))
+          .as("cells"))
+      .select(col("n"), (col("na") * col("nb")).as("n_cells"),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
+        round(aggregate(col("cells"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("chi2"))
+  }
+
   /** All-pairs KS: (grp_a, grp_b, n_a, n_b, ks_num, ks) with
     * grp_a < grp_b, ks = ks_num/(n_a·n_b) rounded to 6 dp. */
   def ksPairs(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {

@@ -8,12 +8,14 @@ import graft.operators.Sampling
 import graft.text.{Packing, TextAnalysis}
 
 /** The end-to-end corpus-cleaning composition a training-data team
-  * actually runs — quality gate → benchmark decontamination → exact
-  * dedup → near-dup clustering → canonical selection → semantic dedup
-  * (optional, embedding-based) → deterministic sample → sequence
-  * packing — wired from the library's operators so a user gets the
-  * whole pipeline as one call. Every stage is a lazy DataFrame
-  * transform; stage counts are the only actions.
+  * actually runs — quality gate (threshold + optional trained
+  * classifier) → corpus-wide line dedup (optional) → benchmark
+  * decontamination → exact dedup → near-dup clustering → canonical
+  * selection → semantic dedup (optional, embedding-based) →
+  * deterministic sample → sequence packing — wired from the library's
+  * operators so a user gets the whole pipeline as one call. Every
+  * stage is a lazy DataFrame transform; stage counts are the only
+  * actions.
   *
   * Scale shape: the gate and fingerprints are per-row expressions; the
   * dedup stages shuffle content hashes and (band, hash, id) keys only;
@@ -29,6 +31,9 @@ object CorpusPipeline {
       maxAvgTokenLen: Double = 12.0,
       minStopwordRatio: Double = 0.01,
       maxPunctRatio: Double = 0.2,
+      classifier: Option[graft.ml.Logit.Model] = None,
+      classifierThreshold: Double = 0.5,
+      lineDedupTokens: Option[Int] = None,
       nearDupThreshold: Double = 0.8,
       benchmark: Option[DataFrame] = None,
       decontamN: Int = 8,
@@ -53,16 +58,43 @@ object CorpusPipeline {
     val counts = Seq.newBuilder[(String, Long)]
     counts += ("input" -> docs.count())
 
-    // 1. quality gate (Gopher-style thresholds over per-row features)
-    val gated = TextAnalysis.qualityFeatures(docs, text)
+    // 1. quality gate (Gopher-style thresholds over per-row features),
+    //    optionally sharpened by a trained logistic classifier scored
+    //    over the SAME feature projection (one scan serves both)
+    val feats = TextAnalysis.qualityFeatures(docs, text)
       .filter(col("n_tokens") >= cfg.minTokens &&
         col("n_tokens") <= cfg.maxTokens &&
         col("avg_token_len") >= cfg.minAvgTokenLen &&
         col("avg_token_len") <= cfg.maxAvgTokenLen &&
         col("stopword_ratio") >= cfg.minStopwordRatio &&
         col("punct_ratio") <= cfg.maxPunctRatio)
+    val classified = cfg.classifier match {
+      case Some(m) => feats.filter(m.scoreExpr >= cfg.classifierThreshold)
+      case None => feats
+    }
+    val gated = classified
       .drop("n_chars", "avg_token_len", "stopword_ratio", "punct_ratio")
     counts += ("quality_gate" -> gated.count())
+
+    // 1b. corpus-wide line dedup (optional): strip every repeated line
+    //     (first occurrence survives), rewrite the text, and recount
+    //     tokens — RefinedWeb's boilerplate-removal stage. Runs BEFORE
+    //     exact dedup so two docs differing only in shared boilerplate
+    //     collapse to identical residues.
+    val lineDeduped = cfg.lineDedupTokens match {
+      case Some(ltoks) =>
+        val rewritten = graft.text.LineDedup
+          .rewrite(gated, id, text, ltoks)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id").as("__ld_id"), col("kept_text"))
+        gated.join(rewritten, id === col("__ld_id"))
+          .withColumn(text.toString(), col("kept_text"))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("kept_text")))
+          .drop("__ld_id", "kept_text")
+      case None => gated
+    }
+    if (cfg.lineDedupTokens.isDefined)
+      counts += ("line_dedup" -> lineDeduped.count())
 
     // 2. benchmark decontamination (when an eval set is supplied):
     //    drop any doc sharing a word n-gram with the benchmark — the
@@ -71,12 +103,12 @@ object CorpusPipeline {
     val decontaminated = cfg.benchmark match {
       case Some(bench) =>
         val flagged = graft.text.Decontam.contaminationReport(
-          gated, bench, cfg.decontamN,
+          lineDeduped, bench, cfg.decontamN,
           idCol = id.toString(), textCol = text.toString(),
           benchTextCol = cfg.benchTextCol)
           .select(id.as("__contaminated_id"))
-        gated.join(flagged, id === col("__contaminated_id"), "left_anti")
-      case None => gated
+        lineDeduped.join(flagged, id === col("__contaminated_id"), "left_anti")
+      case None => lineDeduped
     }
     if (cfg.benchmark.isDefined)
       counts += ("decontaminate" -> decontaminated.count())

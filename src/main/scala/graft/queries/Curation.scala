@@ -334,6 +334,35 @@ object Curation {
        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY zv LIMIT 100""".stripMargin
   }
 
+  // --------------------------------------------------------------- q115
+  // Chi-square independence: is language distribution independent of
+  // source? Exact-integer cell numerators; the double cell terms sum
+  // in a pinned (lang, source) fold order, so the statistic is
+  // bit-stable across engines.
+  val q115_chi2: Q = (s, dir) =>
+    graft.analytics.Drift.chi2Independence(
+      Tables.load(s, dir, "documents"), col("lang"), col("source"))
+
+  val q115_sql: String =
+    """WITH obs AS (SELECT lang AS a, source AS b, count(*) AS o
+      |             FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT a, sum(o) AS r FROM obs GROUP BY a),
+      |ct AS (SELECT b, sum(o) AS c FROM obs GROUP BY b),
+      |tot AS (SELECT sum(o) AS n FROM obs),
+      |grid AS (SELECT rt.a, ct.b, tot.n, rt.r, ct.c,
+      |           coalesce(obs.o, 0) AS o
+      |         FROM rt CROSS JOIN ct CROSS JOIN tot
+      |         LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
+      |terms AS (SELECT a, b, n,
+      |    CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+      |      / CAST(n * r * c AS DOUBLE) AS term
+      |  FROM grid)
+      |SELECT CAST(max(n) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT a) * count(DISTINCT b) AS BIGINT) AS n_cells,
+      |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+      |  round(list_sum(list(term ORDER BY a, b)), 6) AS chi2
+      |FROM terms""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_line_dedup" -> q106_line_dedup,
     "q107_sq_ann" -> q107_sq_ann,
@@ -342,7 +371,8 @@ object Curation {
     "q110_scd2" -> q110_scd2,
     "q111_pagerank" -> q111_pagerank,
     "q112_quality_score" -> q112_quality_score,
-    "q113_zorder" -> q113_zorder)
+    "q113_zorder" -> q113_zorder,
+    "q115_chi2" -> q115_chi2)
 
   val oracle: Map[String, String] = Map(
     "q106_line_dedup" -> q106_sql,
@@ -352,5 +382,6 @@ object Curation {
     "q110_scd2" -> q110_sql,
     "q111_pagerank" -> q111_sql,
     "q112_quality_score" -> q112_sql,
-    "q113_zorder" -> q113_sql)
+    "q113_zorder" -> q113_sql,
+    "q115_chi2" -> q115_sql)
 }

@@ -63,20 +63,29 @@ object LineDedup {
       .distinct()
   }
 
-  /** Per-document census after corpus-wide line dedup: total lines,
-    * surviving lines, and an md5 fingerprint of the reassembled
-    * (kept-lines-only, original order) text. */
-  def dedupCensus(df: DataFrame, idCol: Column, textCol: Column,
-                  tokensPerLine: Int): DataFrame = {
+  /** Per-document reassembly after corpus-wide line dedup:
+    * (doc_id, n_lines, n_kept, kept_text) with surviving lines in
+    * original order. */
+  def rewrite(df: DataFrame, idCol: Column, textCol: Column,
+              tokensPerLine: Int): DataFrame = {
     val marked = markFirstOccurrence(chunkLines(df, idCol, textCol, tokensPerLine))
     marked.groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("keep"), lit(1))).as("n_kept"),
-        md5(array_join(
+        array_join(
           transform(
             array_sort(collect_list(when(col("keep"),
               struct(col("line_idx"), col("line"))))),
             x => x.getField("line")),
-          " ")).as("kept_fp"))
+          " ").as("kept_text"))
   }
+
+  /** Per-document census after corpus-wide line dedup: total lines,
+    * surviving lines, and an md5 fingerprint of the reassembled
+    * (kept-lines-only, original order) text. */
+  def dedupCensus(df: DataFrame, idCol: Column, textCol: Column,
+                  tokensPerLine: Int): DataFrame =
+    rewrite(df, idCol, textCol, tokensPerLine)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("kept_text")).as("kept_fp"))
 }

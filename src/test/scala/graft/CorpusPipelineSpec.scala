@@ -87,4 +87,39 @@ class CorpusPipelineSpec extends SparkSpec {
     val halfIds = resHalf.cleaned.select("doc_id").as[Long].collect().toSet
     assert(baseIds.filter(_ >= cut).subsetOf(halfIds))
   }
+
+  test("clean with line dedup: boilerplate lines vanish, texts rewritten") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val res = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, lineDedupTokens = Some(10)))
+    assert(res.stageCounts.map(_._1).contains("line_dedup"))
+    // after rewriting, no 10-token line may occur twice corpus-wide
+    val lines = graft.text.LineDedup.chunkLines(
+      res.cleaned, col("doc_id"), col("text"), 10)
+    val dups = lines.groupBy("line").count().filter(col("count") > 1).count()
+    assert(dups === 0L)
+    // n_tokens was recounted from the rewritten text
+    val bad = res.cleaned
+      .filter(col("n_tokens") =!= graft.text.TextAnalysis.tokenCount(col("text")))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("clean with a classifier: scores gate the corpus") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    // a permissive model (large positive intercept) keeps everything...
+    val keepAll = graft.ml.Logit.Model(
+      Seq("stopword_ratio"), Array(0.0), intercept = 10.0)
+    val resAll = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, classifier = Some(keepAll)))
+    // ...a hostile one (large negative intercept) keeps nothing
+    val dropAll = keepAll.copy(intercept = -10.0)
+    val resNone = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10, classifier = Some(dropAll)))
+    val base = CorpusPipeline.clean(docs, col("doc_id"), col("text"),
+      CorpusPipeline.Config(minTokens = 10))
+    assert(resAll.stageCounts.toMap.apply("quality_gate") ===
+      base.stageCounts.toMap.apply("quality_gate"))
+    assert(resNone.stageCounts.toMap.apply("quality_gate") === 0L)
+  }
 }

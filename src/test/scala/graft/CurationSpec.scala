@@ -92,6 +92,21 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("ks_num") === 2L && r.getAs[Double]("ks") === 0.5)
   }
 
+  // ---------------------------------------------------------------- chi2
+
+  test("chi2: independent grid scores 0, perfect association scores N") {
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val r0 = graft.analytics.Drift
+      .chi2Independence(indep, col("a"), col("b")).head()
+    assert(r0.getAs[Long]("dof") === 1L && r0.getAs[Double]("chi2") === 0.0)
+    val dep = (for (i <- 1 to 10)
+      yield if (i <= 5) ("x", "u") else ("y", "v")).toDF("a", "b")
+    val r1 = graft.analytics.Drift
+      .chi2Independence(dep, col("a"), col("b")).head()
+    assert(r1.getAs[Long]("n") === 10L && r1.getAs[Double]("chi2") === 10.0)
+  }
+
   // --------------------------------------------------------------- Logit
 
   test("Logit fit separates a margin-separated synthetic set exactly") {
