@@ -26,6 +26,41 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Mergeable per-key moment summaries for INCREMENTAL aggregate
+    * maintenance: the state is (n, Σx, Σx²) in exact integer
+    * micro-units — component-wise ADDITION merges any two states, so
+    * "full recompute" ≡ "stored state + delta batch" bit-for-bit, in
+    * any order, across any partitioning. Mean/variance derive at read
+    * time only. This is the warehouse pattern that turns an O(history)
+    * nightly aggregate into an O(delta) one; the same triple is the
+    * batch twin of the streaming Welford state.
+    * Pick `scale` for the value range: Σx² must stay under 2⁶³, so
+    * scale·|x| around 10⁴ (milli-units for 2-decimal metrics) is safe
+    * to ~10¹⁰ rows per key; widen to DECIMAL(38,0) past that. */
+  def momentState(df: DataFrame, keyCol: Column, valueCol: Column,
+                  scale: Long = 1000000L): DataFrame = {
+    val mv = round(valueCol.cast("double") * scale.toDouble).cast("long")
+    df.select(keyCol.as("key"), mv.as("mv"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("mv").as("sx"),
+        sum(col("mv") * col("mv")).as("sxx"))
+  }
+
+  /** Merge two moment-state tables (full outer, component sums). */
+  def mergeMomentStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("key"), col("n"), col("sx"), col("sxx"))
+      .unionAll(b.select(col("key"), col("n"), col("sx"), col("sxx")))
+      .groupBy("key")
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sxx").as("sxx"))
+
+  /** Read side: derive mean and sample variance from a state table. */
+  def momentStats(state: DataFrame, scale: Long = 1000000L): DataFrame =
+    state.select(col("key"), col("n"), col("sx"), col("sxx"),
+      round(col("sx").cast("double") / (col("n") * scale.toDouble), 6).as("mean"),
+      round((col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+        ((col("n") - 1) * scale.toDouble * scale.toDouble), 6).as("variance"))
+
   /** Pearson χ² test of independence between two categorical columns:
     * one row (n, n_cells, dof, chi2). Every grid cell contributes —
     * including observed-zero cells (their expected count still adds) —

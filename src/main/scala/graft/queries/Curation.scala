@@ -363,6 +363,52 @@ object Curation {
       |  round(list_sum(list(term ORDER BY a, b)), 6) AS chi2
       |FROM terms""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  // Incremental aggregate maintenance: per-event-type moment states
+  // built from the historical half (event_id < cutoff) and the delta
+  // half separately, merged by component addition — provably identical
+  // to a full recompute (the spec pins that); mean/variance derive at
+  // read time. All state is exact BIGINT milli-units (the value
+  // column carries 2 decimals; milli keeps Sum(x^2) far inside BIGINT).
+  val IncCutoff = 5000L
+  val IncScale = 1000L
+
+  val q116_incremental_stats: Q = (s, dir) => {
+    import graft.analytics.Drift
+    val e = Tables.load(s, dir, "events")
+    val hist = Drift.momentState(
+      e.filter(col("event_id") < IncCutoff), col("event_type"), col("value"),
+      IncScale)
+    val delta = Drift.momentState(
+      e.filter(col("event_id") >= IncCutoff), col("event_type"), col("value"),
+      IncScale)
+    Drift.momentStats(Drift.mergeMomentStates(hist, delta), IncScale)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+  }
+
+  val q116_sql: String =
+    s"""WITH mv AS (SELECT event_type,
+       |    CAST(round(CAST(value AS DOUBLE) * $IncScale.0) AS BIGINT) AS mv,
+       |    event_id
+       |  FROM events),
+       |hist AS (SELECT event_type, count(*) AS n, sum(mv) AS sx,
+       |           sum(mv * mv) AS sxx
+       |         FROM mv WHERE event_id < $IncCutoff GROUP BY event_type),
+       |delta AS (SELECT event_type, count(*) AS n, sum(mv) AS sx,
+       |            sum(mv * mv) AS sxx
+       |          FROM mv WHERE event_id >= $IncCutoff GROUP BY event_type),
+       |merged AS (SELECT event_type, sum(n) AS n, sum(sx) AS sx,
+       |             sum(sxx) AS sxx
+       |           FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+       |           GROUP BY event_type)
+       |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       |  CAST(sxx AS BIGINT) AS sxx,
+       |  round(CAST(sx AS DOUBLE) / (n * $IncScale.0), 6) AS mean,
+       |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+       |        / ((n - 1) * $IncScale.0 * $IncScale.0), 6) AS variance
+       |FROM merged ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_line_dedup" -> q106_line_dedup,
     "q107_sq_ann" -> q107_sq_ann,
@@ -372,7 +418,8 @@ object Curation {
     "q111_pagerank" -> q111_pagerank,
     "q112_quality_score" -> q112_quality_score,
     "q113_zorder" -> q113_zorder,
-    "q115_chi2" -> q115_chi2)
+    "q115_chi2" -> q115_chi2,
+    "q116_incremental_stats" -> q116_incremental_stats)
 
   val oracle: Map[String, String] = Map(
     "q106_line_dedup" -> q106_sql,
@@ -383,5 +430,6 @@ object Curation {
     "q111_pagerank" -> q111_sql,
     "q112_quality_score" -> q112_sql,
     "q113_zorder" -> q113_sql,
-    "q115_chi2" -> q115_sql)
+    "q115_chi2" -> q115_sql,
+    "q116_incremental_stats" -> q116_sql)
 }

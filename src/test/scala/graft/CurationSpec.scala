@@ -92,6 +92,32 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("ks_num") === 2L && r.getAs[Double]("ks") === 0.5)
   }
 
+  // ------------------------------------------------------- moment states
+
+  test("incremental moment state: merge of splits ≡ full recompute, any split") {
+    import graft.analytics.Drift
+    val e = Tables.load(spark, TestSpark.sf0001, "events")
+    val full = Drift.momentState(e, col("event_type"), col("value"))
+    for (cut <- Seq(100L, 2500L, 9999L)) {
+      val hist = Drift.momentState(
+        e.filter(col("event_id") < cut), col("event_type"), col("value"))
+      val delta = Drift.momentState(
+        e.filter(col("event_id") >= cut), col("event_type"), col("value"))
+      val merged = Drift.mergeMomentStates(hist, delta)
+      assert(merged.orderBy("key").collect().toSeq ===
+        full.orderBy("key").collect().toSeq, s"cut=$cut")
+    }
+    // derived stats agree with Spark's own aggregates at 6dp
+    val stats = Drift.momentStats(full).orderBy("key").collect()
+    val direct = e.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("m"), round(variance("value"), 6).as("v"))
+      .orderBy("event_type").collect()
+    stats.zip(direct).foreach { case (s, d) =>
+      assert(math.abs(s.getAs[Double]("mean") - d.getAs[Double]("m")) < 1e-5)
+      assert(math.abs(s.getAs[Double]("variance") - d.getAs[Double]("v")) < 1e-5)
+    }
+  }
+
   // ---------------------------------------------------------------- chi2
 
   test("chi2: independent grid scores 0, perfect association scores N") {
