@@ -103,6 +103,14 @@ object GraftExtensions {
         TopKByScore(args(0), args(1),
           literalLong("top_k_ids.k", args(2)).toInt)
       }),
+    (FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(key, k) - aggregate: Misra-Gries frequent-items sketch, <= k (key, lower-bound) pairs, hottest first"),
+      (args: Seq[Expression]) => {
+        requireArgs("heavy_hitters", 2, args)
+        MisraGriesHitters(args(0),
+          literalLong("heavy_hitters.k", args(1)).toInt)
+      }),
     (FunctionIdentifier("token_set_count"),
       info("token_set_count",
         "token_set_count(tokens, dict, lowercase) - count of tokens present in a literal dictionary"),

@@ -53,4 +53,47 @@ class TopKAggSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(rows === List((0L, 8L), (1L, 9L)))
   }
+
+  // ------------------------------------------------------- Misra–Gries
+
+  test("heavy hitters: every key above N/(k+1) survives with bounded undercount") {
+    import spark.implicits._
+    // 1000 rows: key 1 ×400, key 2 ×300, keys 3..102 ×3 each
+    val rows = Seq.fill(400)(1L) ++ Seq.fill(300)(2L) ++
+      (3L to 102L).flatMap(k => Seq.fill(3)(k))
+    val df = rows.toDF("key").repartition(8) // force partial + merge path
+    val k = 9
+    val out = df.agg(graft.expressions.MisraGriesAgg
+        .heavy_hitters(col("key"), k).as("hh"))
+      .selectExpr("explode(hh) AS h").select("h.key", "h.lower")
+      .as[(Long, Long)].collect().toMap
+    val n = rows.size
+    assert(out.contains(1L) && out.contains(2L)) // true count > N/(k+1) = 100
+    assert(out.size <= k)
+    // lower bounds never overstate and undershoot by at most N/(k+1)
+    assert(out(1L) <= 400L && out(1L) >= 400L - n / (k + 1))
+    assert(out(2L) <= 300L && out(2L) >= 300L - n / (k + 1))
+  }
+
+  test("heavy hitters: the hot key survives under every partitioning") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i % 7).toLong) ++ Seq.fill(200)(42L)
+    def run(parts: Int) = rows.toDF("key").repartition(parts)
+      .agg(graft.expressions.MisraGriesAgg.heavy_hitters(col("key"), 4).as("hh"))
+      .selectExpr("explode(hh) AS h").select("h.key")
+      .as[Long].collect().toSet
+    assert(run(1).contains(42L))
+    assert(run(5).contains(42L))
+    assert(run(32).contains(42L))
+  }
+
+  test("heavy_hitters from SQL with a literal k") {
+    GraftExtensions.register(TestSpark.spark)
+    // skewed keys: 0 dominates (901 of 999 rows) and must be reported
+    val hot = spark.sql(
+      "SELECT explode(heavy_hitters(greatest(id - 900, 0), 2)) AS h " +
+        "FROM range(0, 999)")
+      .selectExpr("h.key").collect().map(_.getLong(0)).toSet
+    assert(hot.contains(0L))
+  }
 }
