@@ -35,10 +35,11 @@ object Drift {
     * nightly aggregate into an O(delta) one; the same triple is the
     * batch twin of the streaming Welford state.
     * Pick `scale` for the value range: Σx² must stay under 2⁶³, so
-    * scale·|x| around 10⁴ (milli-units for 2-decimal metrics) is safe
-    * to ~10¹⁰ rows per key; widen to DECIMAL(38,0) past that. */
+    * scale·|x| around 10⁴ (the milli default suits 2-decimal metrics
+    * up to |x|~10) is safe to ~10¹⁰ rows per key; widen to
+    * DECIMAL(38,0) past that. */
   def momentState(df: DataFrame, keyCol: Column, valueCol: Column,
-                  scale: Long = 1000000L): DataFrame = {
+                  scale: Long = 1000L): DataFrame = {
     val mv = round(valueCol.cast("double") * scale.toDouble).cast("long")
     df.select(keyCol.as("key"), mv.as("mv"))
       .groupBy("key")
@@ -54,12 +55,14 @@ object Drift {
       .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sxx").as("sxx"))
 
   /** Read side: derive mean and sample variance from a state table. */
-  def momentStats(state: DataFrame, scale: Long = 1000000L): DataFrame =
+  def momentStats(state: DataFrame, scale: Long = 1000L): DataFrame =
     state.select(col("key"), col("n"), col("sx"), col("sxx"),
       round(col("sx").cast("double") / (col("n") * scale.toDouble), 6).as("mean"),
-      round((col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
-        ((col("n") - 1) * scale.toDouble * scale.toDouble), 6).as("variance"))
+      when(col("n") > 1,
+        round((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          ((col("n") - 1) * scale.toDouble * scale.toDouble), 6))
+        .as("variance"))
 
   /** Pearson χ² test of independence between two categorical columns:
     * one row (n, n_cells, dof, chi2). Every grid cell contributes —
@@ -68,8 +71,10 @@ object Drift {
     * per-cell division is floating point, and the cell terms are
     * summed in a DETERMINISTIC (a, b) order through a left-to-right
     * fold, so the statistic is bit-stable across engines and runs.
-    * BIGINT bound: o·N needs N² < 9.2·10¹⁸ — beyond ~3·10⁹ rows
-    * switch the numerator to DECIMAL(38,0).
+    * Cell arithmetic runs in DOUBLE from the first multiply — (o·N)²
+    * overflows BIGINT at ~10⁶ rows for associated columns, while the
+    * identical IEEE double sequence stays deterministic in both
+    * engines at any N (exact up to 2⁵³ per product).
     *
     * 100 TB shape: the corpus collapses immediately to |A|·|B| cells;
     * marginals re-aggregate from the cells (map-side combined); the
@@ -80,16 +85,17 @@ object Drift {
       .groupBy("a", "b").agg(count(lit(1)).as("o"))
     val rt = obs.groupBy("a").agg(sum("o").as("r"))
     val ct = obs.groupBy("b").agg(sum("o").as("c"))
-    val tot = obs.agg(sum("o").as("n"), count(lit(1)).as("n_obs_cells"))
+    val tot = obs.agg(sum("o").as("n"))
     val grid = rt.crossJoin(broadcast(ct))
       .join(obs, Seq("a", "b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("a"), col("b"), col("n"), col("r"), col("c"),
         coalesce(col("o"), lit(0L)).as("o"))
-      .withColumn("term",
-        ((col("o") * col("n") - col("r") * col("c")) *
-          (col("o") * col("n") - col("r") * col("c"))).cast("double") /
-          (col("n") * col("r") * col("c")).cast("double"))
+      .withColumn("term", {
+        val od = col("o").cast("double"); val nd = col("n").cast("double")
+        val rd = col("r").cast("double"); val cd = col("c").cast("double")
+        (od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd)
+      })
     grid.groupBy()
       .agg(max("n").as("n"),
         countDistinct("a").as("na"), countDistinct("b").as("nb"),

@@ -34,7 +34,11 @@ object PageRank {
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = checkpoint(e.join(deg, "src"))
-    val nodes = e.select(col("src").as("node")).distinct()
+    // node set = src ∪ dst: a dst-only sink must still hold rank (its
+    // received mass leaks on the next round — the classic simple-
+    // PageRank dangling behavior — but it is never silently absent)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("n"))
     val base = s"(((100 - $dampPct) * ($totalMass div n)) div 100)"
     var ranks = nodes.crossJoin(broadcast(nRow))

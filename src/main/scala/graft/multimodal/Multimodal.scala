@@ -363,7 +363,8 @@ object Multimodal {
         val valid = isMp4 && moov.isNotNull &&
           (moov + lit(32L)) <= length(media).cast("long") &&
           hex(media.substr(moov + lit(5L), lit(4L))) === lit("6D766864") && // "mvhd"
-          u8At(media, moov + lit(8L)) === lit(0L) // version 0: u32 fields
+          u8At(media, moov + lit(8L)) === lit(0L) && // version 0: u32 fields
+          beAt(media, moov + lit(20L), 4) > lit(0L) // 0 timescale poisons duration
         val ts = beAt(media, moov + lit(20L), 4)
         val dur = beAt(media, moov + lit(24L), 4)
         struct(

@@ -26,10 +26,9 @@ object Scd {
     val changes = log
       .withColumn("__prev", lag(attrCol, 1).over(byKey))
       .filter(col("__prev").isNull || col("__prev") =!= attrCol)
-    val byChange = Window.partitionBy(keyCol).orderBy(orderCols.map(_.asc): _*)
     changes
       .withColumn("valid_from", tsCol)
-      .withColumn("valid_to", lead(tsCol, 1).over(byChange))
+      .withColumn("valid_to", lead(tsCol, 1).over(byKey))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev")
   }

@@ -200,14 +200,14 @@ object Curation {
       .orderBy("user_id", "valid_from")
 
   val q110_sql: String =
-    """WITH m AS (SELECT user_id, event_type, ts,
+    """WITH m AS (SELECT user_id, event_type, ts, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS prev
       |  FROM events),
-      |c AS (SELECT user_id, event_type, ts FROM m
+      |c AS (SELECT user_id, event_type, ts, event_id FROM m
       |      WHERE prev IS NULL OR prev <> event_type),
       |i AS (SELECT user_id, event_type, ts AS vf,
-      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
       |      FROM c)
       |SELECT user_id, event_type,
       |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
@@ -255,7 +255,8 @@ object Curation {
        |          FROM dl a JOIN dl b USING (line)
        |          WHERE a.doc_id <> b.doc_id),
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |i0 AS (SELECT node, $PrMass // n AS r, n FROM nodes, nn),
        |$rounds
@@ -354,8 +355,11 @@ object Curation {
       |         FROM rt CROSS JOIN ct CROSS JOIN tot
       |         LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
       |terms AS (SELECT a, b, n,
-      |    CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
-      |      / CAST(n * r * c AS DOUBLE) AS term
+      |    (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS term
       |  FROM grid)
       |SELECT CAST(max(n) AS BIGINT) AS n,
       |  CAST(count(DISTINCT a) * count(DISTINCT b) AS BIGINT) AS n_cells,
@@ -405,8 +409,9 @@ object Curation {
        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
        |  CAST(sxx AS BIGINT) AS sxx,
        |  round(CAST(sx AS DOUBLE) / (n * $IncScale.0), 6) AS mean,
-       |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-       |        / ((n - 1) * $IncScale.0 * $IncScale.0), 6) AS variance
+       |  CASE WHEN n > 1 THEN
+       |    round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+       |          / ((n - 1) * $IncScale.0 * $IncScale.0), 6) END AS variance
        |FROM merged ORDER BY event_type""".stripMargin
 
   val all: Map[String, Q] = Map(

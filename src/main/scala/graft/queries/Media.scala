@@ -351,7 +351,7 @@ object Media {
        |     AND moov IS NOT NULL
        |     AND moov + 32 <= CAST(length(hexs)/2 AS BIGINT)
        |     AND substr(hexs, 2*(moov + 4) + 1, 8) = '6D766864'
-       |     AND ${b1("moov + 8")} = 0 AS ok
+       |     AND ${b1("moov + 8")} = 0 AND ${bn("moov + 20", 4)} > 0 AS ok
        | FROM s${Multimodal.Mp4MaxBoxes})
        |SELECT doc_id,
        |  CASE WHEN ok THEN 'mp4' ELSE 'unknown' END AS format,

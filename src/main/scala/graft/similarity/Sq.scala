@@ -76,17 +76,24 @@ object Sq {
 
   /** Two-stage ANN: ADC scan over the codes → `rerank`-deep shortlist
     * per query → exact integer-distance re-rank → top `k`.
-    * Output: (query_id, rank, neighbor_id, adist, edist), all BIGINT. */
+    * Output: (query_id, rank, neighbor_id, adist, edist), all BIGINT.
+    * `excludeSelf` (default true) drops the corpus row whose id equals
+    * the query id — correct when querying the corpus BY its own rows;
+    * pass false when the query table is external and ids are an
+    * unrelated numbering that may coincidentally collide. */
   def adcTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
               queries: DataFrame, k: Int, rerank: Int, dim: Int, bins: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       micronize(col(vecCol)).as("qmv"))
     val sqDiff = s"(qmv[d] - cents[d * $bins + codes[d]])"
-    val approx = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+    val scanned = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(codebook.select("cents")))
       .crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val approx = (if (excludeSelf)
+      scanned.filter(col("query_id") =!= col("neighbor_id"))
+    else scanned)
       .select(col("query_id"), col("neighbor_id"), col("qmv"),
         expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), " +
           s"(acc, d) -> acc + $sqDiff * $sqDiff)").as("adist"))
