@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Extended.all ++
       graft.queries.Media.all ++
       graft.queries.Governance.all ++
-      graft.queries.Curation.all
+      graft.queries.Curation.all ++
+      graft.queries.Mining.all
 
   /** Queries selected by the optional comma-separated name filter
     * (`SPARK_GRAFT_ONLY` in Verify/Bench). Unknown names are an ERROR —
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Extended.oracle ++
       graft.queries.Media.oracle ++
       graft.queries.Governance.oracle ++
-      graft.queries.Curation.oracle
+      graft.queries.Curation.oracle ++
+      graft.queries.Mining.oracle
 }

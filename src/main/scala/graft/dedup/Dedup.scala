@@ -347,7 +347,38 @@ object Dedup {
     * index). */
   def jaccardSimJoinOn(df: DataFrame, id: Column, items: Column,
                        threshold: Double,
-                       maxDocFrequency: Double = 1.0): DataFrame = {
+                       maxDocFrequency: Double = 1.0): DataFrame =
+    intersectionPairs(df, id, items, maxDocFrequency)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Asymmetric set-containment join: |A∩B| / |A| and |A∩B| / |B| per
+    * candidate pair, kept when EITHER direction reaches `threshold`.
+    * Catches quote/boilerplate CONTAINMENT that symmetric Jaccard
+    * misses: a 10-token quote inside a 1000-token article has Jaccard
+    * ≈ 0.01 but containment 1.0. Same inverted-index plan shape (and
+    * the same df-cut lower-bound trade) as [[jaccardSimJoinOn]]. */
+  def containmentJoinOn(df: DataFrame, id: Column, items: Column,
+                        threshold: Double,
+                        maxDocFrequency: Double = 1.0): DataFrame =
+    intersectionPairs(df, id, items, maxDocFrequency)
+      .withColumn("cont_a_in_b", round(col("inter").cast("double") / col("sz_a"), 6))
+      .withColumn("cont_b_in_a", round(col("inter").cast("double") / col("sz_b"), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+
+  /** Shared inverted-index candidate builder: (id_a, id_b, inter,
+    * sz_a, sz_b) for every pair of documents sharing ≥1 surviving
+    * item. The shuffle key is the item; the per-doc size table joins
+    * back by PLAIN shuffle (O(n_docs) rows — broadcasting it would OOM
+    * at corpus scale). */
+  private def intersectionPairs(df: DataFrame, id: Column, items: Column,
+                                maxDocFrequency: Double): DataFrame = {
     val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
     val sizes = toks.select(col("id"), size(col("toks")).as("sz"))
     val invAll = toks.select(col("id"), explode(col("toks")).as("tok"))
@@ -367,7 +398,7 @@ object Dedup {
         // on — the cut itself (anti-join below) is always lazy/fused
         if (log.isInfoEnabled) {
           val nHot = hot.count()
-          log.info(s"jaccardSimJoinOn df-cut: dropping $nHot tokens with " +
+          log.info(s"intersectionPairs df-cut: dropping $nHot tokens with " +
             s"doc-frequency fraction > $maxDocFrequency")
         }
         invAll.join(hot.select(col("tok").as("__hot")),
@@ -382,9 +413,6 @@ object Dedup {
         col("id_a") === col("__ia"))
       .join(sizes.withColumnsRenamed(Map("id" -> "__ib", "sz" -> "sz_b")),
         col("id_b") === col("__ib"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
   }
 }

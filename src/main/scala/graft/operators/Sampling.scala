@@ -64,6 +64,33 @@ object Sampling {
       .drop("__val", "__run")
   }
 
+  /** Temperature-flattened mixture allocation (the multilingual /
+    * multi-domain pretraining-mix recipe: sample domains ∝ countᵗ,
+    * t < 1, so rare domains are up-weighted relative to their raw
+    * share). Fixed at t = 0.5: `sqrt` is correctly-rounded IEEE-754
+    * in every engine, and the normalizer sums integer micro-unit
+    * weights, so the whole allocation replays bit-for-bit (a general-t
+    * `pow` is libm-dependent and would not). Returns per-domain
+    * (domain, n_docs, w_micro, share, alloc_docs) with Σ alloc_docs ≤
+    * `budget` (floor division; remainder stays unallocated).
+    *
+    * 100 TB shape: one map-side-combined count by domain; everything
+    * after runs on the O(|domains|) aggregate. The normalizer is a
+    * 1-row aggregate broadcast-cross-joined back — lazy, no extra
+    * pass, no driver collect. */
+  def sqrtTemperatureMixture(df: DataFrame, domain: Column,
+                             budget: Long): DataFrame = {
+    val counts = df.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = counts.agg(sum("w_micro").as("__tot_w"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("w_micro"),
+        round(col("w_micro").cast("double") / col("__tot_w"), 6).as("share"),
+        expr(s"($budget * w_micro) div __tot_w").as("alloc_docs"))
+  }
+
   /** Split into n disjoint, exhaustive folds by key hash (cross-
     * validation / sharded holdouts). Adds a `fold` column in [0, n). */
   def withFolds(df: DataFrame, keyCols: Seq[String], n: Int,

@@ -32,7 +32,7 @@ object Curation {
   /** Shared DuckDB CTE chain: documents → fixed-width token lines
     * (doc_id, line_idx, line) — q106 dedups them, q111 builds the
     * duplicate-cluster graph from them. */
-  private def linesCtes: String =
+  private[queries] def linesCtes: String =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |              FROM documents),
        |ln AS (SELECT doc_id, t,
@@ -234,6 +234,20 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Shared DuckDB CTE chain ending in the duplicate-cluster `edges`
+    * relation (symmetric directed, line-share, occupancy-capped) —
+    * q111 runs PageRank over it, q117 (Mining) counts triangles. */
+  private[queries] def shareEdgesCtes: String =
+    s"""$linesCtes,
+       |eligible AS (SELECT line FROM lines
+       |             GROUP BY line
+       |             HAVING count(DISTINCT doc_id) BETWEEN $PrMinDocs AND $PrMaxDocs),
+       |dl AS (SELECT DISTINCT l.line, l.doc_id
+       |       FROM lines l JOIN eligible USING (line)),
+       |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |          FROM dl a JOIN dl b USING (line)
+       |          WHERE a.doc_id <> b.doc_id)""".stripMargin
+
   val q111_sql: String = {
     def iter(k: Int, prev: String) =
       s"""i$k AS (SELECT p.node,
@@ -245,15 +259,7 @@ object Curation {
          |                 JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) s ON s.dst = p.node)""".stripMargin
     val rounds = (1 to PrIters).map(k => iter(k, s"i${k - 1}")).mkString(",\n")
-    s"""WITH $linesCtes,
-       |eligible AS (SELECT line FROM lines
-       |             GROUP BY line
-       |             HAVING count(DISTINCT doc_id) BETWEEN $PrMinDocs AND $PrMaxDocs),
-       |dl AS (SELECT DISTINCT l.line, l.doc_id
-       |       FROM lines l JOIN eligible USING (line)),
-       |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |          FROM dl a JOIN dl b USING (line)
-       |          WHERE a.doc_id <> b.doc_id),
+    s"""WITH $shareEdgesCtes,
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT node FROM (
        |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),

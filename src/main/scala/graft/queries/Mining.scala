@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-mining additions over the curation graph and event log:
+  * triangle cohesion, character-level fuzzy dedup, asymmetric
+  * containment, Markov behavioral transitions, and the temperature-
+  * flattened pretraining mixture. Every query hash-checks against the
+  * DuckDB oracle (integer counts, 6dp-rounded ratios, and sqrt — the
+  * one correctly-rounded IEEE transcendental — only).
+  */
+object Mining {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------- q117
+  // Per-document triangle census over the duplicate-cluster graph
+  // (same line-share edges as q111's PageRank): triangle-dense nodes
+  // sit in near-identical clusters, triangle-free high-degree nodes
+  // are chain/boilerplate artifacts — the signal that picks which
+  // clusters to canonicalize aggressively.
+  val q117_triangles: Q = (s, dir) => {
+    val lines = graft.text.LineDedup.chunkLines(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+      Curation.LineTokens)
+    val edges = graft.text.LineDedup.shareEdges(
+      lines, Curation.PrMinDocs, Curation.PrMaxDocs)
+    graft.graph.Triangles.nodeTriangles(edges)
+      .select(col("node").as("doc_id"), col("degree"), col("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  val q117_sql: String =
+    s"""WITH ${Curation.shareEdgesCtes},
+       |und AS (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+       |        FROM und w1 JOIN und w2 ON w1.dst = w2.src
+       |        JOIN und w3 ON w3.src = w1.src AND w3.dst = w2.dst),
+       |pn AS (SELECT node, count(*) AS n_tri FROM (
+       |         SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+       |         UNION ALL SELECT c FROM tri) GROUP BY node),
+       |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src)
+       |SELECT deg.node AS doc_id, CAST(degree AS BIGINT) AS degree,
+       |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri
+       |FROM deg LEFT JOIN pn USING (node) ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q118
+  // Blocked Levenshtein fuzzy dedup: character-level near-dups the
+  // token-set operators blur (typo/OCR variants). Candidates only
+  // within (first-token, length-bucket) blocks; distance on a 40-char
+  // prefix. Integer DP distance — hash-exact in any engine.
+  val EdMaxDist = 5
+  val EdPrefix = 40
+  val EdLenBucket = 64
+
+  val q118_edit_distance: Q = (s, dir) =>
+    graft.dedup.FuzzyDedup.editDistancePairs(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+      maxDist = EdMaxDist, prefixLen = EdPrefix, lenBucket = EdLenBucket)
+      .orderBy("id_a", "id_b")
+
+  val q118_sql: String =
+    s"""WITH b AS (SELECT doc_id, substring(text, 1, $EdPrefix) AS pfx,
+       |             regexp_split_to_array(trim(text), '\\s+')[1] AS tok1,
+       |             length(text) // $EdLenBucket AS lb
+       |           FROM documents)
+       |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |  CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
+       |FROM b a JOIN b c
+       |  ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.doc_id < c.doc_id
+       |WHERE levenshtein(a.pfx, c.pfx) <= $EdMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q119
+  // Asymmetric containment join over 3-gram shingles (full corpus,
+  // same df-cut as q96): finds quote/boilerplate CONTAINMENT that
+  // symmetric Jaccard misses. Kept when either direction ≥ 0.6.
+  val CtThreshold = 0.6
+  val CtMaxDf = 0.006
+
+  val q119_containment: Q = (s, dir) =>
+    graft.dedup.Dedup.containmentJoinOn(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(
+        graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = CtThreshold, maxDocFrequency = CtMaxDf)
+      .orderBy("id_a", "id_b")
+
+  val q119_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |dfreq AS (SELECT tok, count(*) AS df FROM w GROUP BY tok),
+       |cut AS (SELECT greatest(1, CAST(floor($CtMaxDf * count(*)) AS BIGINT)) AS c
+       |        FROM d),
+       |wcut AS (SELECT w.doc_id, w.tok FROM w JOIN dfreq USING (tok), cut
+       |         WHERE dfreq.df <= cut.c),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM wcut a JOIN wcut b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+       |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       |  round(CAST(i AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+       |  round(CAST(i AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE greatest(round(CAST(i AS DOUBLE) / sa.sz, 6),
+       |               round(CAST(i AS DOUBLE) / sb.sz, 6)) >= $CtThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q120
+  // First-order Markov transition matrix over per-user event streams:
+  // P(next event-type | current), the behavioral-modeling counterpart
+  // of funnel/retention. Window keyed by user (bounded partitions),
+  // 6dp-rounded row-normalized probabilities.
+  val q120_markov: Q = (s, dir) =>
+    graft.analytics.Markov.transitions(
+      Tables.load(s, dir, "events"), col("user_id"), col("event_type"),
+      Seq(col("ts"), col("event_id")))
+      .orderBy("prev_state", "next_state")
+
+  val q120_sql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |c AS (SELECT prev AS prev_state, event_type AS next_state, count(*) AS n
+      |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_state, sum(n) AS row_n FROM c GROUP BY prev_state)
+      |SELECT c.prev_state, c.next_state, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / row_n, 6) AS p
+      |FROM c JOIN t USING (prev_state)
+      |ORDER BY prev_state, next_state""".stripMargin
+
+  // --------------------------------------------------------------- q121
+  // Temperature-flattened pretraining mixture (t = 0.5): per-source
+  // sampling weight ∝ √count in integer micro-units, share and a
+  // floor-division document allocation against a fixed budget. sqrt
+  // is correctly-rounded IEEE — the one transcendental that
+  // hash-matches across engines.
+  val MixBudget = 10000L
+
+  val q121_temperature_mixture: Q = (s, dir) =>
+    graft.operators.Sampling.sqrtTemperatureMixture(
+      Tables.load(s, dir, "documents"), col("source"), MixBudget)
+      .orderBy("domain")
+
+  val q121_sql: String =
+    s"""WITH c AS (SELECT source AS domain, count(*) AS n_docs
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT domain, n_docs,
+       |        CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+       |          AS w_micro
+       |      FROM c),
+       |t AS (SELECT sum(w_micro) AS tot_w FROM w)
+       |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, w_micro,
+       |  round(CAST(w_micro AS DOUBLE) / tot_w, 6) AS share,
+       |  CAST(($MixBudget * w_micro) // tot_w AS BIGINT) AS alloc_docs
+       |FROM w, t ORDER BY domain""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q117_triangles" -> q117_triangles,
+    "q118_edit_distance" -> q118_edit_distance,
+    "q119_containment" -> q119_containment,
+    "q120_markov" -> q120_markov,
+    "q121_temperature_mixture" -> q121_temperature_mixture)
+
+  val oracle: Map[String, String] = Map(
+    "q117_triangles" -> q117_sql,
+    "q118_edit_distance" -> q118_sql,
+    "q119_containment" -> q119_sql,
+    "q120_markov" -> q120_sql,
+    "q121_temperature_mixture" -> q121_sql)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mining operators (q117–q121): triangle census, blocked Levenshtein
+  * fuzzy dedup, asymmetric containment, Markov transitions, and the
+  * √-temperature mixture — each pinned on hand-computable fixtures.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nodeTriangles: one triangle plus a pendant edge") {
+    // triangle {1,2,3} + pendant 4—1; edges passed symmetric
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.Triangles.nodeTriangles(edges)
+      .orderBy("node").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 0L)))
+  }
+
+  test("nodeTriangles: square (4-cycle) has zero triangles") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.Triangles.nodeTriangles(edges)
+    assert(got.agg(sum("n_tri")).as[Long].head() === 0L)
+    assert(got.count() === 4)
+  }
+
+  test("editDistancePairs: typo variant found, cross-block pair skipped") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brwon fox jumps over the lazy dog"), // transposition
+      (3L, "the quick brown fox jumps over the lazy cat and more words here"),
+      (4L, "a completely different first token sentence")
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.FuzzyDedup
+      .editDistancePairs(docs, col("doc_id"), col("text"),
+        maxDist = 5, prefixLen = 40, lenBucket = 64)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect()
+    // 1↔2 distance 2 (transposed chars); 1↔3 same prefix class but
+    // text lengths 44 vs 64 → same bucket 0 and dist 0 within prefix 40
+    assert(pairs.contains((1L, 2L, 2L)))
+    // doc 4 blocks on a different first token: never compared
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("containmentJoinOn: subset has containment 1.0 despite low jaccard") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+    ).toDF("id", "items")
+    val got = graft.dedup.Dedup
+      .containmentJoinOn(docs, col("id"), col("items"), threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got === Array((1L, 2L, 3L, 3L, 10L, 1.0, 0.3)))
+    // symmetric jaccard (3/10) would have missed this pair at the same bar
+    val j = graft.dedup.Dedup
+      .jaccardSimJoinOn(docs, col("id"), col("items"), threshold = 0.9)
+    assert(j.isEmpty)
+  }
+
+  test("Markov.transitions: probabilities row-normalize per prev state") {
+    val events = Seq(
+      (10L, 1L, "view"), (10L, 2L, "view"), (10L, 3L, "buy"),
+      (20L, 4L, "view"), (20L, 5L, "buy"), (20L, 6L, "view")
+    ).toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val got = graft.analytics.Markov
+      .transitions(events, col("user_id"), col("event_type"),
+        Seq(col("ts"), col("event_id")))
+      .orderBy("prev_state", "next_state")
+      .as[(String, String, Long, Double)].collect()
+    // transitions: view→view (u10), view→buy (u10, u20), buy→view (u20)
+    assert(got === Array(
+      ("buy", "view", 1L, 1.0),
+      ("view", "buy", 2L, 0.666667),
+      ("view", "view", 1L, 0.333333)))
+  }
+
+  test("sqrtTemperatureMixture: √-flattening up-weights the rare domain") {
+    val docs = (1 to 100).map(i => (i.toLong, "rare")) ++
+      (1 to 400).map(i => (i.toLong, "common"))
+    val rows = graft.operators.Sampling
+      .sqrtTemperatureMixture(docs.toDF("id", "source"), col("source"),
+        budget = 900L)
+      .orderBy("domain")
+      .as[(String, Long, Long, Double, Long)].collect()
+    // weights √100=10, √400=20 (micro: 1e7, 2e7) → shares 1/3, 2/3
+    assert(rows === Array(
+      ("common", 400L, 20000000L, 0.666667, 600L),
+      ("rare", 100L, 10000000L, 0.333333, 300L)))
+    // raw-proportional would have given rare only 900·(100/500)=180 docs
+    assert(rows.find(_._1 == "rare").get._5 > 180L)
+  }
+}
