@@ -372,6 +372,37 @@ object Dedup {
         col("sz_b").cast("long").as("sz_b"),
         col("cont_a_in_b"), col("cont_b_in_a"))
 
+  /** Rarity-weighted set-overlap join (IDF-style without the libm
+    * log): each shared item contributes `1e6 div df(item)` micro-units
+    * (BIGINT — exact, order-free sums), so one rare shared shingle
+    * outweighs many boilerplate ones. The unweighted intersection
+    * count treats "the quick brown" and a unique quote as equal
+    * evidence; this operator is the cheap fix when a full df-cut is
+    * too blunt. Returns (id_a, id_b, inter, w_overlap) with
+    * w_overlap ≥ `minWeight`.
+    *
+    * 100 TB shape: identical to [[jaccardSimJoinOn]] — token-keyed
+    * shuffle; the df table joins the inverted index ON THE TOKEN KEY
+    * it is already partitioned by. High-df tokens self-limit here
+    * (weight → 0) but still cost candidate rows; compose with the
+    * df-cut when posting lists are hot. */
+  def weightedOverlapJoinOn(df: DataFrame, id: Column, items: Column,
+                            minWeight: Long): DataFrame = {
+    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
+    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val wInv = inv.join(
+      inv.groupBy("tok").agg(count(lit(1)).as("__df")), "tok")
+      .select(col("id"), col("tok"),
+        expr("CAST(1000000 AS BIGINT) div __df").as("w"))
+    wInv.alias("a")
+      .join(wInv.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"), sum(col("a.w")).as("w_overlap"))
+      .filter(col("w_overlap") >= minWeight)
+      .select(col("id_a"), col("id_b"), col("inter"), col("w_overlap"))
+  }
+
   /** Shared inverted-index candidate builder: (id_a, id_b, inter,
     * sz_a, sz_b) for every pair of documents sharing ≥1 surviving
     * item. The shuffle key is the item; the per-doc size table joins

@@ -165,17 +165,83 @@ object Mining {
        |  CAST(($MixBudget * w_micro) // tot_w AS BIGINT) AS alloc_docs
        |FROM w, t ORDER BY domain""".stripMargin
 
+  // --------------------------------------------------------------- q122
+  // Rarity-weighted overlap join: shared 3-gram shingles weighted
+  // 1e6 div df — one rare shared shingle outweighs boilerplate; BIGINT
+  // weights sum exactly (order-free), unlike float IDF.
+  val WoMinWeight = 3000000L
+
+  val q122_weighted_overlap: Q = (s, dir) =>
+    graft.dedup.Dedup.weightedOverlapJoinOn(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(
+        graft.text.TextAnalysis.tokens(col("text")), 3),
+      minWeight = WoMinWeight)
+      .orderBy("id_a", "id_b")
+
+  val q122_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |dfreq AS (SELECT tok, count(*) AS df FROM w GROUP BY tok),
+       |wi AS (SELECT w.doc_id, w.tok, 1000000 // dfreq.df AS wt
+       |       FROM w JOIN dfreq USING (tok))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS inter,
+       |  CAST(sum(a.wt) AS BIGINT) AS w_overlap
+       |FROM wi a JOIN wi b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING sum(a.wt) >= $WoMinWeight
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q123
+  // Character-class entropy per source: the gibberish / binary-noise
+  // detector. Five exact BIGINT class counts from one aggregate; the
+  // entropy folds five terms in pinned literal order, 6dp.
+  val q123_char_entropy: Q = (s, dir) =>
+    graft.text.TextAnalysis.charClassEntropy(
+      Tables.load(s, dir, "documents"), col("source"), col("text"))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  val q123_sql: String = {
+    def cnt(pat: String, name: String) =
+      s"sum(length(regexp_replace(text, '$pat', '', 'g'))) AS $name"
+    def term(c: String) =
+      s"(CASE WHEN $c > 0 THEN -(CAST($c AS DOUBLE) / n_chars) * log2(CAST($c AS DOUBLE) / n_chars) ELSE 0.0 END)"
+    s"""WITH c AS (SELECT source,
+       |    ${cnt("[^a-z]", "n_lower")}, ${cnt("[^A-Z]", "n_upper")},
+       |    ${cnt("[^0-9]", "n_digit")}, ${cnt("[^ \\t\\n]", "n_space")},
+       |    ${cnt("[a-zA-Z0-9 \\t\\n]", "n_other")}
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT source,
+       |        CAST(n_lower + n_upper + n_digit + n_space + n_other AS BIGINT)
+       |          AS n_chars,
+       |        n_lower, n_upper, n_digit, n_space, n_other
+       |      FROM c)
+       |SELECT source, n_chars,
+       |  round(${term("n_lower")} + ${term("n_upper")} + ${term("n_digit")}
+       |        + ${term("n_space")} + ${term("n_other")}, 6) AS h_bits
+       |FROM t ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
     "q119_containment" -> q119_containment,
     "q120_markov" -> q120_markov,
-    "q121_temperature_mixture" -> q121_temperature_mixture)
+    "q121_temperature_mixture" -> q121_temperature_mixture,
+    "q122_weighted_overlap" -> q122_weighted_overlap,
+    "q123_char_entropy" -> q123_char_entropy)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
     "q118_edit_distance" -> q118_sql,
     "q119_containment" -> q119_sql,
     "q120_markov" -> q120_sql,
-    "q121_temperature_mixture" -> q121_sql)
+    "q121_temperature_mixture" -> q121_sql,
+    "q122_weighted_overlap" -> q122_sql,
+    "q123_char_entropy" -> q123_sql)
 }

@@ -110,4 +110,36 @@ object TextAnalysis {
     * empty when the document has fewer than n tokens. */
   def shingleHashes(text: Column, n: Int): Column =
     transform(ngrams(tokens(text), n), g => xxhash64(g))
+
+  /** Character-class distribution entropy per group: Shannon entropy
+    * (bits) over the {lower, upper, digit, whitespace, other}
+    * character classes — the gibberish / binary-noise detector
+    * (natural prose sits near ~1.3–1.8 bits over these classes;
+    * base64 blobs and key dumps push toward uniform).
+    *
+    * Determinism: the five class counts are exact BIGINTs from ONE
+    * map-side-combined aggregate; the entropy folds the five terms in
+    * a FIXED literal order, so the only float ops are five log2 calls
+    * and four adds in pinned sequence — 6dp-rounded, it replays in any
+    * engine (the [[graft.analytics.Drift.chi2Independence]] discipline
+    * with a compile-time term order instead of a sorted fold). */
+  def charClassEntropy(df: DataFrame, group: Column, text: Column): DataFrame = {
+    def cnt(pattern: String): Column =
+      sum(length(regexp_replace(text, pattern, ""))).cast("long")
+    val counted = df.groupBy(group.as("grp"))
+      .agg(cnt("[^a-z]").as("n_lower"), cnt("[^A-Z]").as("n_upper"),
+        cnt("[^0-9]").as("n_digit"), cnt("[^ \\t\\n]").as("n_space"),
+        cnt("[a-zA-Z0-9 \\t\\n]").as("n_other"))
+      .withColumn("n_chars",
+        col("n_lower") + col("n_upper") + col("n_digit") +
+          col("n_space") + col("n_other"))
+    def term(c: Column): Column = {
+      val p = c.cast("double") / col("n_chars").cast("double")
+      when(c > 0, -p * log2(p)).otherwise(lit(0.0))
+    }
+    counted.select(col("grp"), col("n_chars"),
+      round(term(col("n_lower")) + term(col("n_upper")) +
+        term(col("n_digit")) + term(col("n_space")) +
+        term(col("n_other")), 6).as("h_bits"))
+  }
 }

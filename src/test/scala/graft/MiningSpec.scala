@@ -59,6 +59,32 @@ class MiningSpec extends SparkSpec {
     assert(j.isEmpty)
   }
 
+  test("weightedOverlapJoinOn: one rare shared item outweighs common ones") {
+    // item x in 3 docs (w=333333), item r in 2 docs (w=500000)
+    val docs = Seq(
+      (1L, Seq("x", "r")), (2L, Seq("x", "r")), (3L, Seq("x"))
+    ).toDF("id", "items")
+    val got = graft.dedup.Dedup
+      .weightedOverlapJoinOn(docs, col("id"), col("items"),
+        minWeight = 400000L)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Long)].collect()
+    // only (1,2) passes: 333333 + 500000; the x-only pairs stay at 333333
+    assert(got === Array((1L, 2L, 2L, 833333L)))
+  }
+
+  test("charClassEntropy: pure, 2-class, and uniform 5-class groups") {
+    val docs = Seq(
+      ("a", "aaaa"),       // one class → H = 0
+      ("b", "aAbB"),       // two equal classes → H = 1 bit
+      ("c", "aA1 ?")       // all five classes once → H = log2(5)
+    ).toDF("source", "text")
+    val got = graft.text.TextAnalysis
+      .charClassEntropy(docs, col("source"), col("text"))
+      .orderBy("grp").as[(String, Long, Double)].collect()
+    assert(got === Array(
+      ("a", 4L, 0.0), ("b", 4L, 1.0), ("c", 5L, 2.321928)))
+  }
+
   test("Markov.transitions: probabilities row-normalize per prev state") {
     val events = Seq(
       (10L, 1L, "view"), (10L, 2L, "view"), (10L, 3L, "buy"),
