@@ -300,6 +300,33 @@ object Dedup {
     labels.select(col("id"), col("l").as("component"))
   }
 
+  /** Quality-aware canonical selection: keep, per duplicate component,
+    * the member with the HIGHEST `score` (ties → lowest id) instead of
+    * the arbitrary min-id member [[keepCanonical]] keeps — "dedup
+    * should keep the best copy, not the first one". Unclustered
+    * documents form their own singleton component and always survive.
+    * Returns the survivors with `component` and `cluster_size`
+    * attached.
+    *
+    * 100 TB shape: both windows partition by component — partition
+    * size = one duplicate cluster, bounded by the near-dup graph's
+    * occupancy caps, never corpus-sized. */
+  def keepBestByScore(docs: DataFrame, id: Column, pairs: DataFrame,
+                      score: Column, iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, iters)
+      .withColumnsRenamed(Map("id" -> "__cid"))
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    docs.join(comp, id === col("__cid"), "left")
+      .withColumn("component", coalesce(col("component"), id))
+      .withColumn("cluster_size", count(lit(1)).over(byComp))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("component"))
+          .orderBy(score.desc, id.asc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cid")
+  }
+
   /** Near-dup canonicalization: drop every document that belongs to a
     * duplicate component but is not its min-id label — the selection
     * step [[graft.pipeline.CorpusPipeline]] runs after clustering,

@@ -227,6 +227,86 @@ object Mining {
        |FROM t ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q124
+  // Winnowing (MOSS) candidate pairs: per doc keep each 4-window's
+  // minimum 3-shingle md5 hash (~2/(w+1) of shingles stored), then
+  // pair docs sharing ≥2 selected fingerprints — the partial-dup
+  // detector whose guarantee covers any shared run of ≥ 6 tokens.
+  val WinShingle = 3
+  val WinWindow = 4
+  val WinMinShared = 2
+
+  val q124_winnow_candidates: Q = (s, dir) => {
+    val fps = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.winnowedFingerprints(
+          col("text"), WinShingle, WinWindow,
+          graft.dedup.Dedup.md5Hash32)).as("fp"))
+      .distinct()
+    fps.alias("a")
+      .join(fps.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinMinShared)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q124_sql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |             FROM documents),
+       |h AS (SELECT doc_id, list_transform(
+       |        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |        g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS hs FROM tok),
+       |wn AS (SELECT doc_id, UNNEST(list_transform(
+       |         generate_series(1, greatest(len(hs) - ${WinWindow - 1}, 1)),
+       |         i -> list_min(hs[i:i + ${WinWindow - 1}]))) AS fp
+       |       FROM h WHERE len(hs) > 0),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wn)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinMinShared
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  // Quality-aware canonical selection: per duplicate cluster (q81's
+  // MinHash components) keep the member with the HIGHEST q112 quality
+  // score, not the arbitrary min-id member — singletons survive as
+  // their own component. "Dedup keeps the best copy."
+  val q125_quality_canonical: Q = (s, dir) => {
+    import graft.dedup.Dedup
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(Curation.QwNTokens, Curation.QwAvgLen, Curation.QwStopword,
+        Curation.QwPunct), Curation.QwIntercept)
+    val scored = graft.text.TextAnalysis
+      .qualityFeatures(Tables.load(s, dir, "documents"), col("text"))
+      .select(col("doc_id"), round(model.scoreExpr, 6).as("qscore"))
+    val pairs = Dedup.minhashNearDups(TextSim.cappedDocs(s, dir),
+      col("doc_id"), col("text"), threshold = 0.8,
+      shingleHasher = Dedup.shingleHashes32Md5)
+    Dedup.keepBestByScore(scored, col("doc_id"), pairs, col("qscore"))
+      .select(col("component"), col("doc_id").as("kept_id"),
+        col("qscore"), col("cluster_size"))
+      .orderBy("component")
+  }
+
+  val q125_sql: String =
+    s"""WITH comp AS MATERIALIZED (${TextSim.q81_sql}),
+       |q AS MATERIALIZED (${Curation.q112_sql}),
+       |r AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+       |        q.qscore
+       |      FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY component
+       |           ORDER BY qscore DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY component) AS cluster_size
+       |       FROM r)
+       |SELECT component, doc_id AS kept_id, qscore,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -234,7 +314,9 @@ object Mining {
     "q120_markov" -> q120_markov,
     "q121_temperature_mixture" -> q121_temperature_mixture,
     "q122_weighted_overlap" -> q122_weighted_overlap,
-    "q123_char_entropy" -> q123_char_entropy)
+    "q123_char_entropy" -> q123_char_entropy,
+    "q124_winnow_candidates" -> q124_winnow_candidates,
+    "q125_quality_canonical" -> q125_quality_canonical)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -243,5 +325,7 @@ object Mining {
     "q120_markov" -> q120_sql,
     "q121_temperature_mixture" -> q121_sql,
     "q122_weighted_overlap" -> q122_sql,
-    "q123_char_entropy" -> q123_sql)
+    "q123_char_entropy" -> q123_sql,
+    "q124_winnow_candidates" -> q124_sql,
+    "q125_quality_canonical" -> q125_sql)
 }

@@ -28,7 +28,7 @@ object TextSim {
 
   /** The capped document window for the pair demos — logs the cap so a
     * truncated corpus is visible in the run log. */
-  private def cappedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def cappedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     log.info(s"pair-demo query capped at doc_id < $PairDocCap " +
       "(scale-invariant bench window; q92 exercises uncapped banding)")
     Tables.load(s, dir, "documents").filter(col("doc_id") < PairDocCap)

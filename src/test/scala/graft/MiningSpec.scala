@@ -85,6 +85,46 @@ class MiningSpec extends SparkSpec {
       ("a", 4L, 0.0), ("b", 4L, 1.0), ("c", 5L, 2.321928)))
   }
 
+  test("winnowedFingerprints: shared run >= w+n-1 tokens shares a fingerprint") {
+    import graft.text.TextAnalysis
+    // both docs contain the same 6-token run (w=4, n=3 → guarantee 6)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 tail1 x y"),
+      (2L, "front2 other2 alpha beta gamma delta epsilon zeta w z")
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      explode(TextAnalysis.winnowedFingerprints(col("text"), 3, 4)).as("fp"))
+    val shared = fps.filter(col("doc_id") === 1)
+      .join(fps.filter(col("doc_id") === 2), "fp")
+    assert(shared.count() >= 1, "winnowing guarantee violated")
+    // selection is sparse: never more fingerprints than windows
+    val counts = docs.select(
+      size(array_distinct(TextAnalysis.winnowedFingerprints(col("text"), 3, 4)))
+        .as("n_fp"),
+      (size(TextAnalysis.tokens(col("text"))) - 2 - 3).as("n_win"))
+    assert(counts.filter(col("n_fp") > col("n_win")).isEmpty)
+    // empty text selects nothing
+    val empty = Seq((3L, "")).toDF("doc_id", "text")
+      .select(size(TextAnalysis.winnowedFingerprints(col("text"), 3, 4)))
+      .as[Int].head()
+    assert(empty === 0)
+  }
+
+  test("keepBestByScore: cluster keeps its max-score member, singletons survive") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // one cluster; 2 and 3 tie on score
+      (4L, 0.1)                        // unclustered singleton
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup
+      .keepBestByScore(docs, col("id"), pairs, col("score"))
+      .orderBy("component")
+      .select("component", "id", "score", "cluster_size")
+      .as[(Long, Long, Double, Long)].collect()
+    // tie at 0.9 → lower id (2) wins; singleton 4 is its own component
+    assert(got === Array((1L, 2L, 0.9, 3L), (4L, 4L, 0.1, 1L)))
+  }
+
   test("Markov.transitions: probabilities row-normalize per prev state") {
     val events = Seq(
       (10L, 1L, "view"), (10L, 2L, "view"), (10L, 3L, "buy"),
