@@ -237,11 +237,14 @@ object Mining {
   val WinMinShared = 2
 
   val q124_winnow_candidates: Q = (s, dir) => {
+    // hash array materialized in its own projection BEFORE the winnow
+    // HOF — see winnowFromHashes' scaladoc for the 6x trap this avoids
     val fps = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), graft.dedup.Dedup
+        .shingleHashes32Md5(col("text"), WinShingle).as("__hs"))
       .select(col("doc_id"),
-        explode(graft.text.TextAnalysis.winnowedFingerprints(
-          col("text"), WinShingle, WinWindow,
-          graft.dedup.Dedup.md5Hash32)).as("fp"))
+        explode(graft.text.TextAnalysis.winnowFromHashes(
+          col("__hs"), WinWindow)).as("fp"))
       .distinct()
     fps.alias("a")
       .join(fps.alias("b"),

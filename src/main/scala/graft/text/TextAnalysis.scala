@@ -112,23 +112,26 @@ object TextAnalysis {
     transform(ngrams(tokens(text), n), g => xxhash64(g))
 
   /** Winnowing fingerprint selection (the MOSS scheme): slide a
-    * `w`-window over the document's `n`-shingle hash sequence and keep
+    * `w`-window over the document's shingle-hash sequence and keep
     * each window's MINIMUM hash. Guarantee: any shared token run of
     * length ≥ w + n − 1 between two documents shares at least one
     * selected fingerprint, while only ~2/(w+1) of all shingles are
     * kept — the partial-duplication detector that matches on selected
     * fingerprints instead of full shingle sets. Pure array expression
     * (no shuffle, no UDF); documents shorter than one window keep the
-    * minimum of what they have. `hashOf` defaults to xxhash64; pass
-    * [[graft.dedup.Dedup.md5Hash32]] for the cross-engine-checkable
-    * variant. */
-  def winnowedFingerprints(text: Column, n: Int, w: Int,
-                           hashOf: Column => Column = xxhash64(_)): Column = {
-    val hs = transform(ngrams(tokens(text), n), hashOf)
-    val starts = sequence(lit(1), greatest(size(hs) - (w - 1), lit(1)))
-    when(size(hs) === 0, array().cast("array<long>"))
+    * minimum of what they have.
+    *
+    * `hashes` MUST be a materialized column (its own projection —
+    * e.g. `withColumn("hs", shingleHashes(...))` first), NOT an
+    * inlined hash pipeline: HOF lambdas re-evaluate captured
+    * expressions per element, so inlining turns O(len) hashing into
+    * O(len·w) — measured 12x on q124 (46s → 3.9s at sf0.1). The same
+    * finish-lambda discipline as the media parsers. */
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
+    val starts = sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1)))
+    when(size(hashes) === 0, array().cast("array<long>"))
       .otherwise(array_distinct(
-        transform(starts, i => array_min(slice(hs, i, lit(w))))))
+        transform(starts, i => array_min(slice(hashes, i, lit(w))))))
   }
 
   /** Character-class distribution entropy per group: Shannon entropy

@@ -85,27 +85,28 @@ class MiningSpec extends SparkSpec {
       ("a", 4L, 0.0), ("b", 4L, 1.0), ("c", 5L, 2.321928)))
   }
 
-  test("winnowedFingerprints: shared run >= w+n-1 tokens shares a fingerprint") {
+  test("winnowFromHashes: shared run >= w+n-1 tokens shares a fingerprint") {
     import graft.text.TextAnalysis
     // both docs contain the same 6-token run (w=4, n=3 → guarantee 6)
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta unique1 tail1 x y"),
       (2L, "front2 other2 alpha beta gamma delta epsilon zeta w z")
     ).toDF("doc_id", "text")
+      .withColumn("hs", TextAnalysis.shingleHashes(col("text"), 3))
     val fps = docs.select(col("doc_id"),
-      explode(TextAnalysis.winnowedFingerprints(col("text"), 3, 4)).as("fp"))
+      explode(TextAnalysis.winnowFromHashes(col("hs"), 4)).as("fp"))
     val shared = fps.filter(col("doc_id") === 1)
       .join(fps.filter(col("doc_id") === 2), "fp")
     assert(shared.count() >= 1, "winnowing guarantee violated")
     // selection is sparse: never more fingerprints than windows
     val counts = docs.select(
-      size(array_distinct(TextAnalysis.winnowedFingerprints(col("text"), 3, 4)))
-        .as("n_fp"),
-      (size(TextAnalysis.tokens(col("text"))) - 2 - 3).as("n_win"))
+      size(TextAnalysis.winnowFromHashes(col("hs"), 4)).as("n_fp"),
+      (size(col("hs")) - 3).as("n_win"))
     assert(counts.filter(col("n_fp") > col("n_win")).isEmpty)
     // empty text selects nothing
     val empty = Seq((3L, "")).toDF("doc_id", "text")
-      .select(size(TextAnalysis.winnowedFingerprints(col("text"), 3, 4)))
+      .withColumn("hs", TextAnalysis.shingleHashes(col("text"), 3))
+      .select(size(TextAnalysis.winnowFromHashes(col("hs"), 4)))
       .as[Int].head()
     assert(empty === 0)
   }
