@@ -140,4 +140,41 @@ object Drift {
       .withColumn("ks",
         round(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6))
   }
+
+  /** Rolling-window count-anomaly detection: bucket events per key,
+    * z-score each bucket's count against the TRAILING `window`
+    * observed buckets (current excluded — an anomaly must not inflate
+    * its own baseline). The monitoring primitive for event streams:
+    * traffic spikes, dead sources, bot bursts.
+    *
+    * Determinism: window sums of counts are exact BIGINTs (integer
+    * addition commutes, any accumulation order), variance and z derive
+    * from them in one pinned double expression — never `stddev()`,
+    * whose float accumulation is engine-order-dependent. Buckets with
+    * an incomplete trailing window or zero variance are skipped.
+    *
+    * 100 TB shape: one map-side-combined count by (key, bucket), then
+    * windows partitioned per key — partition size = one key's bucket
+    * history (bounded by the time range), never event-count-sized. */
+  def rollingCountAnomalies(df: DataFrame, key: Column, bucket: Column,
+                            window: Int): DataFrame = {
+    val counts = df.groupBy(key.as("k"), bucket.as("b"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy("k").orderBy(col("b").asc)
+      .rowsBetween(-window, -1)
+    val wd = window.toDouble
+    counts
+      .withColumn("__cnt", count(lit(1)).over(trail))
+      .withColumn("__sx", sum("n").over(trail))
+      .withColumn("__sxx", sum(col("n") * col("n")).over(trail))
+      .filter(col("__cnt") === window)
+      .withColumn("__var",
+        (col("__sxx").cast("double") * window -
+          col("__sx").cast("double") * col("__sx").cast("double")) /
+          (wd * (window - 1)))
+      .filter(col("__var") > 0)
+      .select(col("k"), col("b"), col("n"),
+        round((col("n").cast("double") - col("__sx").cast("double") / wd) /
+          sqrt(col("__var")), 6).as("z"))
+  }
 }

@@ -310,6 +310,47 @@ object Mining {
        |  CAST(cluster_size AS BIGINT) AS cluster_size
        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  // Rolling count-anomaly census: per event-type hourly counts
+  // z-scored against the trailing 24 observed hours (current hour
+  // excluded), top-20 |z| — the stream-monitoring primitive. Window
+  // sums stay BIGINT-exact; z derives in one pinned expression.
+  val AnWindow = 24
+  val AnTopK = 20
+
+  val q126_count_anomalies: Q = (s, dir) =>
+    graft.analytics.Drift.rollingCountAnomalies(
+      Tables.load(s, dir, "events"), col("event_type"),
+      date_trunc("hour", col("ts")), AnWindow)
+      .select(col("k").as("event_type"),
+        date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("hour"))
+      .limit(AnTopK)
+
+  val q126_sql: String =
+    s"""WITH hourly AS (SELECT event_type AS k, date_trunc('hour', ts) AS b,
+       |                  count(*) AS n
+       |                FROM events GROUP BY 1, 2),
+       |w AS (SELECT k, b, n, count(*) OVER win AS cnt,
+       |        sum(n) OVER win AS sx, sum(n * n) OVER win AS sxx
+       |      FROM hourly
+       |      WINDOW win AS (PARTITION BY k ORDER BY b
+       |                     ROWS BETWEEN $AnWindow PRECEDING AND 1 PRECEDING)),
+       |v AS (SELECT k, b, n, sx,
+       |        (CAST(sxx AS DOUBLE) * $AnWindow
+       |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          / ($AnWindow.0 * ${AnWindow - 1}) AS var
+       |      FROM w WHERE cnt = $AnWindow)
+       |SELECT k AS event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS hour,
+       |  CAST(n AS BIGINT) AS n,
+       |  round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / $AnWindow.0)
+       |        / sqrt(var), 6) AS z
+       |FROM v WHERE var > 0
+       |ORDER BY abs(round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / $AnWindow.0)
+       |        / sqrt(var), 6)) DESC, event_type, hour
+       |LIMIT $AnTopK""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -319,7 +360,8 @@ object Mining {
     "q122_weighted_overlap" -> q122_weighted_overlap,
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
-    "q125_quality_canonical" -> q125_quality_canonical)
+    "q125_quality_canonical" -> q125_quality_canonical,
+    "q126_count_anomalies" -> q126_count_anomalies)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -330,5 +372,6 @@ object Mining {
     "q122_weighted_overlap" -> q122_sql,
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
-    "q125_quality_canonical" -> q125_sql)
+    "q125_quality_canonical" -> q125_sql,
+    "q126_count_anomalies" -> q126_sql)
 }

@@ -144,6 +144,22 @@ class MiningSpec extends SparkSpec {
       ("view", "view", 1L, 0.333333)))
   }
 
+  test("rollingCountAnomalies: spike flagged, baseline excludes it, flat key silent") {
+    // key "a": 24 alternating 4/6 buckets (mean 5), then a 15-spike;
+    // key "flat": constant counts → zero variance → never flagged
+    val rows =
+      (1 to 24).flatMap(b => Seq.fill(if (b % 2 == 0) 6 else 4)(("a", b))) ++
+        Seq.fill(15)(("a", 25)) ++
+        (1 to 25).flatMap(b => Seq.fill(5)(("flat", b)))
+    val got = graft.analytics.Drift
+      .rollingCountAnomalies(rows.toDF("k", "b"), col("k"), col("b"), 24)
+      .as[(String, Int, Long, Double)].collect()
+    // only the spike bucket has a full 24-window AND nonzero variance
+    val expZ = BigDecimal((15.0 - 5.0) / math.sqrt(24.0 / 23.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Array(("a", 25, 15L, expZ)))
+  }
+
   test("sqrtTemperatureMixture: √-flattening up-weights the rare domain") {
     val docs = (1 to 100).map(i => (i.toLong, "rare")) ++
       (1 to 400).map(i => (i.toLong, "common"))
