@@ -351,6 +351,38 @@ object Mining {
        |        / sqrt(var), 6)) DESC, event_type, hour
        |LIMIT $AnTopK""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  // PMI collocations: top-20 word bigrams by pointwise mutual
+  // information (min count 5) — the phrase detector for tokenizer
+  // vocab curation. Exact BIGINT counts; one log2 + round per row.
+  val PmiMinCount = 5L
+  val PmiTopK = 20
+
+  val q127_pmi_collocations: Q = (s, dir) =>
+    graft.text.Corpus.pmiCollocations(
+      Tables.load(s, dir, "documents"), col("text"), PmiMinCount)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+
+  val q127_sql: String =
+    s"""WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |uni AS (SELECT UNNEST(t) AS w FROM toks),
+       |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |tot AS (SELECT sum(c) AS t FROM uc),
+       |bg AS (SELECT UNNEST(list_transform(
+       |         generate_series(1, greatest(len(t) - 1, 0)),
+       |         i -> t[i] || ' ' || t[i+1])) AS bg FROM toks),
+       |bc AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       |         count(*) AS c12
+       |       FROM bg GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount)
+       |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+       |  round(log2(CAST(c12 * tot.t AS DOUBLE)
+       |             / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+       |FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, tot
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -361,7 +393,8 @@ object Mining {
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
-    "q126_count_anomalies" -> q126_count_anomalies)
+    "q126_count_anomalies" -> q126_count_anomalies,
+    "q127_pmi_collocations" -> q127_pmi_collocations)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -373,5 +406,6 @@ object Mining {
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,
-    "q126_count_anomalies" -> q126_sql)
+    "q126_count_anomalies" -> q126_sql,
+    "q127_pmi_collocations" -> q127_sql)
 }

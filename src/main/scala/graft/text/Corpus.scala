@@ -28,6 +28,40 @@ object Corpus {
     df.select(explode(TextAnalysis.ngrams(TextAnalysis.tokens(text), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
 
+  /** PMI collocation mining: pointwise mutual information of every
+    * word bigram, PMI = log2(c₁₂·T / (c₁·c₂)) with unigram counts c
+    * over T total tokens — the phrase detector ("new york" scores
+    * high, "of the" scores ~0) that feeds tokenizer vocab curation.
+    *
+    * Determinism: all counts are exact BIGINTs; both products stay in
+    * BIGINT and convert exactly to double while c₁₂·T < 2^53 (~9·10¹⁵
+    * — beyond that, pre-divide by gcd or go DECIMAL); one log2 and one
+    * round(…,6) per row, no float accumulation anywhere.
+    *
+    * 100 TB shape: one token explode → unigram groupBy, one bigram
+    * explode → bigram groupBy (both map-side combined, the only wide
+    * shuffles); the min-count cut prunes the bigram table BEFORE the
+    * two vocab joins; T is a lazy 1-row broadcast. */
+  def pmiCollocations(df: DataFrame, text: Column,
+                      minCount: Long): DataFrame = {
+    val toks = df.select(TextAnalysis.tokens(text).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("__t"))
+    val bi = toks
+      .select(explode(TextAnalysis.ngrams(col("toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c12"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log2((col("c12") * col("__t")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+  }
+
   /** Heaps-law vocabulary-growth curve: for every document id that
     * introduces at least one new token type, the number of new types it
     * contributes and the cumulative vocabulary size after it — the

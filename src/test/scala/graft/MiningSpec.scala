@@ -160,6 +160,28 @@ class MiningSpec extends SparkSpec {
     assert(got === Array(("a", 25, 15L, expZ)))
   }
 
+  test("pmiCollocations: glued pair scores high, independent pair scores ~0") {
+    // "new york" always co-occurs; "of the" co-occurs at chance level
+    val docs = (1 to 8).map(i => (i.toLong,
+      if (i % 2 == 0) "new york of x the y of z the w"
+      else "new york the a of b the c of d")).toDF("doc_id", "text")
+    val got = graft.text.Corpus
+      .pmiCollocations(docs, col("text"), minCount = 4L)
+      .where(col("w1") === "new" && col("w2") === "york")
+      .select("c12", "c1", "c2", "pmi")
+      .as[(Long, Long, Long, Double)].collect()
+    // c12=8, c1=c2=8, T=80 → PMI = log2(8·80/64) = log2(10)
+    val expPmi = BigDecimal(math.log(10.0) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Array((8L, 8L, 8L, expPmi)))
+    // an unattached frequent pair never reaches "always together" PMI
+    val ofThe = graft.text.Corpus
+      .pmiCollocations(docs, col("text"), minCount = 1L)
+      .where(col("w1") === "of" && col("w2") === "the")
+      .select("pmi").as[Double].collect()
+    assert(ofThe.forall(_ < expPmi - 1.0))
+  }
+
   test("sqrtTemperatureMixture: √-flattening up-weights the rare domain") {
     val docs = (1 to 100).map(i => (i.toLong, "rare")) ++
       (1 to 400).map(i => (i.toLong, "common"))
