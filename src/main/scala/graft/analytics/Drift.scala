@@ -141,6 +141,72 @@ object Drift {
         round(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6))
   }
 
+  /** All-pairs Population Stability Index — the industry-standard
+    * model-monitoring drift metric alongside [[ksPairs]] (rank-based)
+    * and [[chi2Independence]] (categorical): PSI = Σ_bins (p−q)·ln(p/q)
+    * over `bins` equal-width buckets of the pair's combined integer
+    * value range, Laplace-smoothed (+1 per bin) so empty buckets stay
+    * finite. Rule of thumb: <0.1 stable, 0.1–0.25 moderate, >0.25
+    * major shift.
+    *
+    * Determinism: bucket assignment is pure integer arithmetic
+    * ((v−mn)·B div span), counts are exact BIGINTs, and the B bin
+    * terms fold in sorted bin order (the chi2 sorted-collect
+    * discipline) — one ln per bin, 6dp at the end.
+    *
+    * 100 TB shape: identical to [[ksPairs]] — the corpus collapses
+    * FIRST to (group, value, count); everything downstream is bounded
+    * by #groups² · #bins. */
+  def psiPairs(df: DataFrame, groupCol: Column, valueCol: Column,
+               bins: Int = 10): DataFrame = {
+    val cnt = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val groups = cnt.select("grp").distinct()
+    val pairs = groups.select(col("grp").as("grp_a"))
+      .crossJoin(groups.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val sideA = cnt.join(broadcast(pairs), col("grp") === col("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("v"),
+        col("c").as("ca"), lit(0L).as("cb"))
+    val sideB = cnt.join(broadcast(pairs), col("grp") === col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("v"),
+        lit(0L).as("ca"), col("c").as("cb"))
+    val merged = sideA.unionAll(sideB)
+      .groupBy("grp_a", "grp_b", "v")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val pairW = Window.partitionBy("grp_a", "grp_b")
+    val binned = merged
+      .withColumn("mn", min("v").over(pairW))
+      .withColumn("mx", max("v").over(pairW))
+      .withColumn("bin", expr(s"((v - mn) * $bins) div (mx - mn + 1)"))
+      .groupBy("grp_a", "grp_b", "bin")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    // dense 0..bins-1 grid so empty buckets contribute their smoothed
+    // term on both sides (a missing bin is information, not absence)
+    val grid = pairs.crossJoin(
+      broadcast(spark_range_df(binned, bins).select(col("bin"))))
+    val full = grid.join(binned, Seq("grp_a", "grp_b", "bin"), "left")
+      .select(col("grp_a"), col("grp_b"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("n_a", sum("ca").over(pairW))
+      .withColumn("n_b", sum("cb").over(pairW))
+    val p = (col("ca") + 1).cast("double") / (col("n_a") + bins).cast("double")
+    val q = (col("cb") + 1).cast("double") / (col("n_b") + bins).cast("double")
+    full.withColumn("term", (p - q) * log(p / q))
+      .groupBy("grp_a", "grp_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        array_sort(collect_list(struct(col("bin"), col("term"))))
+          .as("__terms"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        round(aggregate(col("__terms"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("psi"))
+  }
+
+  /** Literal 0..bins-1 bin-index relation on the input's session. */
+  private def spark_range_df(ref: DataFrame, bins: Int): DataFrame =
+    ref.sparkSession.range(bins).select(col("id").as("bin"))
+
   /** Rolling-window count-anomaly detection: bucket events per key,
     * z-score each bucket's count against the TRAILING `window`
     * observed buckets (current excluded — an anomaly must not inflate

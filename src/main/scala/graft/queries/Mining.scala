@@ -383,6 +383,56 @@ object Mining {
        |FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, tot
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  // PSI drift between every source pair over document length —
+  // completes the drift family (q108 KS: rank-based, q115 chi2:
+  // categorical, PSI: the model-monitoring standard). 10 equal-width
+  // integer bins, Laplace-smoothed, terms folded in bin order.
+  val PsiBins = 10
+
+  val q128_psi_drift: Q = (s, dir) =>
+    graft.analytics.Drift.psiPairs(
+      Tables.load(s, dir, "documents"), col("source"), col("n_chars"),
+      bins = PsiBins)
+      .orderBy("grp_a", "grp_b")
+
+  val q128_sql: String =
+    s"""WITH cnt AS (SELECT source AS grp, n_chars AS v, count(*) AS c
+       |             FROM documents GROUP BY 1, 2),
+       |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+       |          FROM (SELECT DISTINCT grp FROM cnt) a,
+       |               (SELECT DISTINCT grp FROM cnt) b
+       |          WHERE a.grp < b.grp),
+       |merged AS (SELECT p.grp_a, p.grp_b, c.v,
+       |    sum(CASE WHEN c.grp = p.grp_a THEN c.c ELSE 0 END) AS ca,
+       |    sum(CASE WHEN c.grp = p.grp_b THEN c.c ELSE 0 END) AS cb
+       |  FROM pairs p JOIN cnt c ON c.grp = p.grp_a OR c.grp = p.grp_b
+       |  GROUP BY 1, 2, 3),
+       |rng AS (SELECT grp_a, grp_b, min(v) AS mn, max(v) AS mx
+       |        FROM merged GROUP BY 1, 2),
+       |binned AS (SELECT m.grp_a, m.grp_b,
+       |             ((m.v - r.mn) * $PsiBins) // (r.mx - r.mn + 1) AS bin,
+       |             sum(ca) AS ca, sum(cb) AS cb
+       |           FROM merged m JOIN rng r USING (grp_a, grp_b)
+       |           GROUP BY 1, 2, 3),
+       |grid AS (SELECT p.grp_a, p.grp_b, g.bin FROM pairs p CROSS JOIN
+       |           (SELECT UNNEST(generate_series(0, ${PsiBins - 1})) AS bin) g),
+       |filled AS (SELECT g.grp_a, g.grp_b, g.bin,
+       |             coalesce(b.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+       |           FROM grid g LEFT JOIN binned b USING (grp_a, grp_b, bin)),
+       |tot AS (SELECT grp_a, grp_b, sum(ca) AS n_a, sum(cb) AS n_b
+       |        FROM filled GROUP BY 1, 2),
+       |terms AS (SELECT f.grp_a, f.grp_b, f.bin, t.n_a, t.n_b,
+       |    ((CAST(f.ca + 1 AS DOUBLE) / (t.n_a + $PsiBins))
+       |       - (CAST(f.cb + 1 AS DOUBLE) / (t.n_b + $PsiBins)))
+       |    * ln((CAST(f.ca + 1 AS DOUBLE) / (t.n_a + $PsiBins))
+       |         / (CAST(f.cb + 1 AS DOUBLE) / (t.n_b + $PsiBins))) AS term
+       |  FROM filled f JOIN tot t USING (grp_a, grp_b))
+       |SELECT grp_a, grp_b, CAST(max(n_a) AS BIGINT) AS n_a,
+       |  CAST(max(n_b) AS BIGINT) AS n_b,
+       |  round(list_sum(list(term ORDER BY bin)), 6) AS psi
+       |FROM terms GROUP BY grp_a, grp_b ORDER BY grp_a, grp_b""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -394,7 +444,8 @@ object Mining {
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
     "q126_count_anomalies" -> q126_count_anomalies,
-    "q127_pmi_collocations" -> q127_pmi_collocations)
+    "q127_pmi_collocations" -> q127_pmi_collocations,
+    "q128_psi_drift" -> q128_psi_drift)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -407,5 +458,6 @@ object Mining {
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,
     "q126_count_anomalies" -> q126_sql,
-    "q127_pmi_collocations" -> q127_sql)
+    "q127_pmi_collocations" -> q127_sql,
+    "q128_psi_drift" -> q128_sql)
 }

@@ -144,6 +144,23 @@ class MiningSpec extends SparkSpec {
       ("view", "view", 1L, 0.333333)))
   }
 
+  test("psiPairs: identical distributions score 0, disjoint ones score high") {
+    // a ≡ b (same values) → every bin has p = q → PSI exactly 0;
+    // a vs c live at opposite ends of the range → large PSI
+    val rows =
+      (1 to 50).map(i => ("a", (i % 10).toLong)) ++
+        (1 to 50).map(i => ("b", (i % 10).toLong)) ++
+        (1 to 50).map(i => ("c", 90L + (i % 10)))
+    val got = graft.analytics.Drift
+      .psiPairs(rows.toDF("grp", "v"), col("grp"), col("v"))
+      .orderBy("grp_a", "grp_b")
+      .select("grp_a", "grp_b", "psi").as[(String, String, Double)].collect()
+    val psi = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(psi(("a", "b")) === 0.0)
+    assert(psi(("a", "c")) > 1.0, s"disjoint pair scored ${psi(("a", "c"))}")
+    assert(psi(("a", "c")) === psi(("b", "c")), "b ≡ a must drift identically vs c")
+  }
+
   test("rollingCountAnomalies: spike flagged, baseline excludes it, flat key silent") {
     // key "a": 24 alternating 4/6 buckets (mean 5), then a 15-spike;
     // key "flat": constant counts → zero variance → never flagged
