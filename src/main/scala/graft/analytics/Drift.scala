@@ -107,9 +107,13 @@ object Drift {
           (acc, x) => acc + x.getField("term")), 6).as("chi2"))
   }
 
-  /** All-pairs KS: (grp_a, grp_b, n_a, n_b, ks_num, ks) with
-    * grp_a < grp_b, ks = ks_num/(n_a·n_b) rounded to 6 dp. */
-  def ksPairs(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+  /** Shared all-pairs expansion: collapse to (group, value, count),
+    * broadcast the group-pair list, and merge both sides into
+    * (grp_a, grp_b, value, ca, cb) — the value-compressed relation
+    * every pairwise drift statistic ([[ksPairs]], [[psiPairs]])
+    * starts from. */
+  private def pairCounts(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame = {
     val cnt = df.select(groupCol.as("grp"), valueCol.as("value"))
       .groupBy("grp", "value").agg(count(lit(1)).as("c"))
     val groups = cnt.select("grp").distinct()
@@ -122,9 +126,15 @@ object Drift {
     val sideB = cnt.join(broadcast(pairs), col("grp") === col("grp_b"))
       .select(col("grp_a"), col("grp_b"), col("value"),
         lit(0L).as("ca"), col("c").as("cb"))
-    val merged = sideA.unionAll(sideB)
+    sideA.unionAll(sideB)
       .groupBy("grp_a", "grp_b", "value")
       .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+  }
+
+  /** All-pairs KS: (grp_a, grp_b, n_a, n_b, ks_num, ks) with
+    * grp_a < grp_b, ks = ks_num/(n_a·n_b) rounded to 6 dp. */
+  def ksPairs(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val merged = pairCounts(df, groupCol, valueCol)
     val pairW = Window.partitionBy("grp_a", "grp_b")
     val runW = pairW.orderBy(col("value").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -154,36 +164,34 @@ object Drift {
     * terms fold in sorted bin order (the chi2 sorted-collect
     * discipline) — one ln per bin, 6dp at the end.
     *
+    * Overflow bound: the pair's value span must stay under 2^63/B
+    * (~9·10¹⁷ at B=10) or (v−mn)·B wraps — raw 64-bit hash values
+    * need pre-bucketing. The guard FAILS FAST (raise_error, checked
+    * span-wrap-proof in double) instead of silently mis-binning — the
+    * ANSI oracle errors on the same input, so the engines agree.
+    *
     * 100 TB shape: identical to [[ksPairs]] — the corpus collapses
     * FIRST to (group, value, count); everything downstream is bounded
     * by #groups² · #bins. */
   def psiPairs(df: DataFrame, groupCol: Column, valueCol: Column,
                bins: Int = 10): DataFrame = {
-    val cnt = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
-      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
-    val groups = cnt.select("grp").distinct()
-    val pairs = groups.select(col("grp").as("grp_a"))
-      .crossJoin(groups.select(col("grp").as("grp_b")))
-      .filter(col("grp_a") < col("grp_b"))
-    val sideA = cnt.join(broadcast(pairs), col("grp") === col("grp_a"))
-      .select(col("grp_a"), col("grp_b"), col("v"),
-        col("c").as("ca"), lit(0L).as("cb"))
-    val sideB = cnt.join(broadcast(pairs), col("grp") === col("grp_b"))
-      .select(col("grp_a"), col("grp_b"), col("v"),
-        lit(0L).as("ca"), col("c").as("cb"))
-    val merged = sideA.unionAll(sideB)
-      .groupBy("grp_a", "grp_b", "v")
-      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val merged = pairCounts(df, groupCol, valueCol.cast("long"))
+      .withColumnRenamed("value", "v")
     val pairW = Window.partitionBy("grp_a", "grp_b")
+    val spanOk = (col("mx").cast("double") - col("mn").cast("double")) <
+      (Long.MaxValue.toDouble / bins)
     val binned = merged
       .withColumn("mn", min("v").over(pairW))
       .withColumn("mx", max("v").over(pairW))
-      .withColumn("bin", expr(s"((v - mn) * $bins) div (mx - mn + 1)"))
+      .withColumn("bin", when(spanOk, expr(s"((v - mn) * $bins) div (mx - mn + 1)"))
+        .otherwise(raise_error(lit(
+          s"psiPairs: value span overflows BIGINT binning at $bins bins" +
+            " — pre-bucket the values"))))
       .groupBy("grp_a", "grp_b", "bin")
       .agg(sum("ca").as("ca"), sum("cb").as("cb"))
     // dense 0..bins-1 grid so empty buckets contribute their smoothed
     // term on both sides (a missing bin is information, not absence)
-    val grid = pairs.crossJoin(
+    val grid = merged.select("grp_a", "grp_b").distinct().crossJoin(
       broadcast(spark_range_df(binned, bins).select(col("bin"))))
     val full = grid.join(binned, Seq("grp_a", "grp_b", "bin"), "left")
       .select(col("grp_a"), col("grp_b"), col("bin"),
@@ -219,13 +227,25 @@ object Drift {
     * whose float accumulation is engine-order-dependent. Buckets with
     * an incomplete trailing window or zero variance are skipped.
     *
+    * Overflow bound: Σ n² over the window must stay under 2^63, i.e.
+    * each bucket count under √(2^63/W) (~6.2·10⁸ at W=24). The guard
+    * FAILS FAST (raise_error) instead of silently corrupting the
+    * variance — a hotter bucket means the bucketing is too coarse;
+    * re-bucket or pre-scale (the [[momentState]] discipline).
+    *
     * 100 TB shape: one map-side-combined count by (key, bucket), then
     * windows partitioned per key — partition size = one key's bucket
     * history (bounded by the time range), never event-count-sized. */
   def rollingCountAnomalies(df: DataFrame, key: Column, bucket: Column,
                             window: Int): DataFrame = {
+    val nLimit = math.sqrt(Long.MaxValue.toDouble / window).toLong - 1
     val counts = df.groupBy(key.as("k"), bucket.as("b"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("n", when(col("n") <= nLimit, col("n"))
+        .otherwise(raise_error(lit(
+          s"rollingCountAnomalies: bucket count exceeds $nLimit — " +
+            s"sum of squares would overflow BIGINT at window=$window; " +
+            "use finer buckets"))))
     val trail = Window.partitionBy("k").orderBy(col("b").asc)
       .rowsBetween(-window, -1)
     val wd = window.toDouble

@@ -316,13 +316,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(pairs, iters)
       .withColumnsRenamed(Map("id" -> "__cid"))
-    val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val byComp = Window.partitionBy(col("component"))
     docs.join(comp, id === col("__cid"), "left")
       .withColumn("component", coalesce(col("component"), id))
       .withColumn("cluster_size", count(lit(1)).over(byComp))
       .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("component"))
-          .orderBy(score.desc, id.asc)))
+        row_number().over(byComp.orderBy(score.desc, id.asc)))
       .filter(col("__rn") === 1)
       .drop("__rn", "__cid")
   }
@@ -411,12 +410,15 @@ object Dedup {
     * 100 TB shape: identical to [[jaccardSimJoinOn]] — token-keyed
     * shuffle; the df table joins the inverted index ON THE TOKEN KEY
     * it is already partitioned by. High-df tokens self-limit here
-    * (weight → 0) but still cost candidate rows; compose with the
-    * df-cut when posting lists are hot. */
+    * (weight → 0) but still cost candidate rows — `maxDocFrequency`
+    * applies the same lazy df-cut as the sibling joins when posting
+    * lists are hot (weights then come from the surviving tokens'
+    * unchanged df). */
   def weightedOverlapJoinOn(df: DataFrame, id: Column, items: Column,
-                            minWeight: Long): DataFrame = {
+                            minWeight: Long,
+                            maxDocFrequency: Double = 1.0): DataFrame = {
     val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
-    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val inv = invertedIndex(toks, maxDocFrequency)
     val wInv = inv.join(
       inv.groupBy("tok").agg(count(lit(1)).as("__df")), "tok")
       .select(col("id"), col("tok"),
@@ -435,33 +437,41 @@ object Dedup {
     * item. The shuffle key is the item; the per-doc size table joins
     * back by PLAIN shuffle (O(n_docs) rows — broadcasting it would OOM
     * at corpus scale). */
+  /** Guarded inverted index (id, tok) over a (id, toks) relation, with
+    * the optional lazy document-frequency cut — shared by every
+    * token-keyed sim-join so the posting-list guard composes
+    * uniformly. */
+  private def invertedIndex(toks: DataFrame,
+                            maxDocFrequency: Double): DataFrame = {
+    val invAll = toks.select(col("id"), explode(col("toks")).as("tok"))
+    if (maxDocFrequency >= 1.0) invAll
+    else {
+      // the cut threshold stays LAZY: a 1-row corpus-count aggregate
+      // broadcast-cross-joined into the hot-token filter, so the cut
+      // adds zero extra passes over the corpus (an eager df.count()
+      // here would be one full scan per call at 100 TB)
+      val cutRow = toks.agg(greatest(lit(1L),
+        (lit(maxDocFrequency) * count(lit(1))).cast("long")).as("__cut"))
+      val hot = invAll.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(cutRow))
+        .filter(col("__df") > col("__cut"))
+      // the drop COUNT is an extra job run only when INFO logging is
+      // on — the cut itself (anti-join below) is always lazy/fused
+      if (log.isInfoEnabled) {
+        val nHot = hot.count()
+        log.info(s"invertedIndex df-cut: dropping $nHot tokens with " +
+          s"doc-frequency fraction > $maxDocFrequency")
+      }
+      invAll.join(hot.select(col("tok").as("__hot")),
+        col("tok") === col("__hot"), "left_anti")
+    }
+  }
+
   private def intersectionPairs(df: DataFrame, id: Column, items: Column,
                                 maxDocFrequency: Double): DataFrame = {
     val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
     val sizes = toks.select(col("id"), size(col("toks")).as("sz"))
-    val invAll = toks.select(col("id"), explode(col("toks")).as("tok"))
-    val inv =
-      if (maxDocFrequency >= 1.0) invAll
-      else {
-        // the cut threshold stays LAZY: a 1-row corpus-count aggregate
-        // broadcast-cross-joined into the hot-token filter, so the cut
-        // adds zero extra passes over the corpus (an eager df.count()
-        // here would be one full scan per call at 100 TB)
-        val cutRow = toks.agg(greatest(lit(1L),
-          (lit(maxDocFrequency) * count(lit(1))).cast("long")).as("__cut"))
-        val hot = invAll.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-          .crossJoin(broadcast(cutRow))
-          .filter(col("__df") > col("__cut"))
-        // the drop COUNT is an extra job run only when INFO logging is
-        // on — the cut itself (anti-join below) is always lazy/fused
-        if (log.isInfoEnabled) {
-          val nHot = hot.count()
-          log.info(s"intersectionPairs df-cut: dropping $nHot tokens with " +
-            s"doc-frequency fraction > $maxDocFrequency")
-        }
-        invAll.join(hot.select(col("tok").as("__hot")),
-          col("tok") === col("__hot"), "left_anti")
-      }
+    val inv = invertedIndex(toks, maxDocFrequency)
     val pairs = inv.alias("a")
       .join(inv.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
