@@ -433,6 +433,35 @@ object Mining {
        |  round(list_sum(list(term ORDER BY bin)), 6) AS psi
        |FROM terms GROUP BY grp_a, grp_b ORDER BY grp_a, grp_b""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  // Label-centroid cosine matrix: class-separation diagnostic over
+  // the embeddings table. Integer milli-unit component SUMS (cosine
+  // is scale-invariant — no centroid division, whose floor/trunc
+  // semantics differ across engines for negative sums); one pinned
+  // double expression at the end.
+  val q129_centroid_cosine: Q = (s, dir) =>
+    graft.similarity.Similarity.centroidCosineMatrix(
+      Tables.load(s, dir, "embeddings"), col("label"), col("embedding"))
+      .orderBy("label_a", "label_b")
+
+  val q129_sql: String =
+    """WITH m AS (SELECT label, UNNEST(generate_series(0, 63)) AS pos, embedding
+      |           FROM embeddings),
+      |f AS (SELECT label, pos,
+      |        CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000.0) AS BIGINT)
+      |          AS mv
+      |      FROM m),
+      |c AS (SELECT label, pos, sum(mv) AS s FROM f GROUP BY 1, 2),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        sum(a.s * b.s) AS dot, sum(a.s * a.s) AS na, sum(b.s * b.s) AS nb
+      |      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      |      GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  round(CAST(dot AS DOUBLE)
+      |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+      |    AS cosine
+      |FROM p ORDER BY label_a, label_b""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -445,7 +474,8 @@ object Mining {
     "q125_quality_canonical" -> q125_quality_canonical,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
-    "q128_psi_drift" -> q128_psi_drift)
+    "q128_psi_drift" -> q128_psi_drift,
+    "q129_centroid_cosine" -> q129_centroid_cosine)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -459,5 +489,6 @@ object Mining {
     "q125_quality_canonical" -> q125_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,
-    "q128_psi_drift" -> q128_sql)
+    "q128_psi_drift" -> q128_sql,
+    "q129_centroid_cosine" -> q129_sql)
 }

@@ -50,6 +50,42 @@ object Similarity {
     * id tie-break — fully deterministic across engines and runs.
     * The (small) query side is broadcast; the corpus streams through
     * once with no shuffle before the per-query top-k window. */
+  /** Pairwise cosine similarity between per-label centroids — the
+    * class-separation / label-confusion diagnostic (two labels whose
+    * centroids cos ≈ 1 are indistinguishable to a linear probe).
+    *
+    * Exactness: components quantize to integer milli-units and only
+    * SUM from there — cosine is scale-invariant, so the centroid
+    * mean's division (whose floor/truncate semantics differ across
+    * engines for negative sums) never happens; dot and norms are
+    * exact BIGINTs, the one double expression at the end is pinned
+    * (sqrt is correctly rounded). Overflow bound: per-label component
+    * sums must stay under √(2^63/dim) (~1.2·10⁷ milli-units at
+    * dim=64, i.e. ~10⁸ unit-scale vectors per label).
+    *
+    * 100 TB shape: one posexplode → (label, pos) aggregate (map-side
+    * combined, the only wide shuffle); everything after runs on
+    * #labels·dim rows. */
+  def centroidCosineMatrix(df: DataFrame, labelCol: Column,
+                           vec: Column): DataFrame = {
+    val comp = df.select(labelCol.as("label"),
+      posexplode(vec).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double") * 1e3).cast("long").as("mv"))
+    val cent = comp.groupBy("label", "pos").agg(sum("mv").as("s"))
+    val a = cent.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
+    val b = cent.select(col("label").as("label_b"), col("pos"), col("s").as("sb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na"),
+        sum(col("sb") * col("sb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

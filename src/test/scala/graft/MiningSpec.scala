@@ -144,6 +144,19 @@ class MiningSpec extends SparkSpec {
       ("view", "view", 1L, 0.333333)))
   }
 
+  test("centroidCosineMatrix: parallel labels cos 1, orthogonal labels cos 0") {
+    val vecs = Seq(
+      (1, Array(1f, 0f)), (1, Array(3f, 0f)), // centroid along e0
+      (2, Array(2f, 0f)),                     // parallel to label 1
+      (3, Array(0f, 5f))                      // orthogonal to both
+    ).toDF("label", "embedding")
+    val got = graft.similarity.Similarity
+      .centroidCosineMatrix(vecs, col("label"), col("embedding"))
+      .orderBy("label_a", "label_b")
+      .as[(Int, Int, Double)].collect()
+    assert(got === Array((1, 2, 1.0), (1, 3, 0.0), (2, 3, 0.0)))
+  }
+
   test("psiPairs: identical distributions score 0, disjoint ones score high") {
     // a ≡ b (same values) → every bin has p = q → PSI exactly 0;
     // a vs c live at opposite ends of the range → large PSI
