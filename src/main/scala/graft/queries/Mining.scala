@@ -462,6 +462,40 @@ object Mining {
       |    AS cosine
       |FROM p ORDER BY label_a, label_b""".stripMargin
 
+  // --------------------------------------------------------------- q130
+  // Referential-integrity census over every star-schema FK edge — the
+  // dbt-test / DQ layer as one union'd plan: row counts, null FKs,
+  // distinct keys, and orphans (non-null FK with no parent) per edge.
+  private val FkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  val q130_fk_audit: Q = (s, dir) => {
+    val audits = FkEdges.map { case (ct, fk, pt, pk) =>
+      graft.operators.Quality.fkAudit(
+        Tables.load(s, dir, ct), ct, col(fk),
+        Tables.load(s, dir, pt), pt, col(pk))
+    }
+    graft.operators.Quality.fkAuditAll(audits).orderBy("edge")
+  }
+
+  val q130_sql: String = {
+    def one(ct: String, fk: String, pt: String, pk: String) =
+      s"""SELECT '$ct.$pt' AS edge, count(*) AS n_rows,
+         |  count(*) - count($fk) AS n_null_fk,
+         |  count(DISTINCT $fk) AS n_distinct,
+         |  (SELECT count(*) FROM $ct c WHERE c.$fk IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $pt p WHERE p.$pk = c.$fk)) AS n_orphans
+         |FROM $ct""".stripMargin
+    FkEdges.map { case (ct, fk, pt, pk) => one(ct, fk, pt, pk) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -475,7 +509,8 @@ object Mining {
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
     "q128_psi_drift" -> q128_psi_drift,
-    "q129_centroid_cosine" -> q129_centroid_cosine)
+    "q129_centroid_cosine" -> q129_centroid_cosine,
+    "q130_fk_audit" -> q130_fk_audit)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -490,5 +525,6 @@ object Mining {
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,
     "q128_psi_drift" -> q128_sql,
-    "q129_centroid_cosine" -> q129_sql)
+    "q129_centroid_cosine" -> q129_sql,
+    "q130_fk_audit" -> q130_sql)
 }

@@ -157,6 +157,16 @@ class MiningSpec extends SparkSpec {
     assert(got === Array((1, 2, 1.0), (1, 3, 0.0), (2, 3, 0.0)))
   }
 
+  test("fkAudit: orphans counted, null FKs tracked separately") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val got = graft.operators.Quality
+      .fkAudit(child, "child", col("fk"), parent, "parent", col("pk"))
+      .as[(String, Long, Long, Long, Long)].head()
+    // 4 rows, 1 null FK, 2 distinct non-null keys, 1 orphan (the 9)
+    assert(got === (("child.parent", 4L, 1L, 2L, 1L)))
+  }
+
   test("psiPairs: identical distributions score 0, disjoint ones score high") {
     // a ≡ b (same values) → every bin has p = q → PSI exactly 0;
     // a vs c live at opposite ends of the range → large PSI
