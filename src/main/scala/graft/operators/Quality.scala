@@ -39,4 +39,20 @@ object Quality {
   /** Union of per-edge audits — the whole-schema census. */
   def fkAuditAll(edges: Seq[DataFrame]): DataFrame =
     edges.reduce(_ unionAll _)
+
+  /** One uniqueness census row per declared key: total rows, distinct
+    * key values, surplus rows (rows beyond one per key — 0 means the
+    * key IS unique), and the hottest key's multiplicity. One map-side-
+    * combined aggregate per table; the census is what a dbt `unique`
+    * test reports as a boolean, kept countable so regressions trend. */
+  def uniqueAudit(df: DataFrame, table: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*).agg(count(lit(1)).as("__c"))
+      .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("__c").as("max_dup"))
+      .select(lit(table).as("table_key"),
+        col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_surplus"), col("max_dup"))
+
+  def uniqueAuditAll(audits: Seq[DataFrame]): DataFrame =
+    audits.reduce(_ unionAll _)
 }

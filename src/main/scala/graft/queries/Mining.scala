@@ -496,6 +496,43 @@ object Mining {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  // --------------------------------------------------------------- q131
+  // Uniqueness census per declared key — the dbt `unique` test kept
+  // countable. Deliberately includes lineitem's (l_orderkey,
+  // l_linenumber), which the synthetic generator DUPLICATES: the
+  // audit's job is to find exactly that.
+  private val UniqueKeys = Seq(
+    ("region:r_regionkey", "region", Seq("r_regionkey")),
+    ("nation:n_nationkey", "nation", Seq("n_nationkey")),
+    ("customer:c_custkey", "customer", Seq("c_custkey")),
+    ("supplier:s_suppkey", "supplier", Seq("s_suppkey")),
+    ("part:p_partkey", "part", Seq("p_partkey")),
+    ("orders:o_orderkey", "orders", Seq("o_orderkey")),
+    ("lineitem:l_orderkey,l_linenumber", "lineitem",
+      Seq("l_orderkey", "l_linenumber")),
+    ("events:event_id", "events", Seq("event_id")),
+    ("documents:doc_id", "documents", Seq("doc_id")),
+    ("embeddings:vec_id", "embeddings", Seq("vec_id")))
+
+  val q131_unique_audit: Q = (s, dir) => {
+    val audits = UniqueKeys.map { case (name, t, keys) =>
+      graft.operators.Quality.uniqueAudit(
+        Tables.load(s, dir, t), name, keys.map(col))
+    }
+    graft.operators.Quality.uniqueAuditAll(audits).orderBy("table_key")
+  }
+
+  val q131_sql: String = {
+    def one(name: String, t: String, keys: Seq[String]) =
+      s"""SELECT '$name' AS table_key, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys, CAST(sum(c) - count(*) AS BIGINT) AS n_surplus,
+         |  max(c) AS max_dup
+         |FROM (SELECT count(*) AS c FROM $t
+         |      GROUP BY ${keys.mkString(", ")})""".stripMargin
+    UniqueKeys.map { case (n, t, k) => one(n, t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_key")
+  }
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -510,7 +547,8 @@ object Mining {
     "q127_pmi_collocations" -> q127_pmi_collocations,
     "q128_psi_drift" -> q128_psi_drift,
     "q129_centroid_cosine" -> q129_centroid_cosine,
-    "q130_fk_audit" -> q130_fk_audit)
+    "q130_fk_audit" -> q130_fk_audit,
+    "q131_unique_audit" -> q131_unique_audit)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -526,5 +564,6 @@ object Mining {
     "q127_pmi_collocations" -> q127_sql,
     "q128_psi_drift" -> q128_sql,
     "q129_centroid_cosine" -> q129_sql,
-    "q130_fk_audit" -> q130_sql)
+    "q130_fk_audit" -> q130_sql,
+    "q131_unique_audit" -> q131_sql)
 }

@@ -167,6 +167,22 @@ class MiningSpec extends SparkSpec {
     assert(got === (("child.parent", 4L, 1L, 2L, 1L)))
   }
 
+  test("uniqueAudit: surplus counts rows beyond one per key") {
+    val t = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w")).toDF("k", "v")
+    val got = graft.operators.Quality
+      .uniqueAudit(t, "t:k", Seq(col("k")))
+      .as[(String, Long, Long, Long, Long)].head()
+    // 4 rows over 2 keys → 2 surplus; hottest key has 3 rows
+    assert(got === (("t:k", 4L, 2L, 2L, 3L)))
+    // the synthetic lineitem really does duplicate its composite key —
+    // the audit exists to find exactly this
+    val li = graft.operators.Quality.uniqueAudit(
+      Tables.load(spark, TestSpark.sf0001, "lineitem"),
+      "lineitem", Seq(col("l_orderkey"), col("l_linenumber")))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(li._4 > 0L, "expected surplus rows on lineitem's composite key")
+  }
+
   test("psiPairs: identical distributions score 0, disjoint ones score high") {
     // a ≡ b (same values) → every bin has p = q → PSI exactly 0;
     // a vs c live at opposite ends of the range → large PSI
