@@ -460,7 +460,8 @@ object Mining {
       |  round(CAST(dot AS DOUBLE)
       |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
       |    AS cosine
-      |FROM p ORDER BY label_a, label_b""".stripMargin
+      |FROM p WHERE na > 0 AND nb > 0
+      |ORDER BY label_a, label_b""".stripMargin
 
   // --------------------------------------------------------------- q130
   // Referential-integrity census over every star-schema FK edge — the
@@ -481,12 +482,12 @@ object Mining {
         Tables.load(s, dir, ct), ct, col(fk),
         Tables.load(s, dir, pt), pt, col(pk))
     }
-    graft.operators.Quality.fkAuditAll(audits).orderBy("edge")
+    graft.operators.Quality.auditUnion(audits).orderBy("edge")
   }
 
   val q130_sql: String = {
     def one(ct: String, fk: String, pt: String, pk: String) =
-      s"""SELECT '$ct.$pt' AS edge, count(*) AS n_rows,
+      s"""SELECT '$ct.$fk->$pt' AS edge, count(*) AS n_rows,
          |  count(*) - count($fk) AS n_null_fk,
          |  count(DISTINCT $fk) AS n_distinct,
          |  (SELECT count(*) FROM $ct c WHERE c.$fk IS NOT NULL AND NOT EXISTS
@@ -519,7 +520,7 @@ object Mining {
       graft.operators.Quality.uniqueAudit(
         Tables.load(s, dir, t), name, keys.map(col))
     }
-    graft.operators.Quality.uniqueAuditAll(audits).orderBy("table_key")
+    graft.operators.Quality.auditUnion(audits).orderBy("table_key")
   }
 
   val q131_sql: String = {

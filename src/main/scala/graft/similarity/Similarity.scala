@@ -45,11 +45,6 @@ object Similarity {
     dotHof(a, b) / (norm(a) * norm(b))
   }
 
-  /** Exact brute-force top-k: for each query vector, the k nearest
-    * corpus vectors by cosine. Rank on ROUNDED similarity (6 dp) with an
-    * id tie-break — fully deterministic across engines and runs.
-    * The (small) query side is broadcast; the corpus streams through
-    * once with no shuffle before the per-query top-k window. */
   /** Pairwise cosine similarity between per-label centroids — the
     * class-separation / label-confusion diagnostic (two labels whose
     * centroids cos ≈ 1 are indistinguishable to a linear probe).
@@ -59,9 +54,14 @@ object Similarity {
     * mean's division (whose floor/truncate semantics differ across
     * engines for negative sums) never happens; dot and norms are
     * exact BIGINTs, the one double expression at the end is pinned
-    * (sqrt is correctly rounded). Overflow bound: per-label component
-    * sums must stay under √(2^63/dim) (~1.2·10⁷ milli-units at
-    * dim=64, i.e. ~10⁸ unit-scale vectors per label).
+    * (sqrt is correctly rounded). Overflow bound: dot = Σ_dim sa·sb
+    * needs every per-label component sum under √(2^63/dim) ≈ 3.8·10⁸
+    * milli-units at dim=64 — worst case (every |component| = 1, i.e.
+    * 1000 milli each) that is ~3.8·10⁵ vectors per label; typical
+    * unit-norm embeddings (components ~1/√dim) stretch it ~8×. Beyond
+    * that, pre-average per-label chunks or go DECIMAL. Zero-norm
+    * centroids (all components quantize to 0) make cosine undefined —
+    * those pairs are DROPPED, not emitted as NaN.
     *
     * 100 TB shape: one posexplode → (label, pos) aggregate (map-side
     * combined, the only wide shuffle); everything after runs on
@@ -80,12 +80,18 @@ object Similarity {
       .agg(sum(col("sa") * col("sb")).as("dot"),
         sum(col("sa") * col("sa")).as("na"),
         sum(col("sb") * col("sb")).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("label_a"), col("label_b"),
         round(col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
           .as("cosine"))
   }
 
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * corpus vectors by cosine. Rank on ROUNDED similarity (6 dp) with an
+    * id tie-break — fully deterministic across engines and runs.
+    * The (small) query side is broadcast; the corpus streams through
+    * once with no shuffle before the per-query top-k window. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

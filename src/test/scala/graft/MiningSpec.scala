@@ -148,12 +148,14 @@ class MiningSpec extends SparkSpec {
     val vecs = Seq(
       (1, Array(1f, 0f)), (1, Array(3f, 0f)), // centroid along e0
       (2, Array(2f, 0f)),                     // parallel to label 1
-      (3, Array(0f, 5f))                      // orthogonal to both
+      (3, Array(0f, 5f)),                     // orthogonal to both
+      (4, Array(0f, 0f))                      // zero-norm: undefined cosine
     ).toDF("label", "embedding")
     val got = graft.similarity.Similarity
       .centroidCosineMatrix(vecs, col("label"), col("embedding"))
       .orderBy("label_a", "label_b")
       .as[(Int, Int, Double)].collect()
+    // label 4's pairs are dropped (no NaN rows), the rest are exact
     assert(got === Array((1, 2, 1.0), (1, 3, 0.0), (2, 3, 0.0)))
   }
 
@@ -163,8 +165,9 @@ class MiningSpec extends SparkSpec {
     val got = graft.operators.Quality
       .fkAudit(child, "child", col("fk"), parent, "parent", col("pk"))
       .as[(String, Long, Long, Long, Long)].head()
-    // 4 rows, 1 null FK, 2 distinct non-null keys, 1 orphan (the 9)
-    assert(got === (("child.parent", 4L, 1L, 2L, 1L)))
+    // 4 rows, 1 null FK, 2 distinct non-null keys, 1 orphan (the 9);
+    // the label carries the FK column so twin edges stay distinct
+    assert(got === (("child.fk->parent", 4L, 1L, 2L, 1L)))
   }
 
   test("uniqueAudit: surplus counts rows beyond one per key") {
