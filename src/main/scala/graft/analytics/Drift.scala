@@ -215,6 +215,34 @@ object Drift {
   private def spark_range_df(ref: DataFrame, bins: Int): DataFrame =
     ref.sparkSession.range(bins).select(col("id").as("bin"))
 
+  /** Burstiness census: the Fano factor (variance/mean) of per-bucket
+    * counts for each key — the dispersion diagnostic behind
+    * [[rollingCountAnomalies]]: ≈1 is Poisson-like arrivals, ≫1 is
+    * bursty (bot traffic, batch replays), ≪1 is over-regular
+    * (schedulers, heartbeats). Sample variance and mean derive from
+    * exact BIGINT Σc and Σc² in one pinned double expression. Keys
+    * with fewer than 2 buckets or zero mean are dropped (undefined).
+    *
+    * 100 TB shape: one map-side-combined (key, bucket) count, then a
+    * per-key aggregate over bucket counts — bounded by #keys ·
+    * #buckets, never event-sized. Overflow: Σc² needs per-bucket
+    * counts under √(2^63/#buckets) (the [[rollingCountAnomalies]]
+    * bound, documented there). */
+  def burstiness(df: DataFrame, key: Column, bucket: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k"), bucket.as("b"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("k")
+      .agg(count(lit(1)).as("n_buckets"), sum("c").as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .filter(col("n_buckets") > 1 && col("sx") > 0)
+      .select(col("k"), col("n_buckets"), col("sx").as("n_events"),
+        round(((col("sxx").cast("double") * col("n_buckets") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n_buckets").cast("double") * (col("n_buckets") - 1))) /
+          (col("sx").cast("double") / col("n_buckets").cast("double")), 6)
+          .as("fano"))
+  }
+
   /** Rolling-window count-anomaly detection: bucket events per key,
     * z-score each bucket's count against the TRAILING `window`
     * observed buckets (current excluded — an anomaly must not inflate

@@ -534,6 +534,33 @@ object Mining {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_key")
   }
 
+  // --------------------------------------------------------------- q132
+  // Burstiness census: Fano factor of hourly counts per event type —
+  // Poisson-like ≈1, bursty ≫1, over-regular ≪1. Exact BIGINT sums,
+  // one pinned double expression.
+  val q132_burstiness: Q = (s, dir) =>
+    graft.analytics.Drift.burstiness(
+      Tables.load(s, dir, "events"), col("event_type"),
+      date_trunc("hour", col("ts")))
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+
+  val q132_sql: String =
+    """WITH hourly AS (SELECT event_type AS k, date_trunc('hour', ts) AS b,
+      |                  count(*) AS c
+      |                FROM events GROUP BY 1, 2),
+      |agg AS (SELECT k, count(*) AS n_buckets, sum(c) AS sx,
+      |          sum(c * c) AS sxx
+      |        FROM hourly GROUP BY k)
+      |SELECT k AS event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(sx AS BIGINT) AS n_events,
+      |  round(((CAST(sxx AS DOUBLE) * n_buckets
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          / (CAST(n_buckets AS DOUBLE) * (n_buckets - 1)))
+      |        / (CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 6) AS fano
+      |FROM agg WHERE n_buckets > 1 AND sx > 0
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -549,7 +576,8 @@ object Mining {
     "q128_psi_drift" -> q128_psi_drift,
     "q129_centroid_cosine" -> q129_centroid_cosine,
     "q130_fk_audit" -> q130_fk_audit,
-    "q131_unique_audit" -> q131_unique_audit)
+    "q131_unique_audit" -> q131_unique_audit,
+    "q132_burstiness" -> q132_burstiness)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -566,5 +594,6 @@ object Mining {
     "q128_psi_drift" -> q128_sql,
     "q129_centroid_cosine" -> q129_sql,
     "q130_fk_audit" -> q130_sql,
-    "q131_unique_audit" -> q131_sql)
+    "q131_unique_audit" -> q131_sql,
+    "q132_burstiness" -> q132_sql)
 }

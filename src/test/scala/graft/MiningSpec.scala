@@ -219,6 +219,22 @@ class MiningSpec extends SparkSpec {
     assert(got === Array(("a", 25, 15L, expZ)))
   }
 
+  test("burstiness: bursty key ≫ 1, constant key 0, single-bucket dropped") {
+    // "a": bucket counts 1,1,1,9 → mean 3, sample var 16 → Fano 16/3;
+    // "flat": constant 5s → var 0 → Fano 0; "solo": 1 bucket → dropped
+    val rows =
+      Seq(("a", 1), ("a", 2), ("a", 3)) ++ Seq.fill(9)(("a", 4)) ++
+        (1 to 4).flatMap(b => Seq.fill(5)(("flat", b))) ++
+        Seq.fill(7)(("solo", 1))
+    val got = graft.analytics.Drift
+      .burstiness(rows.toDF("k", "b"), col("k"), col("b"))
+      .orderBy("k")
+      .as[(String, Long, Long, Double)].collect()
+    val expFano = BigDecimal(16.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Array(("a", 4L, 12L, expFano), ("flat", 4L, 20L, 0.0)))
+  }
+
   test("pmiCollocations: glued pair scores high, independent pair scores ~0") {
     // "new york" always co-occurs; "of the" co-occurs at chance level
     val docs = (1 to 8).map(i => (i.toLong,
