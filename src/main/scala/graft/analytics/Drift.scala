@@ -243,6 +243,42 @@ object Drift {
           .as("fano"))
   }
 
+  /** Corpus-concentration census: HHI (Herfindahl — Σ share²) and the
+    * Gini coefficient of the per-key row distribution in ONE output
+    * row — the data-mixture diagnostic that says whether a corpus is
+    * dominated by a few sources (HHI → 1, Gini → 1) or balanced
+    * (HHI → 1/n, Gini → 0) before a temperature re-mix
+    * ([[graft.operators.Sampling.sqrtTemperatureMixture]]) is chosen.
+    *
+    * Both indices derive from exact BIGINT sums: Σc² for HHI and
+    * Σ(rank·c) for Gini over counts ranked ascending (ties broken by
+    * key for determinism), each divided out in one pinned double at
+    * the end. G = (2·Σrc − (n+1)·Σc) / (n·Σc).
+    *
+    * 100 TB shape: the corpus collapses FIRST to (key, count) — one
+    * map-side-combined aggregate — so everything after is bounded by
+    * #keys. The ascending rank is an exact distributed prefix sum
+    * ([[graft.operators.Operators.withRunningTotal]]: range buckets +
+    * parallel per-bucket windows + broadcast offsets — no
+    * single-partition window even at millions of keys). */
+  def concentration(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.Operators
+      .withRunningTotal(counts, lit(1L), Seq(col("c"), col("k")))
+    ranked
+      .agg(count(lit(1)).as("n_groups"), sum("c").as("n_rows"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(col("__run") * col("c")).as("sum_rc"))
+      .select(col("n_groups"), col("n_rows"),
+        round(col("sum_c2").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")), 6)
+          .as("hhi"),
+        round((lit(2.0) * col("sum_rc").cast("double") -
+          (col("n_groups") + 1).cast("double") * col("n_rows").cast("double")) /
+          (col("n_groups").cast("double") * col("n_rows").cast("double")), 6)
+          .as("gini"))
+  }
+
   /** Rolling-window count-anomaly detection: bucket events per key,
     * z-score each bucket's count against the TRAILING `window`
     * observed buckets (current excluded — an anomaly must not inflate

@@ -561,6 +561,32 @@ object Mining {
       |FROM agg WHERE n_buckets > 1 AND sx > 0
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  // Concentration census: HHI + Gini of the orders-per-customer
+  // distribution (1500 groups, counts 1-25 — a real spread; the
+  // synthetic documents-per-source split is exactly uniform and would
+  // pin only constants). Exact BIGINT Σc²/Σrc, pinned doubles.
+  val q133_concentration: Q = (s, dir) =>
+    graft.analytics.Drift.concentration(
+      Tables.load(s, dir, "orders"), col("o_custkey"))
+
+  val q133_sql: String =
+    """WITH counts AS (SELECT o_custkey AS k, count(*) AS c
+      |                FROM orders GROUP BY 1),
+      |ranked AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS r
+      |           FROM counts),
+      |agg AS (SELECT count(*) AS n_groups, sum(c) AS n_rows,
+      |          sum(c * c) AS sum_c2, sum(r * c) AS sum_rc
+      |        FROM ranked)
+      |SELECT CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  round(CAST(sum_c2 AS DOUBLE)
+      |        / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi,
+      |  round((2.0 * CAST(sum_rc AS DOUBLE)
+      |          - CAST(n_groups + 1 AS DOUBLE) * CAST(n_rows AS DOUBLE))
+      |        / (CAST(n_groups AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS gini
+      |FROM agg""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -577,7 +603,8 @@ object Mining {
     "q129_centroid_cosine" -> q129_centroid_cosine,
     "q130_fk_audit" -> q130_fk_audit,
     "q131_unique_audit" -> q131_unique_audit,
-    "q132_burstiness" -> q132_burstiness)
+    "q132_burstiness" -> q132_burstiness,
+    "q133_concentration" -> q133_concentration)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -595,5 +622,6 @@ object Mining {
     "q129_centroid_cosine" -> q129_sql,
     "q130_fk_audit" -> q130_sql,
     "q131_unique_audit" -> q131_sql,
-    "q132_burstiness" -> q132_sql)
+    "q132_burstiness" -> q132_sql,
+    "q133_concentration" -> q133_sql)
 }

@@ -235,6 +235,22 @@ class MiningSpec extends SparkSpec {
     assert(got === Array(("a", 4L, 12L, expFano), ("flat", 4L, 20L, 0.0)))
   }
 
+  test("concentration: linear ramp Gini 0.25 / HHI 0.30, uniform Gini 0") {
+    // counts 1,2,3,4 → shares .1/.2/.3/.4: HHI = 30/100 = 0.30,
+    // Gini = (2·Σrc − (n+1)·Σc)/(n·Σc) = (60 − 50)/40 = 0.25
+    val ramp = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d")).map(Tuple1(_)).toDF("s")
+    val got = graft.analytics.Drift.concentration(ramp, col("s"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got === Array((4L, 10L, 0.3, 0.25)))
+    // uniform 4×5 → HHI = 1/n = 0.25, Gini = 0
+    val flat = (1 to 4).flatMap(i => Seq.fill(5)(s"k$i"))
+      .map(Tuple1(_)).toDF("s")
+    val gotFlat = graft.analytics.Drift.concentration(flat, col("s"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(gotFlat === Array((4L, 20L, 0.25, 0.0)))
+  }
+
   test("pmiCollocations: glued pair scores high, independent pair scores ~0") {
     // "new york" always co-occurs; "of the" co-occurs at chance level
     val docs = (1 to 8).map(i => (i.toLong,
