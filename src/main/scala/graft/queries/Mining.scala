@@ -587,6 +587,33 @@ object Mining {
       |        / (CAST(n_groups AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS gini
       |FROM agg""".stripMargin
 
+  // --------------------------------------------------------------- q134
+  // Per-source unigram entropy: corpus-diversity gauge — repetitive/
+  // templated sources score far below the uniform bound log2(n_types).
+  // Each c·log2(c) term rounds to a micro-unit BIGINT before the sum,
+  // so the accumulation is exact and order-free across engines.
+  val q134_entropy: Q = (s, dir) =>
+    graft.text.Corpus.unigramEntropy(
+      Tables.load(s, dir, "documents"), col("source"), col("text"))
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+
+  val q134_sql: String =
+    """WITH t AS (SELECT source AS g,
+      |             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |           FROM documents),
+      |c AS (SELECT g, token, count(*) AS c FROM t GROUP BY 1, 2),
+      |s AS (SELECT g, count(*) AS n_types, sum(c) AS n_tokens,
+      |        sum(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+      |                       * 1000000.0) AS BIGINT)) AS sterm
+      |      FROM c GROUP BY g)
+      |SELECT g AS source, CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(log2(CAST(n_tokens AS DOUBLE))
+      |        - CAST(sterm AS DOUBLE)
+      |          / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS entropy_bits
+      |FROM s ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -604,7 +631,8 @@ object Mining {
     "q130_fk_audit" -> q130_fk_audit,
     "q131_unique_audit" -> q131_unique_audit,
     "q132_burstiness" -> q132_burstiness,
-    "q133_concentration" -> q133_concentration)
+    "q133_concentration" -> q133_concentration,
+    "q134_entropy" -> q134_entropy)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -623,5 +651,6 @@ object Mining {
     "q130_fk_audit" -> q130_sql,
     "q131_unique_audit" -> q131_sql,
     "q132_burstiness" -> q132_sql,
-    "q133_concentration" -> q133_sql)
+    "q133_concentration" -> q133_sql,
+    "q134_entropy" -> q134_sql)
 }

@@ -14,6 +14,39 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Per-group unigram Shannon entropy: the corpus-diversity gauge
+    * that separates repetitive/templated sources (entropy ≪
+    * log2 n_types) from diverse natural text (entropy near the
+    * uniform bound) before they enter a training mix.
+    *
+    * H = log2 T − (Σ c·log2 c)/T over per-(group, token) counts c,
+    * T = Σc. Each c·log2 c term is rounded to an integer micro-unit
+    * BIGINT before summation — the sum is exact and order-free, so it
+    * hash-replays across engines and partitionings (the chi2/PMI
+    * discipline; never an engine-accumulated double sum). Both
+    * engines on one libm produce bit-identical log2 of the same
+    * BIGINT-exact count. Bound: c·log2(c)·10⁶ must stay under 2⁶³ —
+    * safe to ~2.4·10¹¹ occurrences of one token per group; widen to
+    * DECIMAL(38,0) past that.
+    *
+    * 100 TB shape: one token explode into a map-side-combined
+    * (group, token) count, then a per-group aggregate over the type
+    * counts — bounded by #groups · vocabulary, never corpus-sized. */
+  def unigramEntropy(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val counts = df
+      .select(group.as("g"), explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("g", "token").agg(count(lit(1)).as("c"))
+    counts.groupBy("g")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        sum(round(col("c").cast("double") * log2(col("c").cast("double")) *
+          lit(1e6)).cast("long")).as("sterm"))
+      .select(col("g"), col("n_types"), col("n_tokens"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("sterm").cast("double") /
+            (col("n_tokens").cast("double") * lit(1e6)), 6)
+          .as("entropy_bits"))
+  }
+
   /** (token, n_total, n_docs) global vocabulary statistics. */
   def vocabulary(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))

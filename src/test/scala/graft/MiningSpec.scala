@@ -251,6 +251,20 @@ class MiningSpec extends SparkSpec {
     assert(gotFlat === Array((4L, 20L, 0.25, 0.0)))
   }
 
+  test("unigramEntropy: uniform hits log2(n), constant hits 0, mixed exact") {
+    // "uni": 4 distinct singletons → H = log2(4) = 2 bits (max);
+    // "rep": one token ×4 → H = 0; "mix": {x:2, y:2} → H = 1 bit
+    val docs = Seq(
+      ("uni", "p q r s"), ("rep", "z z z z"), ("mix", "x x y y"))
+      .toDF("src", "text")
+    val got = graft.text.Corpus
+      .unigramEntropy(docs, col("src"), col("text"))
+      .orderBy("g")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got === Array(
+      ("mix", 2L, 4L, 1.0), ("rep", 1L, 4L, 0.0), ("uni", 4L, 4L, 2.0)))
+  }
+
   test("pmiCollocations: glued pair scores high, independent pair scores ~0") {
     // "new york" always co-occurs; "of the" co-occurs at chance level
     val docs = (1 to 8).map(i => (i.toLong,
