@@ -614,6 +614,45 @@ object Mining {
       |          / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS entropy_bits
       |FROM s ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  // Per-source Zipf rank-frequency slope: OLS of ln(count) on
+  // ln(rank) over the top-ranked types. Natural text ~ -1; templated
+  // sources flatten toward 0. Ranks use a total (count DESC, token)
+  // order; each OLS term rounds to a micro-unit BIGINT before the
+  // sum; the closed-form slope is fixed scalar math over exact sums.
+  val q135_zipf: Q = (s, dir) =>
+    graft.text.Corpus.zipfSlope(
+      Tables.load(s, dir, "documents"), col("source"), col("text"))
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+
+  val q135_sql: String =
+    """WITH t AS (SELECT source AS g,
+      |             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |           FROM documents),
+      |c AS (SELECT g, token, count(*) AS c FROM t GROUP BY 1, 2),
+      |r AS (SELECT g, c,
+      |        row_number() OVER (PARTITION BY g
+      |                           ORDER BY c DESC, token) AS rank
+      |      FROM c),
+      |terms AS (SELECT g,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS tx,
+      |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS ty,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+      |               * 1000000.0) AS BIGINT) AS txx,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+      |               * 1000000.0) AS BIGINT) AS txy
+      |  FROM r WHERE rank <= 1000),
+      |agg AS (SELECT g, count(*) AS n, sum(tx) AS sx, sum(ty) AS sy,
+      |          sum(txx) AS sxx, sum(txy) AS sxy
+      |        FROM terms GROUP BY g HAVING count(*) >= 2)
+      |SELECT g AS source, CAST(n AS BIGINT) AS n_types_used,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      |FROM agg ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -632,7 +671,8 @@ object Mining {
     "q131_unique_audit" -> q131_unique_audit,
     "q132_burstiness" -> q132_burstiness,
     "q133_concentration" -> q133_concentration,
-    "q134_entropy" -> q134_entropy)
+    "q134_entropy" -> q134_entropy,
+    "q135_zipf" -> q135_zipf)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -652,5 +692,6 @@ object Mining {
     "q131_unique_audit" -> q131_sql,
     "q132_burstiness" -> q132_sql,
     "q133_concentration" -> q133_sql,
-    "q134_entropy" -> q134_sql)
+    "q134_entropy" -> q134_sql,
+    "q135_zipf" -> q135_sql)
 }

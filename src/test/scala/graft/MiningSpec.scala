@@ -265,6 +265,24 @@ class MiningSpec extends SparkSpec {
       ("mix", 2L, 4L, 1.0), ("rep", 1L, 4L, 0.0), ("uni", 4L, 4L, 2.0)))
   }
 
+  test("zipfSlope: perfect 1/rank law fits -1, flat counts fit 0") {
+    // "zipf": counts 12,6,4,3 over ranks 1..4 -> c*rank = 12 constant,
+    // so ln c = ln 12 - ln rank exactly: slope -1. "flat": two types
+    // with equal counts -> horizontal line: slope 0. "solo": a single
+    // type has no defined fit and must be dropped.
+    val docs = Seq(
+      ("zipf", (("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)).trim),
+      ("flat", "x x y y"),
+      ("solo", "z z z")).toDF("src", "text")
+    val got = graft.text.Corpus
+      .zipfSlope(docs, col("src"), col("text"))
+      .orderBy("g")
+      .as[(String, Long, Double)].collect()
+    assert(got.map(_._1) === Array("flat", "zipf"))
+    assert(got(0)._2 === 2L && math.abs(got(0)._3) < 1e-5)
+    assert(got(1)._2 === 4L && math.abs(got(1)._3 + 1.0) < 1e-5)
+  }
+
   test("pmiCollocations: glued pair scores high, independent pair scores ~0") {
     // "new york" always co-occurs; "of the" co-occurs at chance level
     val docs = (1 to 8).map(i => (i.toLong,
