@@ -653,6 +653,122 @@ object Mining {
       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       |FROM agg ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  // Cohen's kappa between the two keep/drop raters the pipeline
+  // already runs: q77's rule gate and q112's pinned-weight logistic
+  // classifier. One conditional-count aggregate (exact BIGINTs, one
+  // pass); agreement/chance/kappa are fixed scalar math over the
+  // counts. Undefined kappa (both raters constant) surfaces as null.
+  val q136_rater_kappa: Q = (s, dir) => {
+    val f = graft.text.TextAnalysis.qualityFeatures(
+      Tables.load(s, dir, "documents"), col("text"))
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(Curation.QwNTokens, Curation.QwAvgLen, Curation.QwStopword,
+        Curation.QwPunct), Curation.QwIntercept)
+    val rated = f.select(
+      (col("n_tokens") >= 30 && col("n_tokens") <= 10000 &&
+        col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0 &&
+        col("stopword_ratio") >= 0.01 && col("punct_ratio") <= 0.2)
+        .as("gate_keep"),
+      (model.scoreExpr >= 0.5).as("clf_keep"))
+    graft.ml.Eval.kappa(rated, col("gate_keep"), col("clf_keep"))
+  }
+
+  val q136_sql: String = {
+    val stop = graft.text.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val z = s"((((${Curation.QwIntercept} + n_tokens * ${Curation.QwNTokens})" +
+      s" + avg_token_len * ${Curation.QwAvgLen})" +
+      s" + stopword_ratio * ${Curation.QwStopword})" +
+      s" + punct_ratio * ${Curation.QwPunct})"
+    s"""WITH f AS (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents),
+       |r AS (SELECT
+       |    (n_tokens >= 30 AND n_tokens <= 10000
+       |      AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+       |      AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2) AS ga,
+       |    (1.0 / (1.0 + exp(-$z)) >= 0.5) AS cb
+       |  FROM f),
+       |c AS (SELECT
+       |    CAST(sum(CASE WHEN ga IS NOT NULL AND cb IS NOT NULL
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN ga IS NULL OR cb IS NULL
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+       |    CAST(sum(CASE WHEN ga AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(sum(CASE WHEN ga AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(sum(CASE WHEN NOT ga AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(sum(CASE WHEN NOT ga AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM r)
+       |SELECT n, n_excluded, n11, n10, n01, n00,
+       |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS agreement,
+       |  round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+       |          + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS chance_agreement,
+       |  CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+       |              + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+       |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+       |    THEN round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+       |                     + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+       |                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |               / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+       |                          + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+       |                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+       |    ELSE NULL END AS kappa
+       |FROM c""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q137
+  // Pairwise Jensen-Shannon divergence between source unigram
+  // distributions: the token-side drift matrix (q127's PSI covers the
+  // numeric side). Inner-join-only decomposition — one-sided tokens
+  // contribute exactly p/2, recovered from exact BIGINT mass sums.
+  val q137_jsd_matrix: Q = (s, dir) =>
+    graft.text.Corpus.unigramJsd(
+      Tables.load(s, dir, "documents"), col("source"), col("text"))
+      .withColumnRenamed("g_a", "source_a")
+      .withColumnRenamed("g_b", "source_b")
+      .orderBy("source_a", "source_b")
+
+  val q137_sql: String = {
+    val p = "(CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))"
+    val q = "(CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE))"
+    s"""WITH t AS (SELECT source AS g,
+       |             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |           FROM documents),
+       |c AS (SELECT g, token, count(*) AS c FROM t GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c) AS t FROM c GROUP BY g),
+       |w AS (SELECT c.g, c.token, c.c, tot.t FROM c JOIN tot ON c.g = tot.g),
+       |sh AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_shared,
+       |         sum(a.c) AS sca, sum(b.c) AS scb,
+       |         sum(CAST(round(($p * log2(2.0 * $p / ($p + $q))
+       |                         + $q * log2(2.0 * $q / ($p + $q))) * 0.5
+       |                        * 1000000.0) AS BIGINT)) AS sterm
+       |       FROM w a JOIN w b ON a.token = b.token AND a.g < b.g
+       |       GROUP BY 1, 2),
+       |pairs AS (SELECT ta.g AS g_a, ta.t AS ta, tb.g AS g_b, tb.t AS tb
+       |          FROM tot ta, tot tb WHERE ta.g < tb.g)
+       |SELECT p.g_a AS source_a, p.g_b AS source_b,
+       |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_types,
+       |  round(CAST(coalesce(sterm, 0) AS DOUBLE) / 1000000.0
+       |        + 0.5 * (1.0 - CAST(coalesce(sca, 0) AS DOUBLE)
+       |                       / CAST(p.ta AS DOUBLE))
+       |        + 0.5 * (1.0 - CAST(coalesce(scb, 0) AS DOUBLE)
+       |                       / CAST(p.tb AS DOUBLE)), 6) AS jsd_bits
+       |FROM pairs p LEFT JOIN sh ON p.g_a = sh.g_a AND p.g_b = sh.g_b
+       |ORDER BY p.g_a, p.g_b""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -672,7 +788,9 @@ object Mining {
     "q132_burstiness" -> q132_burstiness,
     "q133_concentration" -> q133_concentration,
     "q134_entropy" -> q134_entropy,
-    "q135_zipf" -> q135_zipf)
+    "q135_zipf" -> q135_zipf,
+    "q136_rater_kappa" -> q136_rater_kappa,
+    "q137_jsd_matrix" -> q137_jsd_matrix)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -693,5 +811,7 @@ object Mining {
     "q132_burstiness" -> q132_sql,
     "q133_concentration" -> q133_sql,
     "q134_entropy" -> q134_sql,
-    "q135_zipf" -> q135_sql)
+    "q135_zipf" -> q135_sql,
+    "q136_rater_kappa" -> q136_sql,
+    "q137_jsd_matrix" -> q137_sql)
 }

@@ -100,6 +100,64 @@ object Corpus {
           (n * sxx * lit(1e6) - sx * sx), 6).as("zipf_slope"))
   }
 
+  /** Pairwise Jensen–Shannon divergence (bits) between the unigram
+    * distributions of every pair of groups — the text-side drift
+    * matrix (PSI's counterpart for token distributions): 0 for
+    * identical sources, 1 for disjoint vocabularies.
+    *
+    * Only the INNER token join is computed: a token present in one
+    * side only contributes exactly p/2 to the divergence
+    * (p·log2(p/(p/2)) = p), so
+    * JSD = Σ_shared ½(p·log2(2p/(p+q)) + q·log2(2q/(p+q)))
+    *       + ½(1 − P_shared) + ½(1 − Q_shared),
+    * with the shared p/q masses recovered from EXACT BIGINT count
+    * sums — no outer join, no per-pair vocabulary materialization.
+    * Each shared term rounds to a micro-unit BIGINT before the sum
+    * (order-free); the closing arithmetic is fixed scalar double math
+    * over exact sums. Pairs with no shared token are restored by a
+    * left join from the tiny totals cross-product at the maximum
+    * divergence of 1 bit.
+    *
+    * 100 TB shape: counts collapse to groups · vocabulary; the self-
+    * join fans each token across the group pairs sharing it — bounded
+    * by vocabulary · #groups², with #groups a small dimension (source
+    * labels, not documents). For thousands of groups, df-cut the
+    * ubiquitous tokens first (they contribute near-zero terms). */
+  def unigramJsd(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val counts = df
+      .select(group.as("g"), explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("g", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g").agg(sum("c").as("t"))
+    val withT = counts.join(broadcast(totals), "g")
+    val a = withT.select(col("g").as("g_a"), col("token").as("tok_a"),
+      col("c").as("ca"), col("t").as("ta"))
+    val b = withT.select(col("g").as("g_b"), col("token").as("tok_b"),
+      col("c").as("cb"), col("t").as("tb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    val term = (p * log2(lit(2.0) * p / (p + q)) +
+      q * log2(lit(2.0) * q / (p + q))) * lit(0.5)
+    val shared = a
+      .join(b, col("tok_a") === col("tok_b") && col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_shared"), sum("ca").as("sca"),
+        sum("cb").as("scb"),
+        sum(round(term * lit(1e6)).cast("long")).as("sterm"))
+    val pairs = totals.select(col("g").as("g_a"), col("t").as("ta"))
+      .crossJoin(totals.select(col("g").as("g_b"), col("t").as("tb")))
+      .filter(col("g_a") < col("g_b"))
+    pairs.join(shared, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_types"),
+        round(coalesce(col("sterm"), lit(0L)).cast("double") / lit(1e6) +
+          lit(0.5) * (lit(1.0) -
+            coalesce(col("sca"), lit(0L)).cast("double") /
+              col("ta").cast("double")) +
+          lit(0.5) * (lit(1.0) -
+            coalesce(col("scb"), lit(0L)).cast("double") /
+              col("tb").cast("double")), 6).as("jsd_bits"))
+  }
+
   /** (token, n_total, n_docs) global vocabulary statistics. */
   def vocabulary(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))

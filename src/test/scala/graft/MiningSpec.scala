@@ -265,6 +265,43 @@ class MiningSpec extends SparkSpec {
       ("mix", 2L, 4L, 1.0), ("rep", 1L, 4L, 0.0), ("uni", 4L, 4L, 2.0)))
   }
 
+  test("unigramJsd: identical 0, disjoint 1, half-shared 0.5 exactly") {
+    // g1/g2 identical -> 0; g1/g3 share token 'a' at equal mass 1/2
+    // (shared term 0, one-sided mass 1/2 each side -> 0.5); g2/g3 same;
+    // g1/g4 disjoint -> the left-joined maximum of 1
+    val docs = Seq(
+      ("g1", "a b"), ("g2", "a b"), ("g3", "a c"), ("g4", "z w"))
+      .toDF("src", "text")
+    val got = graft.text.Corpus
+      .unigramJsd(docs, col("src"), col("text"))
+      .orderBy("g_a", "g_b")
+      .as[(String, String, Long, Double)].collect()
+    assert(got === Array(
+      ("g1", "g2", 2L, 0.0), ("g1", "g3", 1L, 0.5), ("g1", "g4", 0L, 1.0),
+      ("g2", "g3", 1L, 0.5), ("g2", "g4", 0L, 1.0), ("g3", "g4", 0L, 1.0)))
+  }
+
+  test("Eval.kappa: chance-level 0, perfect 1, nulls excluded, constant null") {
+    // all four cells once: po = 0.5 = pe -> kappa 0; the null-rater
+    // row lands in n_excluded only
+    val mixed = Seq(
+      (Some(true), Some(true)), (Some(true), Some(false)),
+      (Some(false), Some(true)), (Some(false), Some(false)),
+      (None: Option[Boolean], Some(true))).toDF("a", "b")
+    val m = graft.ml.Eval.kappa(mixed, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .head()
+    assert(m === ((4L, 1L, 1L, 1L, 1L, 1L, 0.5, 0.5, Some(0.0))))
+    // perfect agreement with both classes present -> kappa 1
+    val perfect = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(graft.ml.Eval.kappa(perfect, col("a"), col("b"))
+      .select("kappa").as[Option[Double]].head() === Some(1.0))
+    // both raters constant -> pe = 1, kappa undefined -> null
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(graft.ml.Eval.kappa(const, col("a"), col("b"))
+      .select("kappa").as[Option[Double]].head() === None)
+  }
+
   test("zipfSlope: perfect 1/rank law fits -1, flat counts fit 0") {
     // "zipf": counts 12,6,4,3 over ranks 1..4 -> c*rank = 12 constant,
     // so ln c = ln 12 - ln rank exactly: slope -1. "flat": two types
