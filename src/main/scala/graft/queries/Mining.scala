@@ -769,6 +769,38 @@ object Mining {
        |ORDER BY p.g_a, p.g_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q138
+  // Benchmark decontamination CENSUS: per-document fraction of word
+  // 3-grams shared with a held-out eval set (src0 stands in for the
+  // benchmark) — the thresholded-removal primitive on top of q101's
+  // any-hit report. Eval grams broadcast; corpus grams dedup per row
+  // before the explode; only contaminated grams reach the shuffle.
+  val q138_decontaminate: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.text.Decontam.contaminationCensus(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), 3)
+      .orderBy("doc_id")
+  }
+
+  val q138_sql: String =
+    """WITH ev AS (SELECT DISTINCT UNNEST(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 0)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |          FROM documents WHERE source = 'src0')),
+      |cg AS (SELECT doc_id, len(grams) AS n_grams, UNNEST(grams) AS gram
+      |    FROM (SELECT doc_id, list_distinct(list_transform(
+      |        generate_series(1, greatest(len(toks) - 2, 0)),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |            FROM documents WHERE source <> 'src0')))
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(count(*) AS BIGINT) AS n_hit_grams,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS hit_frac
+      |FROM cg JOIN ev USING (gram)
+      |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -790,7 +822,8 @@ object Mining {
     "q134_entropy" -> q134_entropy,
     "q135_zipf" -> q135_zipf,
     "q136_rater_kappa" -> q136_rater_kappa,
-    "q137_jsd_matrix" -> q137_jsd_matrix)
+    "q137_jsd_matrix" -> q137_jsd_matrix,
+    "q138_decontaminate" -> q138_decontaminate)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -813,5 +846,6 @@ object Mining {
     "q134_entropy" -> q134_sql,
     "q135_zipf" -> q135_sql,
     "q136_rater_kappa" -> q136_sql,
-    "q137_jsd_matrix" -> q137_sql)
+    "q137_jsd_matrix" -> q137_sql,
+    "q138_decontaminate" -> q138_sql)
 }

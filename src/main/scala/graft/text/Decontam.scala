@@ -59,4 +59,41 @@ object Decontam {
       .groupBy(idCol)
       .agg(count_distinct(col("gram_h")).cast("long").as("n_hit_grams"))
   }
+
+  /** Per-document contamination census: (idCol, n_grams, n_hit_grams,
+    * hit_frac) for every corpus doc sharing at least one word n-gram
+    * with the benchmark — the thresholded-removal primitive on top of
+    * [[contaminationReport]]'s any-hit census (drop docs whose overlap
+    * FRACTION exceeds a cut, not every doc with a single stray gram).
+    * Grams are deduped per document BEFORE the explode (a per-row
+    * `array_distinct`, no shuffle spent on within-doc repeats), so
+    * repeats can't inflate either the denominator or the hit count;
+    * docs shorter than n tokens have no grams and cannot be flagged.
+    * Same 100 TB shape as the report: hashed grams, broadcast
+    * benchmark, and the one aggregation shuffle carries only
+    * contaminated grams plus each doc's census integers. */
+  def contaminationCensus(docs: DataFrame, bench: DataFrame, n: Int,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          benchTextCol: String = "text",
+                          broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = gramHashes(bench, Seq.empty, toks(col(benchTextCol)), n)
+      .distinct()
+    val rhs = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val tk = col("__graft_toks")
+    val gramArr = transform(
+      sequence(lit(0), size(tk) - n),
+      i => conv(substring(md5(array_join(slice(tk, i + 1, lit(n)), " ")), 1, 15),
+        16, 10).cast("long"))
+    docs.select(col(idCol), toks(col(textCol)).as("__graft_toks"))
+      .filter(size(tk) >= n)
+      .select(col(idCol), array_distinct(gramArr).as("__graft_grams"))
+      .select(col(idCol), size(col("__graft_grams")).cast("long").as("n_grams"),
+        explode(col("__graft_grams")).as("gram_h"))
+      .join(rhs, "gram_h")
+      .groupBy(idCol, "n_grams")
+      .agg(count(lit(1)).cast("long").as("n_hit_grams"))
+      .select(col(idCol), col("n_grams"), col("n_hit_grams"),
+        round(col("n_hit_grams").cast("double") / col("n_grams").cast("double"), 6)
+          .as("hit_frac"))
+  }
 }

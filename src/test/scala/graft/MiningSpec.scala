@@ -265,6 +265,24 @@ class MiningSpec extends SparkSpec {
       ("mix", 2L, 4L, 1.0), ("rep", 1L, 4L, 0.0), ("uni", 4L, 4L, 2.0)))
   }
 
+  test("contaminationCensus: shared trigram counted once, clean/short docs absent") {
+    // eval set holds one doc with grams {a b c, b c d}; corpus doc 1
+    // contains "a b c" twice (distinct-gram census counts it ONCE);
+    // doc 2 is clean; doc 3 is shorter than a trigram and can never be
+    // flagged; doc 4 matches both eval grams case-insensitively
+    val evalSet = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c y a b c"), // grams: {x a b, a b c, b c y, c y a, y a b}
+      (2L, "p q r s t"),
+      (3L, "a b"),
+      (4L, "A b C d e")). // grams: {a b c, b c d, c d e} -> 2 hits
+      toDF("doc_id", "text")
+    val got = graft.text.Decontam
+      .contaminationCensus(corpus, evalSet, 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got === Array((1L, 5L, 1L, 0.2), (4L, 3L, 2L, 0.666667)))
+  }
+
   test("unigramJsd: identical 0, disjoint 1, half-shared 0.5 exactly") {
     // g1/g2 identical -> 0; g1/g3 share token 'a' at equal mass 1/2
     // (shared term 0, one-sided mass 1/2 each side -> 0.5); g2/g3 same;
