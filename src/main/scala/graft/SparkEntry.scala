@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Media.all ++
       graft.queries.Governance.all ++
       graft.queries.Curation.all ++
-      graft.queries.Mining.all
+      graft.queries.Mining.all ++
+      graft.queries.Integrity.all
 
   /** Queries selected by the optional comma-separated name filter
     * (`SPARK_GRAFT_ONLY` in Verify/Bench). Unknown names are an ERROR —
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.Media.oracle ++
       graft.queries.Governance.oracle ++
       graft.queries.Curation.oracle ++
-      graft.queries.Mining.oracle
+      graft.queries.Mining.oracle ++
+      graft.queries.Integrity.oracle
 }

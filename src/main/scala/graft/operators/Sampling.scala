@@ -91,6 +91,47 @@ object Sampling {
         expr(s"($budget * w_micro) div __tot_w").as("alloc_docs"))
   }
 
+  /** Holdout-integrity audit: candidate near-duplicate pairs that
+    * STRADDLE a train/test split — a near-dup of a held-out doc inside
+    * the training set leaks the benchmark, which is exactly what the
+    * split was supposed to prevent. `pairs` is candidates-only (the
+    * bounded output of an LSH banding pass), so both joins here put a
+    * tiny side against the corpus-sized assignment on a plain id
+    * equi-join; nothing pair-shaped ever touches corpus volume.
+    * Output: (id_a, id_b, test_a, test_b) with differing flags, flags
+    * as 0/1 longs. */
+  def crossSplitPairs(pairs: DataFrame, assign: DataFrame,
+                      idCol: String = "doc_id",
+                      flagCol: String = "is_test"): DataFrame = {
+    def side(suffix: String) = assign.select(
+      col(idCol).as(s"id_$suffix"),
+      col(flagCol).cast("long").as(s"test_$suffix"))
+    pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .filter(col("test_a") =!= col("test_b"))
+      .select("id_a", "id_b", "test_a", "test_b")
+  }
+
+  /** Deterministic fixed-k per-group sample: the k rows with the
+    * smallest seeded key-hash buckets in each group — the reproducible
+    * "k examples per domain" draw (eval-set construction, per-source
+    * spot checks). Complements [[stratifiedSample]], which keeps a
+    * FRACTION per stratum; this keeps an exact COUNT. Runs as the
+    * bounded-heap top-k aggregate with map-side partials, so each task
+    * ships at most k entries per group into the shuffle — no
+    * corpus-wide window sort. Output: (grp, rn, idCol, bucket) with rn
+    * 1-based in bucket order (ties: smaller id first). */
+  def groupSample(df: DataFrame, idCol: String, groupCol: Column, k: Int,
+                  seed: Long = 42L,
+                  bucketOf: (Seq[String], Long) => Column = keyBucket): DataFrame = {
+    val bucket = bucketOf(Seq(idCol), seed)
+    df.groupBy(groupCol.as("grp"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(
+        -bucket.cast("double"), col(idCol).cast("long"), k).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("grp"), (col("i") + 1).cast("long").as("rn"),
+        col("e.id").as(idCol), (-col("e.score")).cast("long").as("bucket"))
+  }
+
   /** Split into n disjoint, exhaustive folds by key hash (cross-
     * validation / sharded holdouts). Adds a `fold` column in [0, n). */
   def withFolds(df: DataFrame, keyCols: Seq[String], n: Int,

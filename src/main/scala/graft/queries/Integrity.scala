@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.similarity.Similarity
+
+/** Dataset-integrity audits: the checks a training corpus runs AFTER
+  * curation and BEFORE money is spent on a run — does the holdout
+  * leak through near-duplicates, are the embeddings healthy, can an
+  * eval draw be reproduced, do labels agree with embedding geometry.
+  * Every query hash-checks against the DuckDB oracle (integer counts,
+  * micro-unit norm sums, 6dp-rounded ratios).
+  */
+object Integrity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------- q139
+  // Split-leakage audit: MinHash-LSH near-dup candidate pairs that
+  // straddle the deterministic 30% holdout (the q80 md5-bucket split).
+  // A training doc that is a near-dup of a held-out doc leaks the
+  // holdout — the audit every eval split needs before its numbers can
+  // be trusted. Pairs are candidates-only (banding equi-join output,
+  // bounded); the split flags join by plain id equi-joins, so nothing
+  // pair-shaped carries corpus volume.
+  val q139_split_leakage: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+      shingleHasher = Dedup.shingleHashes32Md5)
+    val split = docs.select(col("doc_id"),
+      (Sampling.md5KeyBucket(Seq("doc_id"), 42L) < 300000L)
+        .cast("long").as("is_test"))
+    Sampling.crossSplitPairs(pairs, split)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q139_sql: String =
+    s"""WITH ${TextSim.minhashCandCtes("")},
+       |s AS (SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 8) AS BIGINT)
+       |              % 1000000 < 300000 THEN 1 ELSE 0 END AS t
+       |    FROM documents)
+       |SELECT id_a, id_b, CAST(sa.t AS BIGINT) AS test_a, CAST(sb.t AS BIGINT) AS test_b
+       |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+       |WHERE sa.t <> sb.t ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q140
+  // Embedding-health census per label: count, dimension bounds,
+  // zero-vector count, norm statistics. Catches the broken-encoder
+  // failure modes (all-zero rows, truncated dims, collapsed norms)
+  // with one narrow projection + one map-side-combined aggregate.
+  val q140_embed_health: Q = (s, dir) =>
+    Similarity.embeddingHealth(
+      Tables.load(s, dir, "embeddings"), col("label"), col("embedding"))
+      .withColumnRenamed("grp", "label")
+      .orderBy("label")
+
+  val q140_sql: String =
+    """WITH v AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+      |    CAST(round(sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * x))) * 1000000) AS BIGINT) AS nrm_micro,
+      |    round(sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * x))), 6) AS nrm6
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  min(dim) AS dim_min, max(dim) AS dim_max,
+      |  CAST(count(*) FILTER (WHERE nrm_micro = 0) AS BIGINT) AS n_zero,
+      |  round(CAST(sum(nrm_micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_norm,
+      |  min(nrm6) AS min_norm, max(nrm6) AS max_norm
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------- q141
+  // Deterministic per-source spot-check draw: exactly 5 docs per
+  // source, chosen by smallest md5 key bucket — reproducible across
+  // reruns and engines. The bounded-heap top-k aggregate ships ≤5
+  // entries per source per task; no corpus-wide window sort.
+  val q141_group_sample: Q = (s, dir) =>
+    Sampling.groupSample(Tables.load(s, dir, "documents"),
+      "doc_id", col("source"), 5, bucketOf = Sampling.md5KeyBucket)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "rn")
+
+  val q141_sql: String =
+    """SELECT source, rn, doc_id, bucket FROM (
+      |  SELECT source, doc_id, bucket,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY bucket ASC, doc_id ASC) AS rn
+      |  FROM (SELECT source, doc_id,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 8) AS BIGINT)
+      |        % 1000000 AS bucket
+      |    FROM documents)) t
+      |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+
+  // --------------------------------------------------------------- q142
+  // 1-NN label-consistency census: for a deterministic 10% audit
+  // slice, does each vector's nearest neighbor share its label? Low
+  // agreement for a label = mislabeled or entangled class — the cheap
+  // label-quality probe before training on the labels. The audit rate
+  // keeps oracle rows SF-proportional here; at corpus scale the audit
+  // set is fixed-size and the scan side prunes through IVF/LSH (q35/
+  // q48) instead of the brute-force broadcast.
+  val q142_nn_label_agreement: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val nn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 10 === 0), k = 1)
+    val lbl = e.select(col("vec_id"), col("label"))
+    nn.join(lbl.withColumnsRenamed(Map("vec_id" -> "query_id", "label" -> "q_label")),
+        "query_id")
+      .join(lbl.withColumnsRenamed(Map("vec_id" -> "neighbor_id", "label" -> "n_label")),
+        "neighbor_id")
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_audited"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .select(col("label"), col("n_audited"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_audited"), 6).as("agree_frac"))
+      .orderBy("label")
+  }
+
+  val q142_sql: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c
+      |  ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id),
+      |nn AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |    FROM sims) r WHERE rank = 1)
+      |SELECT ql.label AS label, CAST(count(*) AS BIGINT) AS n_audited,
+      |  CAST(count(*) FILTER (WHERE ql.label = nl.label) AS BIGINT) AS n_agree,
+      |  round(CAST(count(*) FILTER (WHERE ql.label = nl.label) AS DOUBLE)
+      |        / count(*), 6) AS agree_frac
+      |FROM nn JOIN embeddings ql ON nn.query_id = ql.vec_id
+      |JOIN embeddings nl ON nn.neighbor_id = nl.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q139_split_leakage" -> q139_split_leakage,
+    "q140_embed_health" -> q140_embed_health,
+    "q141_group_sample" -> q141_group_sample,
+    "q142_nn_label_agreement" -> q142_nn_label_agreement)
+
+  val oracle: Map[String, String] = Map(
+    "q139_split_leakage" -> q139_sql,
+    "q140_embed_health" -> q140_sql,
+    "q141_group_sample" -> q141_sql,
+    "q142_nn_label_agreement" -> q142_sql)
+}

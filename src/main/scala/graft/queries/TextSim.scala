@@ -192,7 +192,7 @@ object TextSim {
   /** Shared minhash-LSH candidate CTE chain (docs → shingle hashes →
     * signatures → band keys → candidate pairs), generated from the same
     * mixConstants as the Spark plan. `docFilter` scopes the corpus. */
-  private def minhashCandCtes(docFilter: String): String = {
+  private[queries] def minhashCandCtes(docFilter: String): String = {
     val mixes = Dedup.mixConstants(64, 42L)
     val sentinel = Seq.fill(64)("CAST(4294967295 AS BIGINT)").mkString(", ")
     val slots = mixes.map { case (a, b) =>

@@ -33,6 +33,28 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(graft.expressions.VectorExpressions.vector_dot(a, a))
 
+  /** Encoder-health census per group: vector count, dimension bounds,
+    * zero-vector count, and L2-norm statistics — the cheap audit that
+    * catches a broken embedding job (all-zero outputs, truncated
+    * dimensions, collapsed norms) before anything expensive runs on
+    * the vectors. One narrow per-row projection then a map-side-
+    * combined aggregate; nothing vector-sized shuffles. Norms
+    * accumulate as integer micro-units so the group means are exact
+    * and shuffle-order-independent (a float sum is neither). */
+  def embeddingHealth(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val nrm = l2Norm(vec)
+    df.select(group.as("grp"), size(vec).cast("long").as("dim"),
+      round(nrm * lit(1e6), 0).cast("long").as("nrm_micro"),
+      round(nrm, 6).as("nrm6"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        min("dim").as("dim_min"), max("dim").as("dim_max"),
+        sum(when(col("nrm_micro") === 0L, 1L).otherwise(0L)).cast("long").as("n_zero"),
+        round(sum(col("nrm_micro")).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("mean_norm"),
+        min("nrm6").as("min_norm"), max("nrm6").as("max_norm"))
+  }
+
   /** Reference HOF formulations (kept for equivalence testing — the
     * native expressions must match these bitwise). */
   def dotHof(a: Column, b: Column): Column =
