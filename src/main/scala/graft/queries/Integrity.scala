@@ -142,15 +142,65 @@ object Integrity {
       |JOIN embeddings nl ON nn.neighbor_id = nl.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  // Top principal component of the embedding table by power iteration
+  // — dominant drift/whitening axis as d rows (idx, loading,
+  // eigenvalue). The one data-sized pass is the exact milli-unit Gram
+  // aggregate; the d²-integer matrix then iterates on the driver
+  // (model-sized, the IVF-centroid kind of collect). DuckDB replays
+  // the identical integer arithmetic through 8 unrolled matvec CTEs.
+  val q143_top_component: Q = (s, dir) =>
+    graft.ml.Pca.topComponent(s, Tables.load(s, dir, "embeddings"),
+      col("embedding"))
+      .orderBy("idx")
+
+  val q143_sql: String = {
+    val d = 64
+    val iterCtes = (1 to graft.ml.Pca.Iters).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT c.i, sum(c.c * v${k - 1}.v) AS s FROM c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY c.i),
+         |m$k AS MATERIALIZED (SELECT max(abs(s)) AS m FROM s$k),
+         |v$k AS MATERIALIZED (SELECT i AS j, CAST(round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS v FROM s$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT list_transform(embedding,
+       |        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m FROM embeddings),
+       |n AS MATERIALIZED (SELECT count(*) AS n FROM e),
+       |sp AS MATERIALIZED (SELECT gi.i AS i, gj.j AS j, sum(e.m[gi.i + 1] * e.m[gj.j + 1]) AS sp
+       |       FROM e, generate_series(0, ${d - 1}) gi(i), generate_series(0, ${d - 1}) gj(j)
+       |       GROUP BY 1, 2),
+       |si AS MATERIALIZED (SELECT gi.i AS i, sum(e.m[gi.i + 1]) AS s
+       |       FROM e, generate_series(0, ${d - 1}) gi(i) GROUP BY 1),
+       |craw AS MATERIALIZED (SELECT sp.i, sp.j, n.n * sp.sp - sa.s * sb.s AS cr
+       |         FROM sp CROSS JOIN n JOIN si sa ON sp.i = sa.i JOIN si sb ON sp.j = sb.i),
+       |mx AS MATERIALIZED (SELECT max(abs(cr)) AS m FROM craw),
+       |c AS MATERIALIZED (SELECT i, j, CAST(round(CAST(cr AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS c
+       |      FROM craw, mx),
+       |v0 AS MATERIALIZED (SELECT gi.i AS j, CAST(1000000 AS BIGINT) AS v FROM generate_series(0, ${d - 1}) gi(i)),
+       |$iterCtes,
+       |s9 AS MATERIALIZED (SELECT c.i, sum(c.c * v8.v) AS s FROM c JOIN v8 ON c.j = v8.j GROUP BY c.i),
+       |m9 AS MATERIALIZED (SELECT max(abs(s)) AS m FROM s9),
+       |sh AS MATERIALIZED (SELECT i, CAST(round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS sh FROM s9, m9),
+       |ray AS MATERIALIZED (SELECT sum(v8.v * sh.sh) AS vs, sum(v8.v * v8.v) AS vv
+       |        FROM v8 JOIN sh ON v8.j = sh.i)
+       |SELECT CAST(v8.j AS INTEGER) AS idx,
+       |  round(CAST(v8.v AS DOUBLE) / sqrt(CAST(ray.vv AS DOUBLE)), 6) AS loading,
+       |  round(CAST(ray.vs AS DOUBLE) / CAST(ray.vv AS DOUBLE) * CAST(m9.m AS DOUBLE) / 1000000.0
+       |        * CAST(mx.m AS DOUBLE) / 1000000.0 / CAST(n.n AS DOUBLE) / CAST(n.n AS DOUBLE)
+       |        / 1000000.0, 6) AS eigenvalue
+       |FROM v8 CROSS JOIN ray CROSS JOIN m9 CROSS JOIN mx CROSS JOIN n
+       |ORDER BY idx""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q139_split_leakage" -> q139_split_leakage,
     "q140_embed_health" -> q140_embed_health,
     "q141_group_sample" -> q141_group_sample,
-    "q142_nn_label_agreement" -> q142_nn_label_agreement)
+    "q142_nn_label_agreement" -> q142_nn_label_agreement,
+    "q143_top_component" -> q143_top_component)
 
   val oracle: Map[String, String] = Map(
     "q139_split_leakage" -> q139_sql,
     "q140_embed_health" -> q140_sql,
     "q141_group_sample" -> q141_sql,
-    "q142_nn_label_agreement" -> q142_sql)
+    "q142_nn_label_agreement" -> q142_sql,
+    "q143_top_component" -> q143_sql)
 }

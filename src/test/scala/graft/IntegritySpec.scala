@@ -50,6 +50,36 @@ class IntegritySpec extends SparkSpec {
     assert(got.count() === 2)
   }
 
+  test("topComponent: recovers the known axis and variance of a line") {
+    // points on the line t*(0.6, 0.8): centered cov has eigenvector
+    // (0.6, 0.8), eigenvalue = variance along the line = mean(t²) -
+    // mean(t)² over t ∈ {5, 10, 15} = 50/3
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(6.0f, 8.0f)),
+      (3L, Array(9.0f, 12.0f))).toDF("vec_id", "embedding")
+    val got = graft.ml.Pca.topComponent(spark, df, col("embedding"))
+      .orderBy("idx").as[(Int, Double, Double)].collect()
+    assert(got.length === 2)
+    assert(math.abs(got(0)._2 - 0.6) < 1e-4 && math.abs(got(1)._2 - 0.8) < 1e-4)
+    assert(math.abs(got(0)._3 - 50.0 / 3) < 1e-2)
+  }
+
+  test("topComponent: deterministic across runs") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.2f, -0.5f)),
+      (2L, Array(-0.3f, 0.9f, 0.1f)),
+      (3L, Array(0.7f, -0.4f, 0.6f)),
+      (4L, Array(0.2f, 0.5f, -0.8f))).toDF("vec_id", "embedding")
+    val a = graft.ml.Pca.topComponent(spark, df, col("embedding"))
+      .orderBy("idx").as[(Int, Double, Double)].collect()
+    val b = graft.ml.Pca.topComponent(spark, df, col("embedding"))
+      .orderBy("idx").as[(Int, Double, Double)].collect()
+    assert(a === b)
+    // unit norm (to quantization precision)
+    assert(math.abs(a.map(r => r._2 * r._2).sum - 1.0) < 1e-4)
+  }
+
   test("embeddingHealth: zero vector counted, norms exact") {
     val df = Seq(
       (1L, Array(3.0f, 4.0f), 0),   // norm 5
