@@ -3,6 +3,8 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Operators
+
 /** Rater-agreement metrics: the eval-governance layer over the
   * curation pipeline's independent keep/drop deciders (the rule gate,
   * the trained classifier, a human sample). Agreement says whether a
@@ -46,5 +48,86 @@ object Eval {
       col("n11"), col("n10"), col("n01"), col("n00"),
       round(po, 6).as("agreement"), round(pe, 6).as("chance_agreement"),
       when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** ROC AUC of a continuous score against a boolean label, computed
+    * exactly as the Mann–Whitney U statistic with tie-averaged ranks —
+    * the threshold-free complement to [[kappa]]'s fixed-cut agreement
+    * (AUC = P(score(pos) > score(neg)) + ½·P(tie)).
+    *
+    * Exactness: the corpus first COLLAPSES to one row per distinct
+    * score value `(score, n, n_pos)` — ranks then derive from exact
+    * BIGINT cumulative counts, with tie groups contributing their
+    * DOUBLED average rank `lo + hi` so every intermediate stays an
+    * integer; the single double division happens once at the end.
+    * One output row: (n, n_pos, n_neg, n_scores, auc); degenerate
+    * single-class inputs yield auc = null.
+    *
+    * 100 TB shape: the only data-sized op is the map-side-combined
+    * groupBy(score); the rank prefix-sum runs on the COMPRESSED
+    * (distinct-score-count ≤ 10⁶ for 6dp scores in [0,1]) table via
+    * the distributed range-bucket running total — no single-partition
+    * window, no event-sized shuffle. */
+  def aucRoc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val labeled = df.select(score.cast("double").as("__s"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val byScore = labeled.groupBy("__s").agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    // ascending-score cumulative count: tie group at cumulative c with
+    // n members spans ranks (c-n+1)..c → doubled average rank = 2c-n+1
+    val ranked = Operators.withRunningTotal(byScore, col("__n"),
+      Seq(col("__s")))
+    val agg = ranked.agg(
+      sum("__n").as("n"), sum("__np").as("n_pos"),
+      count(lit(1)).as("n_scores"),
+      sum(col("__np") * (col("__run") * 2 - col("__n") + 1)).as("__r2"))
+    val nPos = col("n_pos").cast("double")
+    val nNeg = (col("n") - col("n_pos")).cast("double")
+    // 2U = Σ_pos 2·rank − n_pos(n_pos+1); AUC = U / (n_pos·n_neg)
+    val u2 = col("__r2") - col("n_pos") * (col("n_pos") + 1)
+    agg.select(col("n"), col("n_pos"),
+      (col("n") - col("n_pos")).as("n_neg"), col("n_scores"),
+      when(col("n_pos") > 0 && col("n") > col("n_pos"),
+        round(u2.cast("double") / (nPos * nNeg * 2.0), 6)).as("auc"))
+  }
+
+  /** Reliability-diagram calibration census: probability predictions
+    * bucketed into `bins` equal-width bins, one row per non-empty bin
+    * with exact counts, the mean predicted probability, the empirical
+    * positive rate, and the |gap| between them — the per-bin terms of
+    * expected calibration error. A claimed-probability classifier
+    * whose 0.9-bin wins 60% of the time needs recalibrating before its
+    * scores gate a corpus.
+    *
+    * Exactness: predictions are 6dp-rounded probabilities, so
+    * `round(p·10⁶)` recovers exact BIGINT micro-units; per-bin sums
+    * are integer and order-free; the three output doubles each derive
+    * in one pinned expression. Bin = floor(p·bins) with p = 1.0
+    * clamped into the top bin.
+    *
+    * 100 TB shape: one map-side-combined groupBy(bin) — `bins` rows
+    * out, one pass, nothing else. */
+  def calibration(df: DataFrame, prob: Column, label: Column,
+                  bins: Int = 10): DataFrame = {
+    val p = prob.cast("double")
+    val b = least(floor(p * bins).cast("int"), lit(bins - 1))
+    val g = df.select(b.as("bin"),
+        round(p * 1000000.0, 0).cast("long").as("__pm"),
+        label.cast("boolean").as("__y"))
+      .filter(col("bin").isNotNull && col("__y").isNotNull)
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum("__pm").as("__pmsum"))
+    val meanPred = col("__pmsum").cast("double") /
+      (col("n").cast("double") * 1000000.0)
+    val fracPos = col("n_pos").cast("double") / col("n").cast("double")
+    g.select(col("bin").cast("long").as("bin"), col("n"), col("n_pos"),
+        round(meanPred, 6).as("mean_pred"),
+        round(fracPos, 6).as("frac_pos"),
+        round(abs(round(meanPred, 6) - round(fracPos, 6)), 6).as("abs_gap"))
+      .orderBy("bin")
   }
 }

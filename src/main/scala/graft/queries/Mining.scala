@@ -801,6 +801,105 @@ object Mining {
       |FROM cg JOIN ev USING (gram)
       |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- q144/q145
+  // Threshold-free and calibration evals of the q112 classifier
+  // against the q77 rule gate (the rater pair q136's kappa compares at
+  // one fixed cut): q144 ranks every document by the continuous
+  // sigmoid score and computes exact tie-averaged Mann-Whitney AUC;
+  // q145 buckets the claimed probabilities into 10 reliability bins
+  // and reports mean-predicted vs empirical keep rate per bin.
+
+  /** Shared (score, gate-label) relation for q144/q145: the q112
+    * 6dp sigmoid score and the q136 rule-gate boolean. */
+  private def scoredVsGate(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.text.TextAnalysis.qualityFeatures(
+      Tables.load(s, dir, "documents"), col("text"))
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(Curation.QwNTokens, Curation.QwAvgLen, Curation.QwStopword,
+        Curation.QwPunct), Curation.QwIntercept)
+    f.select(round(model.scoreExpr, 6).as("qscore"),
+      (col("n_tokens") >= 30 && col("n_tokens") <= 10000 &&
+        col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0 &&
+        col("stopword_ratio") >= 0.01 && col("punct_ratio") <= 0.2)
+        .as("gate_keep"))
+  }
+
+  /** Shared DuckDB CTEs producing the same (s = score, y = gate)
+    * relation, both non-null. */
+  private val scoredVsGateCtes: String = {
+    val stop = graft.text.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val z = s"((((${Curation.QwIntercept} + n_tokens * ${Curation.QwNTokens})" +
+      s" + avg_token_len * ${Curation.QwAvgLen})" +
+      s" + stopword_ratio * ${Curation.QwStopword})" +
+      s" + punct_ratio * ${Curation.QwPunct})"
+    s"""f AS (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents),
+       |r AS (SELECT round(1.0 / (1.0 + exp(-$z)), 6) AS s,
+       |    (n_tokens >= 30 AND n_tokens <= 10000
+       |      AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+       |      AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2) AS y
+       |  FROM f
+       |  WHERE round(1.0 / (1.0 + exp(-$z)), 6) IS NOT NULL
+       |    AND (n_tokens >= 30 AND n_tokens <= 10000
+       |      AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+       |      AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2) IS NOT NULL)""".stripMargin
+  }
+
+  val q144_auc_quality: Q = (s, dir) =>
+    graft.ml.Eval.aucRoc(scoredVsGate(s, dir), col("qscore"),
+      col("gate_keep"))
+
+  val q144_sql: String =
+    s"""WITH $scoredVsGateCtes,
+       |g AS (SELECT s, count(*) AS n,
+       |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+       |      FROM r GROUP BY s),
+       |rk AS (SELECT n, np,
+       |         sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run
+       |       FROM g),
+       |a AS (SELECT sum(n) AS n, sum(np) AS n_pos, count(*) AS n_scores,
+       |        sum(np * (2 * run - n + 1)) AS r2
+       |      FROM rk)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       |  CAST(n - n_pos AS BIGINT) AS n_neg,
+       |  CAST(n_scores AS BIGINT) AS n_scores,
+       |  CASE WHEN n_pos > 0 AND n > n_pos
+       |    THEN round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |               / (CAST(n_pos AS DOUBLE)
+       |                  * CAST(n - n_pos AS DOUBLE) * 2.0), 6)
+       |    ELSE NULL END AS auc
+       |FROM a""".stripMargin
+
+  val q145_calibration: Q = (s, dir) =>
+    graft.ml.Eval.calibration(scoredVsGate(s, dir), col("qscore"),
+      col("gate_keep"), bins = 10)
+
+  val q145_sql: String =
+    s"""WITH $scoredVsGateCtes,
+       |g AS (SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+       |        count(*) AS n,
+       |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+       |        sum(CAST(round(s * 1000000.0, 0) AS BIGINT)) AS pm
+       |      FROM r GROUP BY 1)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       |  CAST(n_pos AS BIGINT) AS n_pos,
+       |  round(CAST(pm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_pred,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+       |  round(abs(round(CAST(pm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+       |            - round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS abs_gap
+       |FROM g ORDER BY bin""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -823,7 +922,9 @@ object Mining {
     "q135_zipf" -> q135_zipf,
     "q136_rater_kappa" -> q136_rater_kappa,
     "q137_jsd_matrix" -> q137_jsd_matrix,
-    "q138_decontaminate" -> q138_decontaminate)
+    "q138_decontaminate" -> q138_decontaminate,
+    "q144_auc_quality" -> q144_auc_quality,
+    "q145_calibration" -> q145_calibration)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -847,5 +948,7 @@ object Mining {
     "q135_zipf" -> q135_sql,
     "q136_rater_kappa" -> q136_sql,
     "q137_jsd_matrix" -> q137_sql,
-    "q138_decontaminate" -> q138_sql)
+    "q138_decontaminate" -> q138_sql,
+    "q144_auc_quality" -> q144_sql,
+    "q145_calibration" -> q145_sql)
 }

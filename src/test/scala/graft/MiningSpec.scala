@@ -320,6 +320,40 @@ class MiningSpec extends SparkSpec {
       .select("kappa").as[Option[Double]].head() === None)
   }
 
+  test("Eval.aucRoc: separation 1, reversal 0, ties averaged, one-class null") {
+    // perfect separation
+    val sep = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, false))
+      .toDF("s", "y")
+    assert(graft.ml.Eval.aucRoc(sep, col("s"), col("y"))
+      .select("auc").as[Option[Double]].head() === Some(1.0))
+    // perfectly reversed
+    val rev = Seq((0.1, true), (0.9, false)).toDF("s", "y")
+    assert(graft.ml.Eval.aucRoc(rev, col("s"), col("y"))
+      .select("auc").as[Option[Double]].head() === Some(0.0))
+    // tie-averaging: pos {0.7, 0.5}, neg {0.5, 0.3} -> 3 wins + 1 tie
+    // out of 4 pairs = 0.875
+    val ties = Seq((0.7, true), (0.5, true), (0.5, false), (0.3, false))
+      .toDF("s", "y")
+    val t = graft.ml.Eval.aucRoc(ties, col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(t === ((4L, 2L, 2L, 3L, Some(0.875))))
+    // a single class has no ranking task -> null
+    val one = Seq((0.9, true), (0.1, true)).toDF("s", "y")
+    assert(graft.ml.Eval.aucRoc(one, col("s"), col("y"))
+      .select("auc").as[Option[Double]].head() === None)
+  }
+
+  test("Eval.calibration: per-bin means and gaps exact, p=1 clamped to top bin") {
+    val df = Seq((0.05, false), (0.15, false), (0.15, true), (1.0, true))
+      .toDF("p", "y")
+    val got = graft.ml.Eval.calibration(df, col("p"), col("y"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got === Array(
+      (0L, 1L, 0L, 0.05, 0.0, 0.05),
+      (1L, 2L, 1L, 0.15, 0.5, 0.35),
+      (9L, 1L, 1L, 1.0, 1.0, 0.0)))
+  }
+
   test("zipfSlope: perfect 1/rank law fits -1, flat counts fit 0") {
     // "zipf": counts 12,6,4,3 over ranks 1..4 -> c*rank = 12 constant,
     // so ln c = ln 12 - ln rank exactly: slope -1. "flat": two types
