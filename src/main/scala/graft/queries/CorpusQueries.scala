@@ -189,6 +189,43 @@ object CorpusQueries {
        |WHERE length(d.word) > 0
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  // Bigram-LM perplexity scoring (the CCNet/KenLM quality filter):
+  // self-train the add-0.5 bigram model on the corpus, score every
+  // document in bits per token — high bits = improbable/gibberish
+  // text. Reported as bits (perplexity = 2^bits) because pow is not
+  // correctly rounded; each bigram type's log-prob rounds to a
+  // micro-unit BIGINT so the per-doc sum is exact and order-free.
+  val q146_lm_perplexity: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.text.LangModel
+      .perplexityBits(docs, docs, col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q146_sql: String =
+    """WITH a AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |o AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1 FROM (
+      |        SELECT doc_id, UNNEST(list_transform(
+      |            generate_series(1, greatest(len(toks) - 1, 0)),
+      |            i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM a)),
+      |c12 AS (SELECT gram, w1, count(*) AS c12 FROM o GROUP BY gram, w1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM o GROUP BY w1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT UNNEST(toks) AS tok FROM a)),
+      |lm AS (SELECT gram, CAST(round(log2(
+      |           (CAST(c12 AS DOUBLE) + 0.5)
+      |           / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+      |         * 1000000.0, 0) AS BIGINT) AS lpm
+      |       FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+      |d AS (SELECT doc_id, count(*) AS nb, sum(lpm) AS s
+      |      FROM o JOIN lm USING (gram) GROUP BY doc_id)
+      |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+      |  round(-CAST(s AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0), 6) AS bits_per_token
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
@@ -196,7 +233,8 @@ object CorpusQueries {
     "q49_histogram" -> q49_histogram,
     "q50_packing" -> q50_packing,
     "q103_bpe_merges" -> q103_bpe_merges,
-    "q104_bpe_encode" -> q104_bpe_encode)
+    "q104_bpe_encode" -> q104_bpe_encode,
+    "q146_lm_perplexity" -> q146_lm_perplexity)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
@@ -205,5 +243,6 @@ object CorpusQueries {
     "q49_histogram" -> q49_sql,
     "q50_packing" -> q50_sql,
     "q103_bpe_merges" -> q103_sql,
-    "q104_bpe_encode" -> q104_sql)
+    "q104_bpe_encode" -> q104_sql,
+    "q146_lm_perplexity" -> q146_sql)
 }

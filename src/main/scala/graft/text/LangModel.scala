@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical n-gram language-model scoring — the KenLM-style
+  * perplexity filter every production pretraining pipeline runs (CCNet
+  * /RefinedWeb lineage): documents whose tokens are IMPROBABLE under a
+  * reference LM are gibberish, OCR noise, or wrong-register text, and
+  * score high bits-per-token; fluent in-domain text scores low.
+  *
+  * This is a bigram model with add-k smoothing trained distributively
+  * on a reference corpus, then applied as a per-document score:
+  *
+  *   p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)
+  *   bits/token(doc) = −(Σ over the doc's bigram occurrences
+  *                       log2 p(w₂|w₁)) / n_bigrams
+  *
+  * (perplexity = 2^bits — monotone in the reported score, left
+  * unexponentiated because `pow` is not correctly rounded and would
+  * break cross-engine hash equality; filters threshold bits directly).
+  *
+  * Determinism discipline (the q134 entropy / q127 PMI pattern): all
+  * counts are exact BIGINTs; each bigram TYPE's log-probability is
+  * computed once as a pinned double expression and rounded to an
+  * integer micro-unit BIGINT, so the per-document sum over occurrences
+  * is exact and order-free; the single unrounded double division
+  * happens once per output row. Both engines on one libm produce
+  * bit-identical log2 of identical doubles.
+  *
+  * 100 TB shape: the model is vocabulary-bounded — c(w₁w₂) and c(w₁·)
+  * collapse through map-side-combined groupBys before anything joins;
+  * V is a 1-row aggregate broadcast-cross-joined (lazy, no extra
+  * pass). Scoring joins the data-sized occurrence stream to the
+  * model-sized LM table on the bigram key — AQE broadcasts the LM when
+  * it fits, otherwise both sides shuffle on the bigram key. No
+  * driver-side vocabulary, no per-document jobs. Train-once/score-many
+  * deployments persist [[bigramLm]]'s output and reuse it.
+  */
+object LangModel {
+
+  val MicroScale = 1e6
+
+  /** Per-document bigram occurrence stream (id, gram, w1) — grams as
+    * space-joined lowercase token pairs (tokens are \s+-split, so the
+    * space join is unambiguous). */
+  private def bigramOccurrences(df: DataFrame, id: Column,
+                                text: Column): DataFrame = {
+    val toks = split(lower(trim(text)), "\\s+")
+    df.select(id.as("id"), toks.as("toks"))
+      .select(col("id"), explode(
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("gram"))
+      .select(col("id"), col("gram"),
+        split(col("gram"), " ", 2).getItem(0).as("w1"))
+  }
+
+  /** Train the add-k bigram LM on `corpus`: one row per observed
+    * bigram type `(gram, lp_micro)` with lp_micro =
+    * round(log2 p(w₂|w₁) · 10⁶) — the reusable model artifact.
+    * Model-sized output (≤ V² rows, typically ≪). */
+  def bigramLm(corpus: DataFrame, id: Column, text: Column,
+               addK: Double = 0.5): DataFrame = {
+    val o = bigramOccurrences(corpus, id, text)
+    val c12 = o.groupBy("gram", "w1").agg(count(lit(1)).as("c12"))
+    val c1 = o.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = corpus.select(explode(split(lower(trim(text)), "\\s+")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("gram"),
+        round(log2((col("c12").cast("double") + lit(addK)) /
+            (col("c1").cast("double") + lit(addK) * col("v").cast("double"))) *
+          lit(MicroScale), 0).cast("long").as("lp_micro"))
+  }
+
+  /** Score every document of `df` under the LM trained on `corpus`
+    * (pass `df` twice for self-scoring): (id, n_bigrams, bits_per_token),
+    * ascending fluency — high bits = improbable text. Documents with
+    * fewer than two tokens have no bigrams and are omitted (score
+    * undefined). Bigrams unseen in the training corpus are dropped
+    * from the sum (self-scoring never hits this; external scoring
+    * should train with a <unk>-mapped vocabulary first). */
+  def perplexityBits(df: DataFrame, corpus: DataFrame, id: Column,
+                     text: Column, addK: Double = 0.5): DataFrame = {
+    val lm = bigramLm(corpus, id, text, addK)
+    bigramOccurrences(df, id, text)
+      .join(lm, "gram")
+      .groupBy("id").agg(count(lit(1)).as("n_bigrams"),
+        sum("lp_micro").as("__s"))
+      .select(col("id"), col("n_bigrams"),
+        round(-col("__s").cast("double") /
+          (col("n_bigrams").cast("double") * lit(MicroScale)), 6)
+          .as("bits_per_token"))
+  }
+}
