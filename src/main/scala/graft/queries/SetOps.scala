@@ -120,17 +120,62 @@ object SetOps {
        |  round(${KmvK - 1}.0 * 4294967296.0 / uk, 6) AS kmv_parts
        |FROM e, k""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  // Count-min sketch point queries: build a 4×32 CMS over the token
+  // stream, then estimate the top-20 tokens and report each one's
+  // one-sided overestimate vs the exact count (width 32 under a
+  // ~31-type vocabulary forces collisions, so the error column is
+  // non-trivial). The sketch itself is depth·width cells from ONE
+  // map-side-combined pass — the mergeable rollup complement to q43's
+  // KMV cardinality sketch. md5-derived row hashes replay in DuckDB.
+  private val CmsDepth = 4
+  private val CmsWidth = 32
+
+  val q147_count_min: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+    val sk = graft.sketch.CountMin.sketch(toks, col("token"), CmsDepth, CmsWidth)
+    graft.sketch.CountMin.estimate(sk, top, col("token"), CmsDepth, CmsWidth)
+      .select(col("token"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+  }
+
+  val q147_sql: String = {
+    val h = (pfx: String) =>
+      s"CAST('0x' || substr(md5(CAST($pfx.i AS VARCHAR) || ':' || token), 1, 8) AS BIGINT) % $CmsWidth"
+    s"""WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |           FROM documents),
+       |rows_i AS (SELECT UNNEST(generate_series(0, ${CmsDepth - 1})) AS i),
+       |cells AS (SELECT ri.i, ${h("ri")} AS bucket, count(*) AS c
+       |          FROM t CROSS JOIN rows_i ri GROUP BY 1, 2),
+       |top AS (SELECT token, count(*) AS exact_n FROM t GROUP BY token
+       |        ORDER BY exact_n DESC, token LIMIT 20),
+       |est AS (SELECT top.token, top.exact_n, min(cells.c) AS cms_n
+       |        FROM top CROSS JOIN rows_i ii
+       |        JOIN cells ON cells.i = ii.i AND cells.bucket = ${h("ii")}
+       |        GROUP BY 1, 2)
+       |SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+       |  CAST(cms_n AS BIGINT) AS cms_n,
+       |  CAST(cms_n - exact_n AS BIGINT) AS overestimate
+       |FROM est ORDER BY exact_n DESC, token""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q39_intersect" -> q39_intersect,
     "q40_except" -> q40_except,
     "q41_cube" -> q41_cube,
     "q42_sql_frontend" -> q42_sql_frontend,
-    "q43_approx_distinct" -> q43_approx_distinct)
+    "q43_approx_distinct" -> q43_approx_distinct,
+    "q147_count_min" -> q147_count_min)
 
   val oracle: Map[String, String] = Map(
     "q39_intersect" -> q39_sql,
     "q40_except" -> q40_sql,
     "q41_cube" -> q41_sql,
     "q42_sql_frontend" -> q42_sql,
-    "q43_approx_distinct" -> q43_sql)
+    "q43_approx_distinct" -> q43_sql,
+    "q147_count_min" -> q147_sql)
 }

@@ -46,4 +46,40 @@ class SketchRollupSpec extends SparkSpec {
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).as[Long].head()
     assert(a === b, "estimate must not depend on physical partitioning")
   }
+
+  test("CountMin: estimates never undercount, exact when collision-free") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).toDF("x")
+    // narrow sketch: collisions likely, but one-sided error guaranteed
+    val narrow = graft.sketch.CountMin.sketch(df, col("x"), depth = 4, width = 2)
+    val items = Seq(("a", 10L), ("b", 5L), ("c", 2L), ("d", 1L), ("zz", 0L))
+      .toDF("x", "exact_n")
+    val narrowEst = graft.sketch.CountMin
+      .estimate(narrow, items, col("x"), depth = 4, width = 2)
+      .select(col("x"), col("exact_n"), col("cms_n"))
+      .as[(String, Long, Long)].collect()
+    narrowEst.foreach { case (x, exact, cms) =>
+      assert(cms >= exact, s"undercount for $x: $cms < $exact")
+    }
+    // wide sketch: 4 independent rows over width 64 for 4 keys ->
+    // min over rows recovers the exact counts
+    val wide = graft.sketch.CountMin.sketch(df, col("x"), depth = 4, width = 64)
+    val wideEst = graft.sketch.CountMin
+      .estimate(wide, items, col("x"), depth = 4, width = 64)
+      .select(col("x"), col("exact_n"), col("cms_n"))
+      .as[(String, Long, Long)].collect()
+    wideEst.foreach { case (x, exact, cms) => assert(cms === exact, x) }
+  }
+
+  test("CountMin: sketches of disjoint halves merge cell-wise to the whole") {
+    val a = Seq("x", "x", "y").toDF("v")
+    val b = Seq("x", "y", "z").toDF("v")
+    val whole = graft.sketch.CountMin.sketch(a.union(b), col("v"), 4, 16)
+      .orderBy("row_i", "bucket").as[(Int, Long, Long)].collect()
+    val merged = graft.sketch.CountMin.sketch(a, col("v"), 4, 16)
+      .union(graft.sketch.CountMin.sketch(b, col("v"), 4, 16))
+      .groupBy("row_i", "bucket").agg(sum("c").as("c"))
+      .orderBy("row_i", "bucket").as[(Int, Long, Long)].collect()
+    assert(whole === merged)
+  }
 }
