@@ -138,4 +138,31 @@ object Sampling {
                 seed: Long = 42L): DataFrame =
     df.withColumn("fold",
       pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(n.toLong)).cast("int"))
+
+  /** Deterministic global corpus shuffle + round-robin sharding — the
+    * "write the training order" step after curation: every row gets
+    * its position `pos` (1-based) in a seeded md5 permutation and a
+    * shard in [0, numShards). Round-robin over the permuted order
+    * makes every shard an iid sample balanced to ±1 row (greedy
+    * byte-balancing would correlate shard with document length), and
+    * the permutation is a pure function of (keys, seed) — re-runs and
+    * engines agree, which is what makes a training order auditable.
+    *
+    * 100 TB shape: the permutation key is a 52-bit md5 prefix (exact
+    * in a double, so range bucketing stays correct); the global
+    * position comes from the distributed range-bucket prefix sum —
+    * NO single-partition window at any count. One wide sort-shuffle,
+    * same cost class as the final write's own ordering. */
+  def shuffleShards(df: DataFrame, keyCols: Seq[String], numShards: Int,
+                    seed: Long = 42L): DataFrame = {
+    val hkey = conv(substring(md5(concat_ws("|",
+        keyCols.map(col) :+ lit(seed.toString): _*)), 1, 13), 16, 10)
+      .cast("long")
+    val keyed = df.withColumn("__hkey", hkey)
+    Operators.withRunningTotal(keyed, lit(1L),
+        Seq(col("__hkey")) ++ keyCols.map(col))
+      .withColumn("pos", col("__run"))
+      .withColumn("shard", pmod(col("pos") - 1, lit(numShards.toLong)))
+      .drop("__run", "__val", "__hkey")
+  }
 }

@@ -420,6 +420,34 @@ object Curation {
        |          / ((n - 1) * $IncScale.0 * $IncScale.0), 6) END AS variance
        |FROM merged ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  // Deterministic training-order shuffle + round-robin sharding: the
+  // write-side step after curation. Each doc gets its position in a
+  // seeded md5 permutation (52-bit key, distributed prefix-sum rank —
+  // no single-partition window) and a shard in [0,8). The manifest
+  // pins the FULL permutation per shard via the position-weighted
+  // Σ pos·doc_id checksum, not just the balance counts.
+  val ShuffleShards = 8
+
+  val q148_shuffle_shards: Q = (s, dir) =>
+    graft.operators.Sampling.shuffleShards(
+      Tables.load(s, dir, "documents"), Seq("doc_id"), ShuffleShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"),
+        sum(col("pos") * col("doc_id")).as("pos_dot_id"))
+      .orderBy("shard")
+
+  val q148_sql: String =
+    s"""WITH p AS (SELECT doc_id, n_chars,
+       |    row_number() OVER (ORDER BY
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 13) AS BIGINT),
+       |      doc_id) AS pos
+       |  FROM documents)
+       |SELECT CAST((pos - 1) % $ShuffleShards AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       |  CAST(sum(pos * doc_id) AS BIGINT) AS pos_dot_id
+       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_line_dedup" -> q106_line_dedup,
     "q107_sq_ann" -> q107_sq_ann,
@@ -430,7 +458,8 @@ object Curation {
     "q112_quality_score" -> q112_quality_score,
     "q113_zorder" -> q113_zorder,
     "q115_chi2" -> q115_chi2,
-    "q116_incremental_stats" -> q116_incremental_stats)
+    "q116_incremental_stats" -> q116_incremental_stats,
+    "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
     "q106_line_dedup" -> q106_sql,
@@ -442,5 +471,6 @@ object Curation {
     "q112_quality_score" -> q112_sql,
     "q113_zorder" -> q113_sql,
     "q115_chi2" -> q115_sql,
-    "q116_incremental_stats" -> q116_sql)
+    "q116_incremental_stats" -> q116_sql,
+    "q148_shuffle_shards" -> q148_sql)
 }

@@ -66,4 +66,25 @@ class PackingSamplingSpec extends SparkSpec {
     assert(packed.select("doc_id", "batch_id").collect().toSet ===
       again.select("doc_id", "batch_id").collect().toSet)
   }
+
+  test("shuffleShards: exact permutation, balanced round-robin, seed-sensitive") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = graft.operators.Sampling.shuffleShards(docs, Seq("doc_id"), 8)
+    val rows = s1.select("doc_id", "pos", "shard")
+      .as[(Long, Long, Long)].collect()
+    // pos is a bijection onto 1..n
+    assert(rows.map(_._2).sorted.toSeq === (1L to 100L))
+    // round-robin: shard = (pos-1) mod 8, so counts balance to +-1
+    assert(rows.forall { case (_, p, sh) => sh === (p - 1) % 8 })
+    val counts = rows.groupBy(_._3).view.mapValues(_.size).values.toSet
+    assert(counts.subsetOf(Set(12, 13)))
+    // deterministic rerun, different under another seed
+    val again = graft.operators.Sampling.shuffleShards(docs, Seq("doc_id"), 8)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (id, p, _) => again(id) === p })
+    val other = graft.operators.Sampling
+      .shuffleShards(docs, Seq("doc_id"), 8, seed = 7L)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(rows.exists { case (id, p, _) => other(id) !== p })
+  }
 }
