@@ -421,6 +421,67 @@ object TextSim {
     s"""WITH ${minhashCandCtes("")}
        |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  // LSH recall/precision audit: q92's MinHash banding candidates
+  // measured against the exact shingle-Jaccard ≥ 0.5 ground truth
+  // (full corpus, no df-cut — a pair above threshold must share a
+  // shingle, so the inverted-index truth set is complete). 16 bands ×
+  // 4 rows puts the s-curve midpoint near 0.64 at s = 0.5, so recall
+  // is honestly < 1 at the margin — THE number a production dedup
+  // needs measured, not assumed, before trusting banding parameters
+  // at 100 TB. One row: candidate/truth/intersection counts + rates.
+  val q149_lsh_recall: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val truth = Dedup.jaccardSimJoinOn(docs, col("doc_id"),
+        graft.text.TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
+        threshold = 0.5)
+      .select("id_a", "id_b")
+    val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+        shingleHasher = Dedup.shingleHashes32Md5)
+      .select("id_a", "id_b")
+    val m = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val j = truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    m.crossJoin(c).crossJoin(j).select(
+      col("n_true"), col("n_cand"), col("n_caught"),
+      when(col("n_true") > 0,
+        round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
+        .as("recall"),
+      when(col("n_cand") > 0,
+        round(col("n_caught").cast("double") / col("n_cand").cast("double"), 6))
+        .as("candidate_precision"))
+  }
+
+  val q149_sql: String =
+    s"""WITH ${minhashCandCtes("")},
+       |td AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |       FROM documents),
+       |tg AS (SELECT doc_id, list_transform(
+       |         generate_series(1, greatest(len(toks) - 2, 0)),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+       |       FROM td),
+       |tw AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM tg),
+       |tsz AS (SELECT doc_id, count(*) AS sz FROM tw GROUP BY doc_id),
+       |ti AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |       FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM ti
+       |          JOIN tsz sa ON id_a = sa.doc_id
+       |          JOIN tsz sb ON id_b = sb.doc_id
+       |          WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5),
+       |m AS (SELECT count(*) AS n_true FROM truth),
+       |c AS (SELECT count(*) AS n_cand FROM cand),
+       |j AS (SELECT count(*) AS n_caught FROM truth JOIN cand USING (id_a, id_b))
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CASE WHEN n_true > 0
+       |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall,
+       |  CASE WHEN n_cand > 0
+       |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END AS candidate_precision
+       |FROM m, c, j""".stripMargin
+
   // ---------------------------------------------------------------- q88
   // Stratified deterministic sampling by language (downsample the
   // dominant stratum, keep the rest): per-stratum keep-thresholds over
@@ -758,6 +819,7 @@ object TextSim {
     "q95_simhash_full" -> q95_simhash_full,
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
+    "q149_lsh_recall" -> q149_lsh_recall,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -785,6 +847,7 @@ object TextSim {
     "q95_simhash_full" -> q95_sql,
     "q96_jaccard_dfcut_full" -> q96_sql,
     "q92_minhash_bands_full" -> q92_sql,
+    "q149_lsh_recall" -> q149_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,
