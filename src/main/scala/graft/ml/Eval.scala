@@ -130,4 +130,43 @@ object Eval {
         round(abs(round(meanPred, 6) - round(fracPos, 6)), 6).as("abs_gap"))
       .orderBy("bin")
   }
+
+  /** Proper-scoring-rule summary: Brier score and log-loss (base-2)
+    * of probability predictions against a boolean label, one output
+    * row (n, n_pos, brier, log_loss_bits). Brier rewards calibration
+    * AND sharpness in one number ([[calibration]] shows the per-bin
+    * decomposition); log-loss is the training objective itself.
+    *
+    * Exactness: with 6dp probabilities, each squared error
+    * (p_micro − y·10⁶)² is an exact BIGINT ≤ 10¹², so the Brier sum
+    * is exact and order-free to ~9·10⁶ rows per partition-free sum —
+    * beyond that the per-row values still sum exactly in BIGINT up to
+    * 2⁶³ (≈9·10⁶ TB of rows). Log-loss terms −log2(p or 1−p) round to
+    * micro-unit BIGINTs before summing (the q134 discipline);
+    * predictions are clamped to [10⁻⁶, 1−10⁻⁶] so a confident-wrong
+    * 0/1 probability costs ~19.93 bits instead of ∞ — the clamp is
+    * part of the contract, not a numerical accident.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate, no shuffle wider
+    * than one row. */
+  def brierLogLoss(df: DataFrame, prob: Column, label: Column): DataFrame = {
+    val pm = round(prob.cast("double") * 1000000.0, 0).cast("long")
+    val pmc = least(greatest(pm, lit(1L)), lit(999999L))
+    val y = label.cast("boolean")
+    val ym = when(y, 1000000L).otherwise(0L)
+    val se = (pm - ym) * (pm - ym)
+    val llTerm = round(-log2(
+      when(y, pmc).otherwise(lit(1000000L) - pmc).cast("double") / 1000000.0) *
+      lit(1000000.0), 0).cast("long")
+    val filtered = df.select(se.as("__se"), llTerm.as("__ll"),
+        when(y, 1L).otherwise(0L).as("__y"))
+      .filter(col("__se").isNotNull && col("__y").isNotNull)
+    filtered.agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum("__se").as("__sse"), sum("__ll").as("__sll"))
+      .select(col("n"), col("n_pos"),
+        round(col("__sse").cast("double") /
+          (col("n").cast("double") * 1e12), 6).as("brier"),
+        round(col("__sll").cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("log_loss_bits"))
+  }
 }

@@ -900,6 +900,35 @@ object Mining {
        |            - round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS abs_gap
        |FROM g ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- q150
+  // Proper scoring rules for the same rater pair: Brier score (exact
+  // integer micro-unit squared errors) and base-2 log-loss (per-term
+  // micro-rounded, predictions clamped to [1e-6, 1-1e-6] so a
+  // confident-wrong answer costs ~19.93 bits, not infinity). One
+  // map-side-combined aggregate, one output row.
+  val q150_brier_logloss: Q = (s, dir) =>
+    graft.ml.Eval.brierLogLoss(scoredVsGate(s, dir), col("qscore"),
+      col("gate_keep"))
+
+  val q150_sql: String =
+    s"""WITH $scoredVsGateCtes,
+       |t AS (SELECT CAST(round(s * 1000000.0, 0) AS BIGINT) AS pm,
+       |        CASE WHEN y THEN 1000000 ELSE 0 END AS ym,
+       |        CASE WHEN y THEN 1 ELSE 0 END AS yy,
+       |        least(greatest(CAST(round(s * 1000000.0, 0) AS BIGINT), 1),
+       |              999999) AS pmc
+       |      FROM r),
+       |a AS (SELECT count(*) AS n, sum(yy) AS n_pos,
+       |        sum((pm - ym) * (pm - ym)) AS sse,
+       |        sum(CAST(round(-log2(
+       |              CAST(CASE WHEN yy = 1 THEN pmc ELSE 1000000 - pmc END AS DOUBLE)
+       |              / 1000000.0) * 1000000.0, 0) AS BIGINT)) AS sll
+       |      FROM t)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       |  round(CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier,
+       |  round(CAST(sll AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS log_loss_bits
+       |FROM a""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -924,7 +953,8 @@ object Mining {
     "q137_jsd_matrix" -> q137_jsd_matrix,
     "q138_decontaminate" -> q138_decontaminate,
     "q144_auc_quality" -> q144_auc_quality,
-    "q145_calibration" -> q145_calibration)
+    "q145_calibration" -> q145_calibration,
+    "q150_brier_logloss" -> q150_brier_logloss)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -950,5 +980,6 @@ object Mining {
     "q137_jsd_matrix" -> q137_sql,
     "q138_decontaminate" -> q138_sql,
     "q144_auc_quality" -> q144_sql,
-    "q145_calibration" -> q145_sql)
+    "q145_calibration" -> q145_sql,
+    "q150_brier_logloss" -> q150_sql)
 }

@@ -354,6 +354,26 @@ class MiningSpec extends SparkSpec {
       (9L, 1L, 1L, 1.0, 1.0, 0.0)))
   }
 
+  test("Eval.brierLogLoss: coin-flip 0.25/1 bit, perfect ~0, confident-wrong clamped") {
+    // p = 0.5 on both classes: brier (0.5)^2 = 0.25, log-loss exactly 1 bit
+    val coin = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    val c = graft.ml.Eval.brierLogLoss(coin, col("p"), col("y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(c === ((2L, 1L, 0.25, 1.0)))
+    // perfect confident prediction: zero brier; log-loss hits the
+    // 1e-6 clamp floor (-log2(0.999999) rounds to 1 micro-bit)
+    val perfect = Seq((1.0, true)).toDF("p", "y")
+    val p = graft.ml.Eval.brierLogLoss(perfect, col("p"), col("y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(p === ((1L, 1L, 0.0, 0.000001)))
+    // confident and wrong: brier 1.0, log-loss clamped at
+    // -log2(1e-6) = 19.931569 bits instead of infinity
+    val wrong = Seq((0.0, true)).toDF("p", "y")
+    val w = graft.ml.Eval.brierLogLoss(wrong, col("p"), col("y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(w === ((1L, 1L, 1.0, 19.931569)))
+  }
+
   test("zipfSlope: perfect 1/rank law fits -1, flat counts fit 0") {
     // "zipf": counts 12,6,4,3 over ranks 1..4 -> c*rank = 12 constant,
     // so ln c = ln 12 - ln rank exactly: slope -1. "flat": two types
