@@ -131,6 +131,52 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Spearman rank correlation between two continuous columns with
+    * tie-averaged ranks — "do these two document scores RANK the
+    * corpus the same way?", the agreement audit between independent
+    * quality signals (classifier probability vs LM perplexity, gate
+    * margin vs dedup cluster size) that Pearson on raw values gets
+    * wrong whenever either scale is nonlinear.
+    *
+    * Exactness (the [[aucRoc]] discipline, per variable): collapse to
+    * one row per distinct value, derive DOUBLED average ranks
+    * (BIGINT) from the distributed range-bucket prefix sum, join the
+    * two rank maps back by value, and reduce to five exact BIGINT
+    * sums in ONE map-side-combined aggregate. The closed-form rho
+    * combines those sums in pinned double order (sqrt is correctly
+    * rounded — the q135 OLS discipline). Σr² ≈ 4n³ must stay under
+    * 2⁶³: exact to ~10⁶ rows; beyond that sample or widen to
+    * DECIMAL(38,0). Constant columns (zero rank variance) → null.
+    *
+    * 100 TB shape: two map-side-combined groupBys + two compressed
+    * prefix sums + two value-keyed joins (each a shuffle bounded by
+    * the distinct-value count) + one single-row aggregate. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(valCol: String, out: String): DataFrame = {
+      val byVal = base.groupBy(valCol).agg(count(lit(1)).as("__n"))
+      Operators.withRunningTotal(byVal, col("__n"), Seq(col(valCol)))
+        .select(col(valCol), (col("__run") * 2 - col("__n") + 1).as(out))
+    }
+    val joined = base
+      .join(rank2("__x", "__ra"), "__x")
+      .join(rank2("__y", "__rb"), "__y")
+    val agg = joined.agg(count(lit(1)).as("n"),
+      sum("__ra").as("__sa"), sum("__rb").as("__sb"),
+      sum(col("__ra") * col("__ra")).as("__saa"),
+      sum(col("__rb") * col("__rb")).as("__sbb"),
+      sum(col("__ra") * col("__rb")).as("__sab"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val va = n * d("__saa") - d("__sa") * d("__sa")
+    val vb = n * d("__sbb") - d("__sb") * d("__sb")
+    agg.select(col("n"),
+      when(va > 0 && vb > 0,
+        round((n * d("__sab") - d("__sa") * d("__sb")) /
+          (sqrt(va) * sqrt(vb)), 6)).as("spearman_rho"))
+  }
+
   /** Proper-scoring-rule summary: Brier score and log-loss (base-2)
     * of probability predictions against a boolean label, one output
     * row (n, n_pos, brier, log_loss_bits). Brier rewards calibration

@@ -204,8 +204,10 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
-  val q146_sql: String =
-    """WITH a AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  /** The q146 CTE chain up to the per-doc (doc_id, nb, s) aggregate —
+    * reused by q151's rank-agreement oracle. */
+  private[queries] val lmCtes: String =
+    """a AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       |           FROM documents),
       |o AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1 FROM (
       |        SELECT doc_id, UNNEST(list_transform(
@@ -221,10 +223,13 @@ object CorpusQueries {
       |         * 1000000.0, 0) AS BIGINT) AS lpm
       |       FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
       |d AS (SELECT doc_id, count(*) AS nb, sum(lpm) AS s
-      |      FROM o JOIN lm USING (gram) GROUP BY doc_id)
-      |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
-      |  round(-CAST(s AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0), 6) AS bits_per_token
-      |FROM d ORDER BY doc_id""".stripMargin
+      |      FROM o JOIN lm USING (gram) GROUP BY doc_id)""".stripMargin
+
+  val q146_sql: String =
+    s"""WITH $lmCtes
+       |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       |  round(-CAST(s AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0), 6) AS bits_per_token
+       |FROM d ORDER BY doc_id""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,

@@ -929,6 +929,65 @@ object Mining {
        |  round(CAST(sll AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS log_loss_bits
        |FROM a""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  // Rank-agreement audit between two INDEPENDENT quality signals: the
+  // q112 classifier probability vs the q146 LM bits-per-token,
+  // Spearman-correlated per document. Pearson on raw values would mix
+  // the sigmoid's scale with the LM's log scale; rank correlation
+  // asks only "do they order the corpus the same way?" — the check
+  // that decides whether a cheap signal can gate for an expensive one.
+  val q151_score_agreement: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(Curation.QwNTokens, Curation.QwAvgLen, Curation.QwStopword,
+        Curation.QwPunct), Curation.QwIntercept)
+    val scored = graft.text.TextAnalysis.qualityFeatures(docs, col("text"))
+      .select(col("doc_id"), round(model.scoreExpr, 6).as("qscore"))
+    val ppl = graft.text.LangModel
+      .perplexityBits(docs, docs, col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+    graft.ml.Eval.spearman(scored.join(ppl, "doc_id"),
+      col("qscore"), col("bits_per_token"))
+  }
+
+  val q151_sql: String = {
+    val z = s"((((${Curation.QwIntercept} + n_tokens * ${Curation.QwNTokens})" +
+      s" + avg_token_len * ${Curation.QwAvgLen})" +
+      s" + stopword_ratio * ${Curation.QwStopword})" +
+      s" + punct_ratio * ${Curation.QwPunct})"
+    s"""WITH $scoredVsGateCtes,
+       |${CorpusQueries.lmCtes},
+       |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-$z)), 6) AS xv FROM f),
+       |p AS (SELECT doc_id,
+       |        round(-CAST(s AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0), 6) AS yv
+       |      FROM d),
+       |jj AS (SELECT xv, yv FROM sc JOIN p USING (doc_id)),
+       |gx AS (SELECT xv, count(*) AS n FROM jj GROUP BY xv),
+       |rx AS (SELECT xv, 2 * sum(n) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING)
+       |         - n + 1 AS ra FROM gx),
+       |gy AS (SELECT yv, count(*) AS n FROM jj GROUP BY yv),
+       |ry AS (SELECT yv, 2 * sum(n) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING)
+       |         - n + 1 AS rb FROM gy),
+       |jr AS (SELECT ra, rb FROM jj JOIN rx USING (xv) JOIN ry USING (yv)),
+       |ag AS (SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+       |         sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+       |         sum(ra * rb) AS sab FROM jr)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+       |            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+       |        AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+       |    THEN round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+       |                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       |          / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+       |                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       |             * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+       |    END AS spearman_rho
+       |FROM ag""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
@@ -954,7 +1013,8 @@ object Mining {
     "q138_decontaminate" -> q138_decontaminate,
     "q144_auc_quality" -> q144_auc_quality,
     "q145_calibration" -> q145_calibration,
-    "q150_brier_logloss" -> q150_brier_logloss)
+    "q150_brier_logloss" -> q150_brier_logloss,
+    "q151_score_agreement" -> q151_score_agreement)
 
   val oracle: Map[String, String] = Map(
     "q117_triangles" -> q117_sql,
@@ -981,5 +1041,6 @@ object Mining {
     "q138_decontaminate" -> q138_sql,
     "q144_auc_quality" -> q144_sql,
     "q145_calibration" -> q145_sql,
-    "q150_brier_logloss" -> q150_sql)
+    "q150_brier_logloss" -> q150_sql,
+    "q151_score_agreement" -> q151_sql)
 }

@@ -374,6 +374,25 @@ class MiningSpec extends SparkSpec {
     assert(w === ((1L, 1L, 1.0, 19.931569)))
   }
 
+  test("Eval.spearman: monotone 1, inverse -1, tie-averaged, constant null") {
+    val up = Seq((1.0, 10.0), (2.0, 200.0), (3.0, 250.0)).toDF("x", "y")
+    assert(graft.ml.Eval.spearman(up, col("x"), col("y"))
+      .select("spearman_rho").as[Option[Double]].head() === Some(1.0))
+    val down = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("x", "y")
+    assert(graft.ml.Eval.spearman(down, col("x"), col("y"))
+      .select("spearman_rho").as[Option[Double]].head() === Some(-1.0))
+    // tie in x: ranks x (1, 2.5, 2.5, 4), y (1,2,3,4) ->
+    // rho = 4.5 / sqrt(4.5 * 5) = 0.948683
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 25.0), (3.0, 30.0))
+      .toDF("x", "y")
+    assert(graft.ml.Eval.spearman(ties, col("x"), col("y"))
+      .select("spearman_rho").as[Option[Double]].head() === Some(0.948683))
+    // constant column: zero rank variance -> undefined -> null
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(graft.ml.Eval.spearman(const, col("x"), col("y"))
+      .select("spearman_rho").as[Option[Double]].head() === None)
+  }
+
   test("zipfSlope: perfect 1/rank law fits -1, flat counts fit 0") {
     // "zipf": counts 12,6,4,3 over ranks 1..4 -> c*rank = 12 constant,
     // so ln c = ln 12 - ln rank exactly: slope -1. "flat": two types
