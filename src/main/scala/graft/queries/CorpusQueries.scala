@@ -231,6 +231,32 @@ object CorpusQueries {
        |  round(-CAST(s AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0), 6) AS bits_per_token
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  // Vocabulary coverage curve: share of token occurrences covered by
+  // the top-k types for each budget k — the tokenizer-sizing
+  // saturation diagnostic. Tie-robust: computed from per-COUNT groups,
+  // so equal-count types never need a pinned order.
+  val q152_coverage_curve: Q = (s, dir) =>
+    Corpus.coverageCurve(Tables.load(s, dir, "documents"), col("text"))
+
+  val q152_sql: String =
+    """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      |           FROM documents),
+      |vc AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+      |g AS (SELECT c, count(*) AS n_types FROM vc GROUP BY c),
+      |cum AS (SELECT c, n_types,
+      |          sum(n_types) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+      |            - n_types AS types_above
+      |        FROM g),
+      |kk AS (SELECT UNNEST([1, 2, 4, 8, 16, 32, 64]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(sum(least(n_types, greatest(k - types_above, 0))) AS BIGINT) AS n_types_used,
+      |  CAST(sum(c * least(n_types, greatest(k - types_above, 0))) AS BIGINT) AS covered_tokens,
+      |  CAST(sum(c * n_types) AS BIGINT) AS total_tokens,
+      |  round(CAST(sum(c * least(n_types, greatest(k - types_above, 0))) AS DOUBLE)
+      |        / CAST(sum(c * n_types) AS DOUBLE), 6) AS share
+      |FROM cum CROSS JOIN kk GROUP BY k ORDER BY k""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
@@ -239,7 +265,8 @@ object CorpusQueries {
     "q50_packing" -> q50_packing,
     "q103_bpe_merges" -> q103_bpe_merges,
     "q104_bpe_encode" -> q104_bpe_encode,
-    "q146_lm_perplexity" -> q146_lm_perplexity)
+    "q146_lm_perplexity" -> q146_lm_perplexity,
+    "q152_coverage_curve" -> q152_coverage_curve)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
@@ -249,5 +276,6 @@ object CorpusQueries {
     "q50_packing" -> q50_sql,
     "q103_bpe_merges" -> q103_sql,
     "q104_bpe_encode" -> q104_sql,
-    "q146_lm_perplexity" -> q146_sql)
+    "q146_lm_perplexity" -> q146_sql,
+    "q152_coverage_curve" -> q152_sql)
 }

@@ -243,4 +243,51 @@ object Corpus {
         round(col("tf") * (log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1), 6))
       .select("doc_id", "token", "tf", "df", "tfidf")
   }
+
+  /** Vocabulary coverage curve: for each budget k, what fraction of
+    * all token OCCURRENCES do the k most frequent types cover? The
+    * tokenizer-sizing diagnostic (pick the vocab budget where the
+    * curve saturates) and the Zipf-mass complement of [[Corpus.zipfSlope]]'s
+    * rank-frequency fit.
+    *
+    * Tie-robust by construction: the corpus collapses to per-COUNT
+    * groups `(c, n_types)` — which equal-count types land inside a
+    * budget is ambiguous, but their contribution `c · (types taken)`
+    * is not, so the curve is a pure function of the count multiset
+    * (no tie-order dependence to pin across engines). All integer:
+    * covered(k) = Σ_groups c · min(n_types, max(0, k − types_above)).
+    *
+    * 100 TB shape: one token explode into the map-side-combined vocab
+    * count, a second collapse to distinct COUNTS (≤ O(√occurrences)
+    * groups by Zipf), the types-above prefix via the distributed
+    * range-bucket running total, then a broadcast cross-join with the
+    * tiny k list — nothing after the first aggregate is corpus-sized. */
+  def coverageCurve(df: DataFrame, text: Column,
+                    ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_types"))
+    // types_above = running total of n_types over counts DESC
+    val cum = graft.operators.Operators
+      .withRunningTotal(counts, col("n_types"), Seq(-col("c")))
+      .select(col("c"), col("n_types"),
+        (col("__run") - col("n_types")).as("types_above"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kDf = ks.map(_.toLong).toDF("k")
+    cum.crossJoin(broadcast(kDf))
+      .groupBy("k")
+      .agg(
+        sum(least(col("n_types"),
+          greatest(col("k") - col("types_above"), lit(0L)))).as("n_types_used"),
+        sum(col("c") * least(col("n_types"),
+          greatest(col("k") - col("types_above"), lit(0L)))).as("covered_tokens"),
+        sum(col("c") * col("n_types")).as("total_tokens"))
+      .select(col("k"), col("n_types_used"), col("covered_tokens"),
+        col("total_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("share"))
+      .orderBy("k")
+  }
 }

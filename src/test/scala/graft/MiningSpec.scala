@@ -393,6 +393,23 @@ class MiningSpec extends SparkSpec {
       .select("spearman_rho").as[Option[Double]].head() === None)
   }
 
+  test("coverageCurve: exact shares, budget past vocab saturates, ties unambiguous") {
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = graft.text.Corpus
+      .coverageCurve(docs, col("text"), ks = Seq(1, 2, 4))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1L, 1L, 4L, 7L, 0.571429),
+      (2L, 2L, 6L, 7L, 0.857143),
+      (4L, 3L, 7L, 7L, 1.0)))
+    // equal-count types: k=1 takes ONE of {a, b} — coverage is the
+    // same either way, so the curve needs no tie order
+    val tied = Seq((1L, "a a b b c")).toDF("doc_id", "text")
+    val t1 = graft.text.Corpus.coverageCurve(tied, col("text"), ks = Seq(1))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(t1 === ((1L, 1L, 2L, 5L, 0.4)))
+  }
+
   test("zipfSlope: perfect 1/rank law fits -1, flat counts fit 0") {
     // "zipf": counts 12,6,4,3 over ranks 1..4 -> c*rank = 12 constant,
     // so ln c = ln 12 - ln rank exactly: slope -1. "flat": two types
