@@ -72,9 +72,15 @@ object Eval {
     val labeled = df.select(score.cast("double").as("__s"),
         label.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
+    // eager checkpoint of the COMPRESSED table: the prefix sum below
+    // needs two actions (range-bound sampling + the windowed agg), and
+    // without lineage truncation each would recompute the full
+    // upstream pipeline; the materialized state is distinct-score
+    // sized, not corpus sized
     val byScore = labeled.groupBy("__s").agg(
       count(lit(1)).as("__n"),
       sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+      .localCheckpoint(true)
     // ascending-score cumulative count: tie group at cumulative c with
     // n members spans ranks (c-n+1)..c → doubled average rank = 2c-n+1
     val ranked = Operators.withRunningTotal(byScore, col("__n"),
@@ -152,10 +158,18 @@ object Eval {
     * prefix sums + two value-keyed joins (each a shuffle bounded by
     * the distinct-value count) + one single-row aggregate. */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // eager checkpoint: the two rank maps and the row-level join below
+    // are five downstream actions over this relation — without lineage
+    // truncation each recomputes the caller's full upstream pipeline
+    // (q151's LM training ran 5× before this). The materialized state
+    // is two doubles per row, and spearman's exactness bound caps
+    // useful inputs at ~10⁶ rows anyway (sample above that).
     val base = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
     def rank2(valCol: String, out: String): DataFrame = {
       val byVal = base.groupBy(valCol).agg(count(lit(1)).as("__n"))
+        .localCheckpoint(true)
       Operators.withRunningTotal(byVal, col("__n"), Seq(col(valCol)))
         .select(col(valCol), (col("__run") * 2 - col("__n") + 1).as(out))
     }
