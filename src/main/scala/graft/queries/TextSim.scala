@@ -421,6 +421,35 @@ object TextSim {
     s"""WITH ${minhashCandCtes("")}
        |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q153
+  // IVF index-health census on the q78 checked index: per-cell
+  // occupancy, corpus share, and imbalance factor (1.0 = perfectly
+  // balanced; a hot cell makes every probe touching it scan far more
+  // than corpus/nlist). Empty cells are reported, not omitted — the
+  // acceptance check an ANN index runs before shipping.
+  val q153_ivf_balance: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    graft.similarity.Ivf.cellBalance(
+      graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3))
+  }
+
+  // lazy: ivfCtes reads ivfNd, declared further down the file — a
+  // strict val here would interpolate null during object init (the
+  // q89_sql footgun)
+  lazy val q153_sql: String =
+    s"""WITH $ivfCtes,
+       |occ AS (SELECT cell, count(*) AS n FROM corpus GROUP BY cell),
+       |cl AS (SELECT UNNEST(generate_series(0, 7)) AS cell),
+       |fo AS (SELECT cl.cell, coalesce(occ.n, 0) AS n_vecs
+       |       FROM cl LEFT JOIN occ USING (cell)),
+       |tt AS (SELECT sum(n_vecs) AS t, count(*) AS c FROM fo)
+       |SELECT CAST(fo.cell AS BIGINT) AS cell,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  round(CAST(n_vecs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+       |  round(CAST(n_vecs AS DOUBLE) * CAST(c AS DOUBLE)
+       |        / CAST(t AS DOUBLE), 6) AS imbalance
+       |FROM fo CROSS JOIN tt ORDER BY cell""".stripMargin
+
   // --------------------------------------------------------------- q149
   // LSH recall/precision audit: q92's MinHash banding candidates
   // measured against the exact shingle-Jaccard ≥ 0.5 ground truth
@@ -820,6 +849,7 @@ object TextSim {
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q149_lsh_recall" -> q149_lsh_recall,
+    "q153_ivf_balance" -> q153_ivf_balance,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -848,6 +878,7 @@ object TextSim {
     "q96_jaccard_dfcut_full" -> q96_sql,
     "q92_minhash_bands_full" -> q92_sql,
     "q149_lsh_recall" -> q149_sql,
+    "q153_ivf_balance" -> q153_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

@@ -160,4 +160,28 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Index-health census: per-cell occupancy, share of the corpus, and
+    * imbalance factor (n_vecs · nlist / total — 1.0 is perfectly
+    * balanced). The acceptance check before an IVF index ships: a hot
+    * cell (imbalance ≫ 1) makes every probe touching it scan far more
+    * than corpus/nlist, and an empty cell wastes a probe budget slot.
+    * Empty cells are REPORTED (n_vecs = 0), not omitted. One
+    * map-side-combined groupBy over the assignment — nlist rows out. */
+  def cellBalance(index: Index): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val cells = spark.range(index.centroids.length).toDF("cell")
+    val occ = index.assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val full = cells.join(occ.withColumn("cell", col("cell").cast("long")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+    val tot = full.agg(sum("n_vecs").as("__t"), count(lit(1)).as("__c"))
+    full.crossJoin(broadcast(tot)).select(
+        col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__t").cast("double"), 6)
+          .as("share"),
+        round(col("n_vecs").cast("double") * col("__c").cast("double") /
+          col("__t").cast("double"), 6).as("imbalance"))
+      .orderBy("cell")
+  }
 }

@@ -51,4 +51,16 @@ class IvfSpec extends SparkSpec {
     val hits = brute.count { case (qid, nn) => ivf.getOrElse(qid, Set.empty).contains(nn) }
     assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
   }
+
+  test("cellBalance: all cells reported (empty included), shares sum to 1") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val idx = Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val rows = Ivf.cellBalance(idx)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === (0L until 8L)) // every cell, ordered
+    assert(rows.map(_._2).sum === e.count())       // occupancies partition
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // imbalance averages to 1 by construction
+    assert(math.abs(rows.map(_._4).sum / 8 - 1.0) < 1e-4)
+  }
 }
