@@ -257,6 +257,48 @@ object CorpusQueries {
       |        / CAST(sum(c * n_types) AS DOUBLE), 6) AS share
       |FROM cum CROSS JOIN kk GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------- q154
+  // Tokenizer fertility census: BPE tokens per whitespace word, per
+  // source — the compression-quality gauge for a learned vocabulary
+  // (fertility near 1 = the merges cover the source's words; high
+  // fertility = out-of-domain text pays more sequence length per word
+  // and distorts any token-budgeted mixture). Reuses q103's learned
+  // merges and q104's vocabulary-sized encode.
+  val q154_bpe_fertility: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val merges = graft.text.Bpe.learnMerges(docs, col("text"), BpeRounds)
+    val bpe = graft.text.Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+    val ws = docs.select(col("doc_id"), col("source"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
+    ws.join(bpe, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("n_ws").as("n_ws_tokens"),
+        round(sum("n_bpe_tokens").cast("double") /
+          sum("n_ws").cast("double"), 6).as("fertility"))
+      .orderBy("source")
+  }
+
+  lazy val q154_sql: String =
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |d AS (SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |      FROM documents),
+       |pb AS (SELECT d.doc_id,
+       |         sum(len(regexp_split_to_array(v.seq, ' '))) AS nb
+       |       FROM d JOIN s$BpeRounds v ON d.word = v.word
+       |       WHERE length(d.word) > 0
+       |       GROUP BY d.doc_id),
+       |ws AS (SELECT doc_id, source,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+       |       FROM documents)
+       |SELECT ws.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pb.nb) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(ws.nw) AS BIGINT) AS n_ws_tokens,
+       |  round(CAST(sum(pb.nb) AS DOUBLE) / CAST(sum(ws.nw) AS DOUBLE), 6) AS fertility
+       |FROM ws JOIN pb USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
@@ -266,7 +308,8 @@ object CorpusQueries {
     "q103_bpe_merges" -> q103_bpe_merges,
     "q104_bpe_encode" -> q104_bpe_encode,
     "q146_lm_perplexity" -> q146_lm_perplexity,
-    "q152_coverage_curve" -> q152_coverage_curve)
+    "q152_coverage_curve" -> q152_coverage_curve,
+    "q154_bpe_fertility" -> q154_bpe_fertility)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
@@ -277,5 +320,6 @@ object CorpusQueries {
     "q103_bpe_merges" -> q103_sql,
     "q104_bpe_encode" -> q104_sql,
     "q146_lm_perplexity" -> q146_sql,
-    "q152_coverage_curve" -> q152_sql)
+    "q152_coverage_curve" -> q152_sql,
+    "q154_bpe_fertility" -> q154_sql)
 }

@@ -49,6 +49,50 @@ class BpeSpec extends SparkSpec {
     assert(counts === Map(1L -> 5L, 2L -> 12L))
   }
 
+  test("fertility census (q154): hand-computed ratio; merges lower fertility") {
+    import spark.implicits._
+    val q = graft.queries.CorpusQueries.q154_bpe_fertility
+    // Build a tiny two-source corpus through the real query path via a
+    // temp parquet dir shaped like the testdata layout.
+    val dir = java.nio.file.Files.createTempDirectory("fert").toString
+    Seq(
+      (1L, "a", "low lower low"),
+      (2L, "a", "low low"),
+      (3L, "b", "newest newest")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b"))
+    val bySource = rows.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 5 BPE rounds on this corpus collapse "low" fully; "lower" keeps a
+    // short tail; "newest" compresses too — fertility stays >= 1 and the
+    // whitespace denominators are exact.
+    assert(bySource("a")._1 === 2L)   // docs in source a
+    assert(bySource("a")._3 === 5L)   // ws tokens: 3 + 2
+    assert(bySource("b")._3 === 2L)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0 - 1e-9)
+      val expect = math.rint(r.getLong(2).toDouble / r.getLong(3) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+    }
+  }
+
+  test("fertility on real testdata: every source >= 1, fewer merges => higher fertility") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    def fert(rounds: Int): Double = {
+      val merges = Bpe.learnMerges(docs, col("text"), rounds)
+      val bpe = Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+        .agg(sum("n_bpe_tokens")).head.getLong(0).toDouble
+      val ws = docs.select(sum(size(split(trim(col("text")), "\\s+"))).cast("long"))
+        .head.getLong(0).toDouble
+      bpe / ws
+    }
+    val f0 = fert(0); val f5 = fert(5)
+    assert(f0 > f5, s"more merges must compress: f0=$f0 f5=$f5")
+    assert(f5 >= 1.0)
+  }
+
   test("deterministic: two runs learn identical merges on real testdata") {
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
     val a = Bpe.learnMerges(docs, col("text"), 3)
