@@ -450,6 +450,49 @@ object TextSim {
        |        / CAST(t AS DOUBLE), 6) AS imbalance
        |FROM fo CROSS JOIN tt ORDER BY cell""".stripMargin
 
+  // --------------------------------------------------------------- q155
+  // Cross-source duplication matrix: q92's uncapped MinHash banding
+  // candidates, attributed to the (source, source) pair they span —
+  // "which crawls duplicate each other", the audit that drives mixture
+  // weights and dedup ordering at 100 TB (dedup the overlapping pair
+  // first, or double-count its mass). Source pairs are normalized
+  // (least, greatest) so the matrix is upper-triangular including the
+  // within-source diagonal; the candidate set is tiny relative to the
+  // corpus, so the two source-lookup equi-joins and the final
+  // source²-bounded aggregate cost nothing beyond q92 itself. The
+  // share denominator is a 1-row aggregate cross-joined back in —
+  // lazy, no extra pass over data-sized tables.
+  val q155_cross_source_dups: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val cand = Dedup.minhashCandidates(
+      docs, col("doc_id"), col("text"),
+      shingleHasher = Dedup.shingleHashes32Md5)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = cand
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+              greatest(col("src_a"), col("src_b")).as("source_b"))
+    val m = pairs.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    m.crossJoin(broadcast(m.agg(sum("n_pairs").as("__t"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("__t").cast("double"), 6).as("share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q155_sql: String =
+    s"""WITH ${minhashCandCtes("")},
+       |sp AS (SELECT doc_id, source FROM documents),
+       |pr AS (SELECT least(sa.source, sb.source) AS source_a,
+       |              greatest(sa.source, sb.source) AS source_b
+       |       FROM cand JOIN sp sa ON cand.id_a = sa.doc_id
+       |                 JOIN sp sb ON cand.id_b = sb.doc_id),
+       |m AS (SELECT source_a, source_b, count(*) AS n_pairs FROM pr GROUP BY 1, 2),
+       |t AS (SELECT sum(n_pairs) AS t FROM m)
+       |SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  round(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+       |FROM m CROSS JOIN t ORDER BY source_a, source_b""".stripMargin
+
   // --------------------------------------------------------------- q149
   // LSH recall/precision audit: q92's MinHash banding candidates
   // measured against the exact shingle-Jaccard ≥ 0.5 ground truth
@@ -850,6 +893,7 @@ object TextSim {
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q149_lsh_recall" -> q149_lsh_recall,
     "q153_ivf_balance" -> q153_ivf_balance,
+    "q155_cross_source_dups" -> q155_cross_source_dups,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -879,6 +923,7 @@ object TextSim {
     "q92_minhash_bands_full" -> q92_sql,
     "q149_lsh_recall" -> q149_sql,
     "q153_ivf_balance" -> q153_sql,
+    "q155_cross_source_dups" -> q155_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

@@ -209,4 +209,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide.contains((100L, 101L)))
   }
+
+  test("cross-source dup matrix (q155): attributed pairs, normalized, shares sum to 1") {
+    import spark.implicits._
+    // Three near-identical docs spanning sources a/a/b plus one
+    // unrelated doc: banding finds all 3 pairs of the triple, so the
+    // matrix must read (a,a)=1, (a,b)=2 — order-normalized — and the
+    // unrelated doc contributes nothing.
+    val dir = java.nio.file.Files.createTempDirectory("xsrc").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, "a", dup), (2L, "a", dup), (3L, "b", dup),
+      (4L, "c", "entirely unrelated content with no shared shingles whatsoever here")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextSim.q155_cross_source_dups(spark, dir).collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("a", "a") -> 1L, ("a", "b") -> 2L))
+    // normalization: source_a <= source_b on every row; shares sum to 1
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+  }
 }
