@@ -148,6 +148,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus LSH candidates: (new_id, corpus_id) pairs where a NEW
+    * document shares a band key with an EXISTING-corpus document — the
+    * incremental-ingest dedup shape (dedup today's batch against the
+    * accumulated corpus without re-banding corpus-vs-corpus). Both
+    * sides band independently with the same constants, so at scale the
+    * corpus side's keys are computed once, stored, and only the
+    * batch-sized side is fresh work; the join keys are (band, bh) —
+    * identical cardinality behavior to the self-join candidates. */
+  def minhashCandidatesAgainst(newDocs: DataFrame, corpus: DataFrame,
+                               id: Column, text: Column,
+                               numHashes: Int = 64, shingleSize: Int = 3,
+                               bands: Int = 16, seed: Long = 42L,
+                               shingleHasher: (Column, Int) => Column = shingleHashes32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def keys(df: DataFrame) =
+      withMinhashSignature(df, id, text, numHashes, shingleSize, seed, shingleHasher)
+        .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    keys(newDocs).alias("n")
+      .join(keys(corpus).alias("c"),
+        col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Incremental dedup: NEW-batch rows that do NOT band-collide with the
+    * existing corpus (left-anti on the cross-corpus candidates). */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         id: Column, text: Column,
+                         shingleHasher: (Column, Int) => Column = shingleHashes32): DataFrame = {
+    val dupIds = minhashCandidatesAgainst(newDocs, corpus, id, text,
+      shingleHasher = shingleHasher).select(col("new_id")).distinct()
+    newDocs.join(dupIds, id === col("new_id"), "left_anti")
+  }
+
   /** Exact token-set Jaccard for given pairs (verification step after
     * LSH): joins the token sets back and computes |∩| / |∪|. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,

@@ -493,6 +493,55 @@ object TextSim {
        |  round(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
        |FROM m CROSS JOIN t ORDER BY source_a, source_b""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  // Incremental-ingest dedup census: a simulated "new batch" (every
+  // 10th doc_id) deduplicated AGAINST the accumulated corpus (the
+  // rest) — the daily-ingest shape at 100 TB, where re-running
+  // corpus-vs-corpus dedup per batch is unaffordable and the corpus
+  // side's band keys are computed once and stored. Per source: batch
+  // size, docs band-colliding with the corpus, docs kept. The split is
+  // a seeded md5 bucket (doc_id % 10 would alias the modulo-assigned
+  // source column and collapse the census to 2 sources); signatures
+  // are per-doc (independent of the split), so the oracle bands the
+  // whole table once and splits the keys — bit-identical to banding
+  // each side separately.
+  val q156_incremental_dedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    val newB = docs.filter(bucket === 0)
+    val corp = docs.filter(bucket =!= 0)
+    val dup = Dedup.minhashCandidatesAgainst(
+        newB, corp, col("doc_id"), col("text"),
+        shingleHasher = Dedup.shingleHashes32Md5)
+      .select(col("new_id")).distinct()
+    newB.join(dup, col("doc_id") === col("new_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("new_id").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("new_id").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val q156_sql: String =
+    s"""WITH ${minhashCandCtes("")},
+       |bu AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS b
+       |       FROM documents),
+       |nb AS (SELECT bk.* FROM bk JOIN bu USING (doc_id) WHERE bu.b = 0),
+       |cb AS (SELECT bk.* FROM bk JOIN bu USING (doc_id) WHERE bu.b <> 0),
+       |dup AS (SELECT DISTINCT nb.doc_id
+       |        FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh),
+       |nd AS (SELECT d.source,
+       |         CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS isdup
+       |       FROM documents d JOIN bu USING (doc_id) LEFT JOIN dup USING (doc_id)
+       |       WHERE bu.b = 0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+       |  CAST(sum(isdup) AS BIGINT) AS n_dup,
+       |  CAST(count(*) - sum(isdup) AS BIGINT) AS n_kept
+       |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q149
   // LSH recall/precision audit: q92's MinHash banding candidates
   // measured against the exact shingle-Jaccard ≥ 0.5 ground truth
@@ -894,6 +943,7 @@ object TextSim {
     "q149_lsh_recall" -> q149_lsh_recall,
     "q153_ivf_balance" -> q153_ivf_balance,
     "q155_cross_source_dups" -> q155_cross_source_dups,
+    "q156_incremental_dedup" -> q156_incremental_dedup,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -924,6 +974,7 @@ object TextSim {
     "q149_lsh_recall" -> q149_sql,
     "q153_ivf_balance" -> q153_sql,
     "q155_cross_source_dups" -> q155_sql,
+    "q156_incremental_dedup" -> q156_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

@@ -210,6 +210,40 @@ class DedupSpec extends SparkSpec {
     assert(wide.contains((100L, 101L)))
   }
 
+  test("incremental dedup: cross-corpus candidates match split self-join; anti-join keeps non-dups") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, dup),
+      (2L, "completely unrelated corpus document about database engines")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, dup),
+      (11L, "fresh unseen content with no overlap at all in any shingle")).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidatesAgainst(batch, corpus, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === Set((10L, 1L)))
+    val kept = Dedup.dedupAgainstCorpus(batch, corpus, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+
+    // equivalence on real data: banding a split corpus across sides ==
+    // the self-join candidates of the union restricted to cross pairs
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val nb = docs.filter(bucket === 0)
+    val cb = docs.filter(bucket =!= 0)
+    val newIds = nb.select("doc_id").as[Long].collect().toSet
+    val cross = Dedup.minhashCandidatesAgainst(nb, cb, col("doc_id"), col("text"),
+        shingleHasher = Dedup.shingleHashes32Md5)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val self = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+        shingleHasher = Dedup.shingleHashes32Md5)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1)))
+      .filter(p => p.count(newIds.contains) == 1).toSet
+    assert(cross === self)
+  }
+
   test("cross-source dup matrix (q155): attributed pairs, normalized, shares sum to 1") {
     import spark.implicits._
     // Three near-identical docs spanning sources a/a/b plus one
