@@ -299,6 +299,49 @@ object CorpusQueries {
        |FROM ws JOIN pb USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q157
+  // n-gram diversity (distinct-n) per source, n = 1..3: the ratio of
+  // unique n-grams to total n-grams — the mode-collapse audit for
+  // synthetic/generated data (a source whose distinct-2/distinct-3
+  // crater against its peers is emitting the same phrases over and
+  // over; natural text stays high). Two-stage per n: groupBy
+  // (source, gram) with map-side combine, then a per-source rollup —
+  // the distinct-count shape that never Expands, and the gram shuffle
+  // is the only data-sized move.
+  val q157_distinct_ngrams: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val perN = (1 to 3).map { n =>
+      docs.select(col("source"),
+          explode(graft.text.TextAnalysis.ngrams(
+            graft.text.TextAnalysis.tokens(col("text")), n)).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_total"), count(lit(1)).as("n_distinct"))
+        .select(col("source"), lit(n).cast("long").as("n"),
+          col("n_total"), col("n_distinct"),
+          round(col("n_distinct").cast("double") /
+            col("n_total").cast("double"), 6).as("distinct_ratio"))
+    }
+    perN.reduce(_.unionAll(_)).orderBy("source", "n")
+  }
+
+  val q157_sql: String =
+    """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, UNNEST(toks) AS g FROM t
+      |  UNION ALL
+      |  SELECT source, 2, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) FROM t
+      |  UNION ALL
+      |  SELECT source, 3, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) FROM t),
+      |c AS (SELECT source, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_total,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
@@ -309,7 +352,8 @@ object CorpusQueries {
     "q104_bpe_encode" -> q104_bpe_encode,
     "q146_lm_perplexity" -> q146_lm_perplexity,
     "q152_coverage_curve" -> q152_coverage_curve,
-    "q154_bpe_fertility" -> q154_bpe_fertility)
+    "q154_bpe_fertility" -> q154_bpe_fertility,
+    "q157_distinct_ngrams" -> q157_distinct_ngrams)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
@@ -321,5 +365,6 @@ object CorpusQueries {
     "q104_bpe_encode" -> q104_sql,
     "q146_lm_perplexity" -> q146_sql,
     "q152_coverage_curve" -> q152_sql,
-    "q154_bpe_fertility" -> q154_sql)
+    "q154_bpe_fertility" -> q154_sql,
+    "q157_distinct_ngrams" -> q157_sql)
 }

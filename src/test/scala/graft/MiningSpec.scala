@@ -465,4 +465,29 @@ class MiningSpec extends SparkSpec {
     // raw-proportional would have given rare only 900·(100/500)=180 docs
     assert(rows.find(_._1 == "rare").get._5 > 180L)
   }
+
+  test("distinct-n diversity (q157): hand-computed ratios; collapsed source craters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("divn").toString
+    Seq(
+      // collapsed: the same 3-token phrase in every doc
+      (1L, "gen", "buy cheap now"), (2L, "gen", "buy cheap now"),
+      (3L, "gen", "buy cheap now"),
+      // natural: all-distinct tokens
+      (4L, "nat", "one two three"), (5L, "nat", "four five six")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.CorpusQueries.q157_distinct_ngrams(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // gen: 9 unigram occurrences of 3 types; 6 bigrams of 2 types; 3
+    // trigrams of 1 type. nat: everything unique.
+    assert(rows(("gen", 1L)) === ((9L, 3L, 0.333333)))
+    assert(rows(("gen", 2L)) === ((6L, 2L, 0.333333)))
+    assert(rows(("gen", 3L)) === ((3L, 1L, 0.333333)))
+    assert(rows(("nat", 1L)) === ((6L, 6L, 1.0)))
+    assert(rows(("nat", 2L)) === ((4L, 4L, 1.0)))
+    assert(rows(("nat", 3L)) === ((2L, 2L, 1.0)))
+  }
 }
