@@ -893,7 +893,54 @@ object Extended {
       |RIGHT JOIN customer ON o_custkey = c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  // Join-key skew census: for each prospective join/groupBy key, the
+  // key-cardinality, hottest-key share, and max/avg imbalance — the
+  // pre-flight audit that decides between a plain shuffle join,
+  // salting (q63), or trusting AQE's skew split BEFORE launching the
+  // 100 TB job. One map-side-combined groupBy per key; everything
+  // after the first aggregate is key-cardinality-sized, and the
+  // top-10 share plans as TakeOrderedAndProject, not a global sort.
+  val q158_key_skew: Q = (s, dir) => {
+    val audits: Seq[(String, DataFrame, String)] = Seq(
+      ("lineitem.l_partkey", Tables.load(s, dir, "lineitem"), "l_partkey"),
+      ("lineitem.l_suppkey", Tables.load(s, dir, "lineitem"), "l_suppkey"),
+      ("orders.o_custkey", Tables.load(s, dir, "orders"), "o_custkey"),
+      ("events.user_id", Tables.load(s, dir, "events"), "user_id"))
+    audits.map { case (name, df, k) =>
+      val perKey = df.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+      val stats = perKey.agg(
+        sum("c").as("n_rows"), count(lit(1)).as("n_keys"), max("c").as("max_rows"))
+      val top10 = perKey.orderBy(col("c").desc, col("key").asc).limit(10)
+        .agg(sum("c").as("t10"))
+      stats.crossJoin(top10).select(
+        lit(name).as("key_col"), col("n_rows"), col("n_keys"), col("max_rows"),
+        round(col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 6).as("imbalance"),
+        round(col("t10").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top10_share"))
+    }.reduce(_.unionAll(_)).orderBy("key_col")
+  }
+
+  val q158_sql: String = {
+    def one(name: String, table: String, k: String): String =
+      s"""SELECT '$name' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_rows,
+         |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS imbalance,
+         |  round((SELECT sum(c) FROM (SELECT count(*) AS c, $k FROM $table
+         |           GROUP BY $k ORDER BY c DESC, $k ASC LIMIT 10))
+         |        / CAST(sum(c) AS DOUBLE), 6) AS top10_share
+         |FROM (SELECT count(*) AS c FROM $table GROUP BY $k)""".stripMargin
+    Seq(
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      one("orders.o_custkey", "orders", "o_custkey"),
+      one("events.user_id", "events", "user_id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   val all: Map[String, Q] = Map(
+    "q158_key_skew" -> q158_key_skew,
     "q91_right_join" -> q91_right_join,
     "q90_outlier_census" -> q90_outlier_census,
     "q87_label_centroids" -> q87_label_centroids,
@@ -929,6 +976,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q158_key_skew" -> q158_sql,
     "q91_right_join" -> q91_sql,
     "q90_outlier_census" -> q90_sql,
     "q87_label_centroids" -> q87_sql,

@@ -19,4 +19,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  test("q158 key-skew census: top-10 plans as TakeOrderedAndProject; invariants hold") {
+    val df = graft.queries.Extended.q158_key_skew(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the hottest-keys probe must be a bounded top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("events.user_id", "lineitem.l_partkey", "lineitem.l_suppkey",
+        "orders.o_custkey"))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2))          // rows >= keys
+      assert(r.getLong(3) >= 1L)                    // max key count
+      assert(r.getDouble(4) >= 1.0 - 1e-9)          // imbalance >= 1
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
