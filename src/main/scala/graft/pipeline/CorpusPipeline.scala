@@ -35,6 +35,9 @@ object CorpusPipeline {
       classifierThreshold: Double = 0.5,
       lineDedupTokens: Option[Int] = None,
       nearDupThreshold: Double = 0.8,
+      // md5 variant makes the near-dup stage replayable by an ANSI-SQL
+      // oracle; the default 32-bit hash is the cheaper production path
+      shingleHasher: (Column, Int) => Column = Dedup.shingleHashes32,
       benchmark: Option[DataFrame] = None,
       decontamN: Int = 8,
       benchTextCol: String = "text",
@@ -46,7 +49,13 @@ object CorpusPipeline {
       embVecCol: String = "embedding",
       sampleFraction: Double = 1.0,
       sampleSeed: Long = 42L,
-      packBudget: Int = 2048)
+      packBudget: Int = 2048,
+      // Eagerly localCheckpoint each counted stage: without it every
+      // stage count REPLAYS the whole pipeline prefix (the k-th count
+      // does k stages of work — O(k²) total; measured 2.2x on the q159
+      // funnel). On a cluster swap for reliable checkpoint()/a staging
+      // write: localCheckpoint pins executors.
+      checkpointStages: Boolean = true)
 
   final case class Result(cleaned: DataFrame, stageCounts: Seq[(String, Long)])
 
@@ -56,6 +65,10 @@ object CorpusPipeline {
   def clean(docs: DataFrame, id: Column, text: Column,
             cfg: Config = Config()): Result = {
     val counts = Seq.newBuilder[(String, Long)]
+    // pin each counted stage so stage k's count (and every later
+    // stage) reads materialized rows instead of replaying stages 1..k
+    def st(df: DataFrame): DataFrame =
+      if (cfg.checkpointStages) df.localCheckpoint(true) else df
     counts += ("input" -> docs.count())
 
     // 1. quality gate (Gopher-style thresholds over per-row features),
@@ -72,8 +85,8 @@ object CorpusPipeline {
       case Some(m) => feats.filter(m.scoreExpr >= cfg.classifierThreshold)
       case None => feats
     }
-    val gated = classified
-      .drop("n_chars", "avg_token_len", "stopword_ratio", "punct_ratio")
+    val gated = st(classified
+      .drop("n_chars", "avg_token_len", "stopword_ratio", "punct_ratio"))
     counts += ("quality_gate" -> gated.count())
 
     // 1b. corpus-wide line dedup (optional): strip every repeated line
@@ -82,7 +95,7 @@ object CorpusPipeline {
     //     exact dedup so two docs differing only in shared boilerplate
     //     collapse to identical residues.
     val lineDeduped = cfg.lineDedupTokens match {
-      case Some(ltoks) =>
+      case Some(ltoks) => st {
         val rewritten = graft.text.LineDedup
           .rewrite(gated, id, text, ltoks)
           .filter(col("n_kept") > 0)
@@ -91,6 +104,7 @@ object CorpusPipeline {
           .withColumn(text.toString(), col("kept_text"))
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("kept_text")))
           .drop("__ld_id", "kept_text")
+      }
       case None => gated
     }
     if (cfg.lineDedupTokens.isDefined)
@@ -107,20 +121,21 @@ object CorpusPipeline {
           idCol = id.toString(), textCol = text.toString(),
           benchTextCol = cfg.benchTextCol)
           .select(id.as("__contaminated_id"))
-        lineDeduped.join(flagged, id === col("__contaminated_id"), "left_anti")
+        st(lineDeduped.join(flagged, id === col("__contaminated_id"), "left_anti"))
       case None => lineDeduped
     }
     if (cfg.benchmark.isDefined)
       counts += ("decontaminate" -> decontaminated.count())
 
     // 3. exact dedup: min-id representative per identical content
-    val exact = Dedup.dropExactDups(decontaminated, id, text)
+    val exact = st(Dedup.dropExactDups(decontaminated, id, text))
     counts += ("exact_dedup" -> exact.count())
 
     // 4. near-dup clustering: LSH pairs → components → keep the
     //    component label (min id); docs outside any component survive
-    val pairs = Dedup.minhashNearDups(exact, id, text, cfg.nearDupThreshold)
-    val nearDeduped = Dedup.keepCanonical(exact, id, pairs)
+    val pairs = Dedup.minhashNearDups(exact, id, text, cfg.nearDupThreshold,
+      shingleHasher = cfg.shingleHasher)
+    val nearDeduped = st(Dedup.keepCanonical(exact, id, pairs))
     counts += ("near_dedup" -> nearDeduped.count())
 
     // 5. semantic dedup (when an embedding table is supplied): IVF
@@ -137,7 +152,7 @@ object CorpusPipeline {
             idCol = cfg.embIdCol, vecCol = cfg.embVecCol)
           .filter(!col("kept"))
           .select(col(cfg.embIdCol).as("__sem_drop_id"))
-        nearDeduped.join(dropIds, id === col("__sem_drop_id"), "left_anti")
+        st(nearDeduped.join(dropIds, id === col("__sem_drop_id"), "left_anti"))
       case None => nearDeduped
     }
     if (cfg.embeddings.isDefined)

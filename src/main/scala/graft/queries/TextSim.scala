@@ -542,6 +542,107 @@ object TextSim {
        |  CAST(count(*) - sum(isdup) AS BIGINT) AS n_kept
        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q159
+  // Pipeline survival funnel: per-stage document attrition through the
+  // REAL CorpusPipeline.clean composition — quality gate → benchmark
+  // decontamination (q101's synthetic eval set) → exact dedup →
+  // near-dup canonical — the end-to-end census a training-data team
+  // reports for every corpus build, here hash-checked against a DuckDB
+  // replay of all four stages CHAINED (each stage's oracle fragment
+  // runs on the previous stage's survivors, not the raw corpus). Uses
+  // the md5 shingle hasher so the LSH stage is engine-portable.
+  val q159_pipeline_funnel: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val t = split(lower(trim(col("text"))), "\\s+")
+    val bench = docs
+      .filter(col("doc_id") % 41 === 0 && size(t) >= 9)
+      .select(array_join(slice(t, 3, 7), " ").as("text"))
+    val res = graft.pipeline.CorpusPipeline.clean(
+      docs, col("doc_id"), col("text"),
+      graft.pipeline.CorpusPipeline.Config(
+        benchmark = Some(bench), decontamN = 5,
+        shingleHasher = Dedup.shingleHashes32Md5))
+    import s.implicits._
+    res.stageCounts.filter(_._1 != "sample").zipWithIndex
+      .map { case ((stage, n), i) => (i.toLong, stage, n) }
+      .toDF("stage_idx", "stage", "n_docs")
+      .orderBy("stage_idx")
+  }
+
+  lazy val q159_sql: String = {
+    def gh(arr: String, i: String) =
+      s"CAST('0x' || substr(md5(array_to_string(list_slice($arr, $i, $i + 4), ' ')), 1, 15) AS BIGINT)"
+    val stop = graft.text.TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    val steps = (1 to 8).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT n.id, least(n.l, coalesce(min(lu.l), n.l)) AS l
+         |  FROM l${k - 1} n
+         |  LEFT JOIN adj a ON a.v = n.id
+         |  LEFT JOIN l${k - 1} lu ON lu.id = a.u
+         |  GROUP BY n.id, n.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feat AS (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents),
+       |q AS MATERIALIZED (SELECT doc_id FROM feat
+       |     WHERE n_tokens >= 30 AND n_tokens <= 10000
+       |       AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+       |       AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2),
+       |toksall AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+       |bch AS (SELECT list_slice(t, 3, 9) AS bt FROM toksall
+       |       WHERE doc_id % 41 = 0 AND len(t) >= 9),
+       |bg AS (SELECT DISTINCT gram_h FROM (
+       |    SELECT UNNEST(list_transform(generate_series(1, len(bt) - 4),
+       |        i -> ${gh("bt", "i")})) AS gram_h FROM bch)),
+       |dg AS (SELECT toksall.doc_id, UNNEST(list_transform(generate_series(1, len(t) - 4),
+       |        i -> ${gh("t", "i")})) AS gram_h
+       |       FROM toksall JOIN q USING (doc_id) WHERE len(t) >= 5),
+       |hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram_h)),
+       |dec AS MATERIALIZED (SELECT q.doc_id FROM q LEFT JOIN hit USING (doc_id)
+       |       WHERE hit.doc_id IS NULL),
+       |fp AS (SELECT dd.doc_id,
+       |         md5(regexp_replace(lower(trim(dd.text)), '\\s+', ' ', 'g')) AS fp
+       |       FROM documents dd JOIN dec USING (doc_id)),
+       |ex AS MATERIALIZED (SELECT doc_id FROM
+       |       (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS m FROM fp)
+       |     WHERE doc_id = m),
+       |${minhashCandCtes("WHERE doc_id IN (SELECT doc_id FROM ex)")},
+       |w AS (SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |      FROM d),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN w wa ON wa.doc_id = c.id_a
+       |          JOIN w wb ON wb.doc_id = c.id_b AND wa.tok = wb.tok
+       |          GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8),
+       |adj AS MATERIALIZED (SELECT id_a AS v, id_b AS u FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS l FROM adj),
+       |$steps,
+       |canon AS (SELECT e.doc_id FROM ex e LEFT JOIN l8 ON l8.id = e.doc_id
+       |          WHERE l8.id IS NULL OR l8.l = e.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+       |    (SELECT count(*) FROM documents) AS n_docs
+       |  UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM q)
+       |  UNION ALL SELECT 2, 'decontaminate', (SELECT count(*) FROM dec)
+       |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM ex)
+       |  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM canon)
+       |) ORDER BY stage_idx""".stripMargin
+  }
+
   // --------------------------------------------------------------- q149
   // LSH recall/precision audit: q92's MinHash banding candidates
   // measured against the exact shingle-Jaccard ≥ 0.5 ground truth
@@ -944,6 +1045,7 @@ object TextSim {
     "q153_ivf_balance" -> q153_ivf_balance,
     "q155_cross_source_dups" -> q155_cross_source_dups,
     "q156_incremental_dedup" -> q156_incremental_dedup,
+    "q159_pipeline_funnel" -> q159_pipeline_funnel,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -975,6 +1077,7 @@ object TextSim {
     "q153_ivf_balance" -> q153_sql,
     "q155_cross_source_dups" -> q155_sql,
     "q156_incremental_dedup" -> q156_sql,
+    "q159_pipeline_funnel" -> q159_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

@@ -122,4 +122,18 @@ class CorpusPipelineSpec extends SparkSpec {
       base.stageCounts.toMap.apply("quality_gate"))
     assert(resNone.stageCounts.toMap.apply("quality_gate") === 0L)
   }
+
+  test("funnel census (q159): stage order, monotone attrition, input = table count") {
+    val rows = graft.queries.TextSim.q159_pipeline_funnel(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("input", "quality_gate", "decontaminate", "exact_dedup", "near_dedup"))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.head ===
+      Tables.load(spark, TestSpark.sf0001, "documents").count())
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"funnel must not grow: ${counts.mkString(",")}")
+    }
+    assert(counts.last > 0L)
+  }
 }
