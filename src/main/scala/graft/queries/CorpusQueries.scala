@@ -342,6 +342,30 @@ object CorpusQueries {
       |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q160
+  // Sliding-window chunking (Packing.chunk): 64-token chunks with a
+  // 16-token overlap — the RAG-indexing / long-document prep that
+  // turns each doc into overlapping context windows. Pure per-row
+  // expressions, no shuffle; the chunk text itself is in the hash
+  // check, so tokenization, stepping, and the short tail chunk are all
+  // pinned cross-engine.
+  val q160_chunking: Q = (s, dir) =>
+    graft.text.Packing.chunk(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+      chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q160_sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |st AS (SELECT doc_id, toks,
+      |         UNNEST(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS s
+      |       FROM t)
+      |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+      |  array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text,
+      |  CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
@@ -353,7 +377,8 @@ object CorpusQueries {
     "q146_lm_perplexity" -> q146_lm_perplexity,
     "q152_coverage_curve" -> q152_coverage_curve,
     "q154_bpe_fertility" -> q154_bpe_fertility,
-    "q157_distinct_ngrams" -> q157_distinct_ngrams)
+    "q157_distinct_ngrams" -> q157_distinct_ngrams,
+    "q160_chunking" -> q160_chunking)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
@@ -366,5 +391,6 @@ object CorpusQueries {
     "q146_lm_perplexity" -> q146_sql,
     "q152_coverage_curve" -> q152_sql,
     "q154_bpe_fertility" -> q154_sql,
-    "q157_distinct_ngrams" -> q157_sql)
+    "q157_distinct_ngrams" -> q157_sql,
+    "q160_chunking" -> q160_sql)
 }

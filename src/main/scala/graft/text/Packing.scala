@@ -45,4 +45,32 @@ object Packing {
           floor((col("__end") - tokensCol) / lit(budget.toDouble)).cast("long"))
       .drop("__shard", "__end")
   }
+
+  /** Sliding-window token chunking: split each document into
+    * fixed-token chunks with `overlap` shared tokens between
+    * neighbors — the context-window prep for RAG indexing and
+    * long-document training. Start positions are 1, 1+step, … while
+    * start ≤ max(n − overlap, 1) (step = chunkSize − overlap), so the
+    * tail is covered without emitting a chunk that is a strict suffix
+    * of its predecessor; the last chunk may be short. Pure per-row
+    * expressions — one projection, no shuffle, no UDF; chunk_idx =
+    * (start−1)/step is derived, not positional, so the output is
+    * order-free. */
+  def chunk(df: DataFrame, id: Column, text: Column,
+            chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("__toks")) - overlap, lit(1)), lit(step)))
+          .as("__start"))
+      .select(col("doc_id"),
+        ((col("__start") - 1) / step).cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("__start"), lit(chunkSize))).cast("long")
+          .as("n_tokens"))
+  }
 }

@@ -87,4 +87,26 @@ class PackingSamplingSpec extends SparkSpec {
       .select("doc_id", "pos").as[(Long, Long)].collect().toMap
     assert(rows.exists { case (id, p, _) => other(id) !== p })
   }
+
+  test("chunk: sliding windows cover every token; overlap and tail are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks
+      (2L, "a b c")                           // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val rows = Packing.chunk(docs, col("doc_id"), col("text"),
+        chunkSize = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    // doc 1: starts 1 and 5 (stop = n - overlap = 6); doc 2: one short chunk
+    assert(rows === Array(
+      (1L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8", 8L),
+      (1L, 1L, "t5 t6 t7 t8 t9 t10", 6L),
+      (2L, 0L, "a b c", 3L)))
+    // overlap 0: chunks partition the tokens exactly
+    val flat = Packing.chunk(docs, col("doc_id"), col("text"), chunkSize = 4)
+      .groupBy("doc_id").agg(sum("n_tokens").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat === Map(1L -> 10L, 2L -> 3L))
+  }
 }
