@@ -542,6 +542,59 @@ object TextSim {
        |  CAST(count(*) - sum(isdup) AS BIGINT) AS n_kept
        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  // Quality-gate reason census: per source, how many docs pass and how
+  // many fail EACH gate (a doc can fail several) — the triage view
+  // behind q77's per-doc verdicts and q159's funnel: when a source's
+  // survival rate drops, this says which threshold is doing the
+  // killing. One scan, one map-side-combined groupBy(source).
+  val q161_gate_reasons: Q = (s, dir) => {
+    val f = graft.text.TextAnalysis.qualityFeatures(
+      Tables.load(s, dir, "documents"), col("text"))
+    val lenOk = col("n_tokens") >= 30 && col("n_tokens") <= 10000
+    val wordOk = col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0
+    val stopOk = col("stopword_ratio") >= 0.01
+    val punctOk = col("punct_ratio") <= 0.2
+    def fails(c: org.apache.spark.sql.Column) = sum(when(!c, 1L).otherwise(0L))
+    f.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(lenOk && wordOk && stopOk && punctOk, 1L).otherwise(0L)).as("n_pass"),
+        fails(lenOk).as("n_fail_len"),
+        fails(wordOk).as("n_fail_wordlen"),
+        fails(stopOk).as("n_fail_stopword"),
+        fails(punctOk).as("n_fail_punct"))
+      .orderBy("source")
+  }
+
+  lazy val q161_sql: String = {
+    val stop = graft.text.TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT source,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents),
+       |g AS (SELECT source,
+       |    n_tokens >= 30 AND n_tokens <= 10000 AS len_ok,
+       |    avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS word_ok,
+       |    stopword_ratio >= 0.01 AS stop_ok,
+       |    punct_ratio <= 0.2 AS punct_ok
+       |  FROM f)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN len_ok AND word_ok AND stop_ok AND punct_ok
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+       |  CAST(sum(CASE WHEN NOT word_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+       |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+       |  CAST(sum(CASE WHEN NOT punct_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- q159
   // Pipeline survival funnel: per-stage document attrition through the
   // REAL CorpusPipeline.clean composition — quality gate → benchmark
@@ -1046,6 +1099,7 @@ object TextSim {
     "q155_cross_source_dups" -> q155_cross_source_dups,
     "q156_incremental_dedup" -> q156_incremental_dedup,
     "q159_pipeline_funnel" -> q159_pipeline_funnel,
+    "q161_gate_reasons" -> q161_gate_reasons,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -1078,6 +1132,7 @@ object TextSim {
     "q155_cross_source_dups" -> q155_sql,
     "q156_incremental_dedup" -> q156_sql,
     "q159_pipeline_funnel" -> q159_sql,
+    "q161_gate_reasons" -> q161_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

@@ -490,4 +490,29 @@ class MiningSpec extends SparkSpec {
     assert(rows(("nat", 2L)) === ((4L, 4L, 1.0)))
     assert(rows(("nat", 3L)) === ((2L, 2L, 1.0)))
   }
+
+  test("gate-reason census (q161): multi-fail docs count in every column; sums match q77") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gate").toString
+    val good = ("word " * 25 + "the a is of and to in ").trim  // 32 toks, passes all gates
+    Seq(
+      (1L, "a", good),
+      (2L, "a", "short"),              // fails len AND stopword
+      (3L, "b", good)
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextSim.q161_gate_reasons(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // doc 2 fails the length gate and the stopword gate: both columns get it
+    assert(rows("a") === ((2L, 1L, 1L, 0L, 1L, 0L)))
+    assert(rows("b") === ((1L, 1L, 0L, 0L, 0L, 0L)))
+
+    // cross-query: per-source n_pass must sum to q77's keep count
+    val pass = graft.queries.TextSim.q161_gate_reasons(spark, TestSpark.sf0001)
+      .agg(sum("n_pass")).head.getLong(0)
+    val q77keep = graft.queries.TextSim.q77_quality_gate(spark, TestSpark.sf0001)
+      .filter(col("keep")).count()
+    assert(pass === q77keep)
+  }
 }
