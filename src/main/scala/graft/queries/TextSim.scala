@@ -542,6 +542,33 @@ object TextSim {
        |  CAST(count(*) - sum(isdup) AS BIGINT) AS n_kept
        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q162
+  // Near-dup cluster-size distribution: histogram of q81's connected-
+  // component sizes — the number that sets the canonical-keep policy
+  // (thousands of size-2 clusters = harmless boilerplate; one
+  // corpus-sized cluster = a template bomb that dedup must not feed
+  // to a pairwise verifier). Everything after the component labels is
+  // component-count-sized: two map-side-combined groupBys.
+  val q162_cluster_sizes: Q = (s, dir) => {
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashNearDups(
+        cappedDocs(s, dir),
+        col("doc_id"), col("text"), threshold = 0.8,
+        shingleHasher = Dedup.shingleHashes32Md5),
+      iters = 8)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+    sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  lazy val q162_sql: String =
+    s"""WITH comp AS MATERIALIZED ($q81_sql),
+       |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q161
   // Quality-gate reason census: per source, how many docs pass and how
   // many fail EACH gate (a doc can fail several) — the triage view
@@ -1100,6 +1127,7 @@ object TextSim {
     "q156_incremental_dedup" -> q156_incremental_dedup,
     "q159_pipeline_funnel" -> q159_pipeline_funnel,
     "q161_gate_reasons" -> q161_gate_reasons,
+    "q162_cluster_sizes" -> q162_cluster_sizes,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -1133,6 +1161,7 @@ object TextSim {
     "q156_incremental_dedup" -> q156_sql,
     "q159_pipeline_funnel" -> q159_sql,
     "q161_gate_reasons" -> q161_sql,
+    "q162_cluster_sizes" -> q162_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

@@ -244,6 +244,17 @@ class DedupSpec extends SparkSpec {
     assert(cross === self)
   }
 
+  test("cluster-size distribution (q162 shape): hand-built components histogram") {
+    import spark.implicits._
+    // chain 1-2-3 (size 3), pair 10-11 (size 2), pair 20-21 (size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, iters = 8)
+    val dist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === Map(3L -> 1L, 2L -> 2L))
+  }
+
   test("cross-source dup matrix (q155): attributed pairs, normalized, shares sum to 1") {
     import spark.implicits._
     // Three near-identical docs spanning sources a/a/b plus one
