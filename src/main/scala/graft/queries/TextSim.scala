@@ -542,6 +542,65 @@ object TextSim {
        |  CAST(count(*) - sum(isdup) AS BIGINT) AS n_kept
        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q163
+  // ANN recall@k audit: q78's checked IVF (nlist=8, nprobe=3) measured
+  // per query against q31's brute-force cosine truth — THE acceptance
+  // number for an ANN index (recall < 1 exactly when a true neighbor's
+  // cell goes unprobed; q153 says whether that's imbalance or
+  // geometry). The truth side is the audit's cost and runs on the
+  // bounded query set; the index side is the production path.
+  val q163_ann_recall: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val ivf = graft.similarity.Ivf.topK(idx, queries, k = 3, nprobe = 3)
+      .select(col("query_id").as("__iq"), col("neighbor_id").as("__in"))
+    Similarity.bruteForceTopK(e, queries, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(ivf, col("query_id") === col("__iq") &&
+        col("neighbor_id") === col("__in"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__iq").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / 3.0, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  lazy val q163_sql: String =
+    s"""WITH $ivfCtes,
+       |probes AS (SELECT e.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
+       |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id < 20),
+       |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
+       |         FROM probes p JOIN corpus co ON p.cell = co.cell AND p.pr <= 3
+       |         WHERE co.vec_id <> p.query_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id, $cosineSql AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+       |ivfk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM scored) WHERE rank <= 3),
+       |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+       |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |bk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM bs) WHERE rank <= 3)
+       |SELECT b.query_id,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 6) AS recall
+       |FROM bk b LEFT JOIN ivfk i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q162
   // Near-dup cluster-size distribution: histogram of q81's connected-
   // component sizes — the number that sets the canonical-keep policy
@@ -1128,6 +1187,7 @@ object TextSim {
     "q159_pipeline_funnel" -> q159_pipeline_funnel,
     "q161_gate_reasons" -> q161_gate_reasons,
     "q162_cluster_sizes" -> q162_cluster_sizes,
+    "q163_ann_recall" -> q163_ann_recall,
     "q88_stratified_sample" -> q88_stratified_sample,
     "q89_langid_eval" -> q89_langid_eval,
     "q81_dedup_components" -> q81_dedup_components,
@@ -1162,6 +1222,7 @@ object TextSim {
     "q159_pipeline_funnel" -> q159_sql,
     "q161_gate_reasons" -> q161_sql,
     "q162_cluster_sizes" -> q162_sql,
+    "q163_ann_recall" -> q163_sql,
     "q88_stratified_sample" -> q88_sql,
     "q89_langid_eval" -> q89_sql,
     "q81_dedup_components" -> q81_sql,

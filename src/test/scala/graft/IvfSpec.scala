@@ -63,4 +63,26 @@ class IvfSpec extends SparkSpec {
     // imbalance averages to 1 by construction
     assert(math.abs(rows.map(_._4).sum / 8 - 1.0) < 1e-4)
   }
+
+  test("recall audit (q163): exhaustive probe recovers brute truth exactly") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val idx = Ivf.trainChecked(e, nlist = 8, iters = 3)
+    // nprobe = nlist scans every cell: the candidate set is the whole
+    // corpus, so IVF top-k must equal brute-force top-k row for row
+    val ivf = Ivf.topK(idx, queries, k = 3, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(e, queries, 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ivf === brute)
+    // and the shipped nprobe=3 audit never exceeds 1 nor misses all
+    // queries (sf0.001 fixture: imperfect by construction at 3/8 cells)
+    val audit = graft.queries.TextSim.q163_ann_recall(spark, TestSpark.sf0001)
+      .select("recall").as[Double].collect()
+    assert(audit.forall(r => r >= 0.0 && r <= 1.0))
+    assert(audit.length === 20)
+  }
 }
