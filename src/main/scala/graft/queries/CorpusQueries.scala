@@ -366,6 +366,51 @@ object CorpusQueries {
       |  CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens
       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------------------------------- q164
+  // Packing-efficiency census on q50's batch assignment: batch count,
+  // fill rate against the 2048-token budget, and how many batches
+  // overflow (a doc longer than the budget gets its own batch — those
+  // waste no space but skew sequence length). THE ops dashboard number
+  // for a packing config: fill rate near 1 means the budget matches
+  // the length distribution; low fill = padding waste at training
+  // time. One rollup over the batch-count-sized q50 aggregate.
+  val q164_packing_efficiency: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).as("n_tok"))
+    val batches = graft.text.Packing
+      .packSequential(d, col("n_tok"), 2048, Seq(col("doc_id")))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+    batches.agg(
+      count(lit(1)).as("n_batches"),
+      sum("n_docs").as("n_docs"),
+      sum("tok").as("sum_tokens"),
+      round(sum("tok").cast("double") / (count(lit(1)) * 2048).cast("double"), 6)
+        .as("fill_rate"),
+      max("tok").as("max_batch_tokens"),
+      sum(when(col("tok") > 2048, 1L).otherwise(0L)).as("n_overflow_batches"))
+  }
+
+  val q164_sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |           FROM documents),
+      |r AS (SELECT doc_id, n,
+      |        sum(n) OVER (ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      |      FROM t),
+      |b AS (SELECT CAST(floor((e - n) / 2048.0) AS BIGINT) AS batch_id,
+      |        count(*) AS n_docs, sum(n) AS tok
+      |      FROM r GROUP BY batch_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+      |  round(CAST(sum(tok) AS DOUBLE) / (count(*) * 2048), 6) AS fill_rate,
+      |  CAST(max(tok) AS BIGINT) AS max_batch_tokens,
+      |  CAST(sum(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_batches
+      |FROM b""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
@@ -378,7 +423,8 @@ object CorpusQueries {
     "q152_coverage_curve" -> q152_coverage_curve,
     "q154_bpe_fertility" -> q154_bpe_fertility,
     "q157_distinct_ngrams" -> q157_distinct_ngrams,
-    "q160_chunking" -> q160_chunking)
+    "q160_chunking" -> q160_chunking,
+    "q164_packing_efficiency" -> q164_packing_efficiency)
 
   val oracle: Map[String, String] = Map(
     "q45_vocab" -> q45_sql,
@@ -392,5 +438,6 @@ object CorpusQueries {
     "q152_coverage_curve" -> q152_sql,
     "q154_bpe_fertility" -> q154_sql,
     "q157_distinct_ngrams" -> q157_sql,
-    "q160_chunking" -> q160_sql)
+    "q160_chunking" -> q160_sql,
+    "q164_packing_efficiency" -> q164_sql)
 }

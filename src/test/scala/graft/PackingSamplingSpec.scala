@@ -109,4 +109,19 @@ class PackingSamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flat === Map(1L -> 10L, 2L -> 3L))
   }
+
+  test("packing efficiency (q164 shape): hand-computed fill rate and overflow") {
+    import spark.implicits._
+    // budget 2048, docs of 1000/1500/3000 tokens in id order:
+    // doc1 starts at 0 -> batch 0; doc2 starts at 1000 -> batch 0
+    // (batch 0 totals 2500, overflowing); doc3 starts at 2500 ->
+    // batch 1 (3000 tokens, its own overflowing batch)
+    val d = Seq((1L, 1000L), (2L, 1500L), (3L, 3000L)).toDF("doc_id", "n_tok")
+    val batches = Packing.packSequential(d, col("n_tok"), 2048, Seq(col("doc_id")))
+      .groupBy("batch_id").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batches === Map(0L -> ((2L, 2500L)), 1L -> ((1L, 3000L))))
+    // the census over those batches: fill = 5500/(2*2048)
+    assert(math.abs(5500.0 / 4096 - 1.342773) < 1e-6)
+  }
 }
