@@ -66,4 +66,41 @@ object Stats {
       .select("feature", "corr")
       .orderBy(abs(col("corr")).desc, col("feature").asc)
       .limit(k)
+
+  /** Equi-depth (equal-frequency) histogram — the optimizer-stats
+    * histogram, built WITHOUT a global `ntile` window: the corpus
+    * collapses to one row per distinct value, the distributed prefix
+    * sum assigns each value its rank interval [s, e], and a broadcast
+    * `buckets`-row frame intersects those intervals with the standard
+    * ntile boundaries (first N mod b buckets take one extra row).
+    * Per-bucket (n_rows, min, max) only depend on the sorted value
+    * multiset, so tied rows straddling a boundary cannot change the
+    * output — the result is exactly `ntile(buckets) ORDER BY value`.
+    * Everything after the first groupBy is value-cardinality-sized. */
+  def equiDepthHistogram(df: DataFrame, value: org.apache.spark.sql.Column,
+                         buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val v = df.groupBy(value.as("value")).agg(count(lit(1)).as("c"))
+    val run = graft.operators.Operators
+      .withRunningTotal(v, col("c"), Seq(col("value")))
+      .withColumn("__e", col("__run"))
+      .withColumn("__s", col("__e") - col("c") + 1)
+    val n = v.agg(sum("c").as("__n"))
+    val bIdx = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    run.crossJoin(broadcast(n)).crossJoin(broadcast(bIdx))
+      .withColumn("__q", floor(col("__n") / buckets).cast("long"))
+      .withColumn("__rem", col("__n") % buckets)
+      .withColumn("__lo",
+        col("bucket") * col("__q") + least(col("bucket"), col("__rem")))
+      .withColumn("__hi", col("__lo") + col("__q") +
+        when(col("bucket") < col("__rem"), 1L).otherwise(0L))
+      .filter(col("__s") <= col("__hi") && col("__e") > col("__lo"))
+      .withColumn("__rows",
+        least(col("__e"), col("__hi")) - greatest(col("__s"), col("__lo") + 1) + 1)
+      .groupBy("bucket")
+      .agg(sum("__rows").as("n_rows"),
+        min("value").cast("double").as("min_val"),
+        max("value").cast("double").as("max_val"))
+      .orderBy("bucket")
+  }
 }

@@ -939,8 +939,29 @@ object Extended {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  // --------------------------------------------------------------- q165
+  // Equi-depth histogram of l_extendedprice (10 buckets) — the
+  // optimizer-stats histogram. The oracle uses a plain global ntile
+  // window; the Spark side deliberately does NOT: it value-compresses,
+  // assigns rank intervals by the distributed prefix sum, and
+  // intersects with broadcast ntile boundaries — identical output
+  // (per-bucket count/min/max are tie-invariant), no single-partition
+  // window anywhere.
+  val q165_equidepth_hist: Q = (s, dir) =>
+    graft.analytics.Stats.equiDepthHistogram(
+      Tables.load(s, dir, "lineitem"), col("l_extendedprice"), 10)
+
+  val q165_sql: String =
+    """WITH r AS (SELECT l_extendedprice AS v,
+      |             ntile(10) OVER (ORDER BY l_extendedprice) AS b
+      |           FROM lineitem)
+      |SELECT CAST(b - 1 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(v) AS DOUBLE) AS min_val, CAST(max(v) AS DOUBLE) AS max_val
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q158_key_skew" -> q158_key_skew,
+    "q165_equidepth_hist" -> q165_equidepth_hist,
     "q91_right_join" -> q91_right_join,
     "q90_outlier_census" -> q90_outlier_census,
     "q87_label_centroids" -> q87_label_centroids,
@@ -977,6 +998,7 @@ object Extended {
 
   val oracle: Map[String, String] = Map(
     "q158_key_skew" -> q158_sql,
+    "q165_equidepth_hist" -> q165_sql,
     "q91_right_join" -> q91_sql,
     "q90_outlier_census" -> q90_sql,
     "q87_label_centroids" -> q87_sql,

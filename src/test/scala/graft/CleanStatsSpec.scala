@@ -80,4 +80,19 @@ class CleanStatsSpec extends SparkSpec {
     val z = Stats.withZScores(d, Seq("v")).agg(round(sum("z_v"), 9)).head().getDouble(0)
     assert(z === 0.0)
   }
+
+  test("equi-depth histogram: ntile semantics with ties straddling boundaries") {
+    import spark.implicits._
+    // 11 values, 3 buckets -> sizes 4,4,3 (first N mod b take the extra);
+    // sorted: 1,1,1,2 | 2,3,3,3 | 3,4,5 — ties 2 and 3 straddle cuts
+    val d = Seq(1, 1, 1, 2, 2, 3, 3, 3, 3, 4, 5).toDF("v")
+    val rows = Stats.equiDepthHistogram(d, col("v"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows === Array(
+      (0L, 4L, 1.0, 2.0),
+      (1L, 4L, 2.0, 3.0),
+      (2L, 3L, 3.0, 5.0)))
+    // buckets partition the rows
+    assert(rows.map(_._2).sum === 11L)
+  }
 }
