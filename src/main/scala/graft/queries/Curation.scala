@@ -448,7 +448,60 @@ object Curation {
        |  CAST(sum(pos * doc_id) AS BIGINT) AS pos_dot_id
        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------- q166
+  // Per-source quality-quota selection: keep the TOP 25% of each
+  // source by the q112 classifier score (rank-based, not random) —
+  // the curation move that raises average quality without wiping out
+  // rare domains (a global score cut would drain low-scoring sources
+  // entirely; the quota keeps every source represented). Score ties
+  // break on doc_id, so the cut is total; the windows partition by
+  // source — no global window, scales with the source count.
+  val q166_quota_select: Q = (s, dir) => {
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(QwNTokens, QwAvgLen, QwStopword, QwPunct), QwIntercept)
+    val scored = graft.text.TextAnalysis
+      .qualityFeatures(Tables.load(s, dir, "documents"), col("text"))
+      .select(col("doc_id"), col("source"), round(model.scoreExpr, 6).as("qscore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("qscore").desc, col("doc_id").asc)
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(ws))
+      .filter(col("__rk") <= ceil(col("__n") * 0.25))
+      .select("doc_id", "source", "qscore")
+      .orderBy("doc_id")
+  }
+
+  lazy val q166_sql: String = {
+    val stop = graft.text.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val z = s"(((($QwIntercept + n_tokens * $QwNTokens) + avg_token_len * $QwAvgLen)" +
+      s" + stopword_ratio * $QwStopword) + punct_ratio * $QwPunct)"
+    s"""WITH f AS (SELECT doc_id, source,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents),
+       |sc AS (SELECT doc_id, source, round(1.0 / (1.0 + exp(-$z)), 6) AS qscore FROM f),
+       |r AS (SELECT doc_id, source, qscore,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY qscore DESC, doc_id ASC) AS rk,
+       |        count(*) OVER (PARTITION BY source) AS n_src
+       |      FROM sc)
+       |SELECT doc_id, source, qscore FROM r
+       |WHERE rk <= ceil(n_src * 0.25) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q166_quota_select" -> q166_quota_select,
     "q106_line_dedup" -> q106_line_dedup,
     "q107_sq_ann" -> q107_sq_ann,
     "q108_ks_drift" -> q108_ks_drift,
@@ -462,6 +515,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q166_quota_select" -> q166_sql,
     "q106_line_dedup" -> q106_sql,
     "q107_sq_ann" -> q107_sql,
     "q108_ks_drift" -> q108_sql,

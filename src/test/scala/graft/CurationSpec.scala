@@ -229,4 +229,23 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 2L, 5L)))
   }
+
+  test("quota select (q166): ceil quota per source; rare domain survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quota").toString
+    // source "big": 8 docs of varying quality; source "rare": 1 weak doc.
+    // A global top-25% cut would drop the rare domain; the quota keeps
+    // ceil(1 * 0.25) = 1 doc from it regardless of score.
+    val filler = "the a is of and to in " // stopwords lift the score
+    val big = (1L to 8L).map(i => (i, "big", ("word " * (30 + i.toInt) + filler).trim))
+    val rare = Seq((100L, "rare", ("zz " * 40).trim)) // low score: no stopwords
+    (big ++ rare).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Curation.q166_quota_select(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // big: ceil(8 * 0.25) = 2 kept; rare: ceil(0.25) = 1 kept
+    assert(rows.count(_._2 == "big") === 2)
+    assert(rows.count(_._2 == "rare") === 1)
+    assert(rows.map(_._1).contains(100L))
+  }
 }
