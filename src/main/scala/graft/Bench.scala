@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: every SparkEntry query timed on
@@ -27,18 +26,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val loadStart = loadAvg()
-    val tsStart = System.currentTimeMillis()
-    if (loadStart > 2.0)
+    // Contended-bench hygiene: a concurrent sbt/test run inflates timings
+    // 3-14x (round 4: 245s contended vs 85s solo). If the box is loaded at
+    // start, sleep-and-retry ONCE — most contention here is a test suite
+    // finishing — then record whatever loadavg we actually ran under, so
+    // the artifact is either solo or self-flagged `contended`.
+    var loadStart = loadAvg()
+    var retried = false
+    if (loadStart > 2.0) {
       System.err.println(f"WARN: loadavg at bench start is $loadStart%.2f — " +
-        "another job is sharing this box; timings will be inflated. " +
-        "Re-run solo for comparable numbers.")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+        "box is contended; sleeping 90s and retrying once before benching.")
+      Thread.sleep(90000)
+      retried = true
+      loadStart = loadAvg()
+      if (loadStart > 2.0)
+        System.err.println(f"WARN: still contended after retry " +
+          f"($loadStart%.2f) — proceeding; artifact will carry contended:true.")
+    }
+    val tsStart = System.currentTimeMillis()
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt, "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -77,7 +83,8 @@ object Bench {
     val tsEnd = System.currentTimeMillis()
     val env = s""""env":{"cpus":$cpus,"loadavg_start":$loadStart,""" +
       s""""loadavg_end":$loadEnd,"ts_start_ms":$tsStart,"ts_end_ms":$tsEnd,""" +
-      s""""contended":${loadStart > 2.0},"mode":"${if (warm) "warm" else "cold"}"}"""
+      s""""contended":${loadStart > 2.0},"retried":$retried,""" +
+      s""""mode":"${if (warm) "warm" else "cold"}"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     println(json)

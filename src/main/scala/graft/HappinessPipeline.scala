@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Kpis, Stats}
@@ -18,13 +18,9 @@ import graft.ml.Ols
 object HappinessPipeline {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/reference/data")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("happiness-pipeline")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]", 8,
+      "happiness-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val unified = Normalize.loadUnified(spark, dataDir).cache()

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Clean, Normalize}
@@ -23,13 +23,9 @@ object StreamingDemo {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/reference/data")
     val work = Files.createTempDirectory("graft_stream_demo").toString
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("streaming-demo")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]", 8,
+      "streaming-demo").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

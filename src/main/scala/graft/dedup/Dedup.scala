@@ -491,11 +491,12 @@ object Dedup {
       val hot = invAll.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
         .crossJoin(broadcast(cutRow))
         .filter(col("__df") > col("__cut"))
-      // the drop COUNT is an extra job run only when INFO logging is
-      // on — the cut itself (anti-join below) is always lazy/fused
-      if (log.isInfoEnabled) {
+      // the drop COUNT is an extra job, so it runs only at DEBUG — at
+      // the default INFO level the cut (anti-join below) stays lazy/fused
+      // and costs zero extra passes over the token-frequency table
+      if (log.isDebugEnabled) {
         val nHot = hot.count()
-        log.info(s"invertedIndex df-cut: dropping $nHot tokens with " +
+        log.debug(s"invertedIndex df-cut: dropping $nHot tokens with " +
           s"doc-frequency fraction > $maxDocFrequency")
       }
       invAll.join(hot.select(col("tok").as("__hot")),

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,11 +78,9 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcSfDir> <dstDir> <factor>")
     val Array(src, dst, factorStr) = args
     val factor = factorStr.toInt
-    val spark = SparkSession.builder()
-      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.builder(
+      s"local[${Runtime.getRuntime.availableProcessors()}]", 32,
+      "graft-scaleup").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val offsets: Map[String, Long] = KeyDomains.map { case (dom, (table, keyCol)) =>

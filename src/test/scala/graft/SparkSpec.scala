@@ -6,13 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM, one session — SparkSessions
   * are expensive; suites must not depend on session-level state). */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
+  lazy val spark: SparkSession = Sessions.builder("local[4]", 4, "graft-test")
     .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 import graft.SparkEntry
 
@@ -12,10 +12,7 @@ object BenchOne {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.Sessions.builder("local[32]", 32, "bench-one")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to reps).foreach { i =>

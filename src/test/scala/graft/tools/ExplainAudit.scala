@@ -1,15 +1,13 @@
 // Plan audit: run with  sbt -batch "Test/runMain graft.tools.ExplainAudit"
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 import graft.SparkEntry
 
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.Sessions.builder("local[8]", 8, "explain-audit")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -8,9 +8,7 @@ import graft.Tables
 /** Compare bigram formulations. Test/runMain graft.tools.NgramExperiment */
 object NgramExperiment {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.Sessions.builder("local[32]", 32, "ngram-exp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = Tables.load(spark, "/root/testdata/sf0.1", "documents")

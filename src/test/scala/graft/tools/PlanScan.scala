@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 import graft.SparkEntry
 
@@ -8,9 +8,7 @@ import graft.SparkEntry
   * Test/runMain graft.tools.PlanScan */
 object PlanScan {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.Sessions.builder("local[8]", 8, "plan-scan")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
