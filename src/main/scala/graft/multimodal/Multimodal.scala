@@ -21,12 +21,18 @@ import org.apache.spark.sql.types._
   *    `BinaryType` — fixed-offset byte reads via substr+hex+conv, no
   *    UDF, fully pushdown/codegen-friendly and cross-checkable in any
   *    engine that can slice hex strings.
-  *  - **Pixel decode stays a STUB** ([[stubDecodeFeatures]]): this
-  *    container ships no image/audio codecs, so the feature extractor
-  *    hashes payload bytes into a deterministic fake vector. The
-  *    Spark-side contract (schema, batching, partition sizing, feature
-  *    shapes) is real and tested; swap `decoder` for a JNI/FFmpeg/
-  *    libvips call in production.
+  *  - **Sample decode is REAL for codec-free formats**: integer-PCM
+  *    WAV audio ([[parseWavPcm]] + [[pcmChannelStats]]) and 24-bit
+  *    uncompressed BMP pixels ([[parseBmp]] + [[bmpChannelStats]]) are
+  *    raw bytes, so per-channel mean/RMS/peak (audio) and
+  *    mean/variance (image) are computed exactly — twice, in fact:
+  *    as oracle-checkable integer column expressions, and as the same
+  *    math in [[decodeMediaFeatures]] for the per-partition production
+  *    path. Only compressed formats (PNG/JPEG pixels, MP3, H.264)
+  *    still fall back to the labeled hash stub
+  *    ([[stubDecodeFeatures]]): this container ships no codec
+  *    libraries; swap the fallback for a JNI/FFmpeg/libvips call in
+  *    production.
   *
   * Scale design: payloads never pass through a shuffle — decode is a
   * narrow mapPartitions directly over the scan; `repartitionForPayloads`
@@ -411,6 +417,234 @@ object Multimodal {
       when(id % 89L === 0L, body).otherwise(mp4).as("media"))
   }
 
+  /** Locate the PCM payload of a WAV: same RIFF chunk walk as
+    * [[parseWavHeader]] but additionally tracking the `data` chunk's
+    * payload OFFSET (not just its size), because sample-level decode
+    * needs to address the bytes. Returns struct (valid, channels,
+    * bits_per_sample, n_frames, doff) with `valid` true only for the
+    * decodable envelope the sample fold assumes: integer PCM
+    * (wFormatTag=1), 8 or 16 bits, 1-2 channels, a consistent block
+    * align, and the whole data payload inside the binary. */
+  def parseWavPcm(media: Column, maxChunks: Int = WavMaxChunks): Column = {
+    val isRiff = length(media) >= 44 &&
+      hex(substring(media, 1, 4)) === lit("52494646") &&  // "RIFF"
+      hex(substring(media, 9, 4)) === lit("57415645")     // "WAVE"
+    val nul = lit(null).cast("long")
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(12L).as("off"), nul.as("fmt"), nul.as("doff"), nul.as("dsize")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val fmt = acc.getField("fmt")
+        val doff = acc.getField("doff")
+        val dsz = acc.getField("dsize")
+        val ok = (fmt.isNull || doff.isNull) &&
+          (off + lit(8L)) <= length(media).cast("long")
+        val cid = hex(media.substr(off + lit(1L), lit(4L)))
+        val csize = leAt(media, off + lit(4L), 4)
+        struct(
+          when(ok, off + lit(8L) + csize + csize % lit(2L)).otherwise(off).as("off"),
+          when(fmt.isNotNull, fmt)
+            .when(ok && cid === lit("666D7420"), off + lit(8L)).as("fmt"),   // "fmt "
+          when(doff.isNotNull, doff)
+            .when(ok && cid === lit("64617461"), off + lit(8L)).as("doff"),  // "data"
+          when(dsz.isNotNull, dsz)
+            .when(ok && cid === lit("64617461"), csize).as("dsize"))
+      },
+      acc => {
+        val fmt = acc.getField("fmt")
+        val doff = acc.getField("doff")
+        val dsz = acc.getField("dsize")
+        val codec = leAt(media, fmt, 2)
+        val channels = leAt(media, fmt + lit(2L), 2)
+        val bits = leAt(media, fmt + lit(14L), 2)
+        val blockAlign = leAt(media, fmt + lit(12L), 2)
+        val nFrames = floor(dsz / blockAlign).cast("long")
+        val valid = isRiff && fmt.isNotNull && doff.isNotNull && dsz.isNotNull &&
+          codec === lit(1L) && (bits === lit(8L) || bits === lit(16L)) &&
+          channels >= lit(1L) && channels <= lit(2L) &&
+          blockAlign === channels * (bits / lit(8L)).cast("long") &&
+          (doff + dsz) <= length(media).cast("long") && nFrames > lit(0L)
+        struct(valid.as("valid"),
+          when(valid, channels).as("channels"),
+          when(valid, bits).as("bits_per_sample"),
+          when(valid, nFrames).as("n_frames"),
+          when(valid, doff).as("doff"))
+      })
+  }
+
+  /** REAL per-channel PCM sample statistics as one integer column-
+    * expression fold over the data-chunk payload: per channel, the
+    * exact BIGINT sample sum and sum-of-squares plus the peak |sample|.
+    * 8-bit PCM is unsigned with midpoint 128 (sample = byte - 128);
+    * 16-bit PCM is signed little-endian. Interleaved frames: sample i
+    * belongs to channel i mod channels.
+    *
+    * All inputs must be ALREADY-MATERIALIZED columns from a previous
+    * projection of [[parseWavPcm]] — passing the parse struct's fields
+    * directly would splice a copy of the chunk walk into every sample
+    * read (see parseWavHeader's finish-lambda note). Caller guards with
+    * `when(valid, ...)` so the fold never sees null bounds.
+    *
+    * Scale note: the fold is O(n_samples) INSIDE one row's projection —
+    * right for clips up to a few hundred-k samples (the oracle-checkable
+    * path); for long recordings use [[decodeMediaFeatures]], the same
+    * math per partition without an expression tree. */
+  def pcmChannelStats(media: Column, doff: Column, channels: Column,
+                      bits: Column, nFrames: Column): Column = {
+    val bps = when(bits === lit(8L), lit(1L)).otherwise(lit(2L))
+    val z = lit(0L)
+    aggregate(
+      sequence(lit(0L), nFrames * channels - lit(1L)),
+      struct(z.as("s0"), z.as("s1"), z.as("q0"), z.as("q1"),
+        z.as("p0"), z.as("p1")),
+      (acc, i) => {
+        val off = doff + i * bps
+        val v8 = u8At(media, off) - lit(128L)
+        val raw16 = leAt(media, off, 2)
+        val v16 = raw16 - when(raw16 >= lit(32768L), lit(65536L)).otherwise(z)
+        val v = when(bps === lit(1L), v8).otherwise(v16)
+        val ch0 = i % channels === z
+        struct(
+          (acc.getField("s0") + when(ch0, v).otherwise(z)).as("s0"),
+          (acc.getField("s1") + when(ch0, z).otherwise(v)).as("s1"),
+          (acc.getField("q0") + when(ch0, v * v).otherwise(z)).as("q0"),
+          (acc.getField("q1") + when(ch0, z).otherwise(v * v)).as("q1"),
+          greatest(acc.getField("p0"), when(ch0, abs(v)).otherwise(lit(-1L))).as("p0"),
+          greatest(acc.getField("p1"), when(ch0, lit(-1L)).otherwise(abs(v))).as("p1"))
+      },
+      acc => {
+        val stereo = channels === lit(2L)
+        val n = nFrames.cast("double")
+        val s0 = acc.getField("s0"); val s1 = acc.getField("s1")
+        val q0 = acc.getField("q0"); val q1 = acc.getField("q1")
+        struct(
+          s0.as("sum_ch0"), when(stereo, s1).as("sum_ch1"),
+          acc.getField("p0").as("peak_ch0"),
+          when(stereo, acc.getField("p1")).as("peak_ch1"),
+          round(s0 / n, 6).as("mean_ch0"),
+          when(stereo, round(s1 / n, 6)).as("mean_ch1"),
+          round(sqrt(q0 / n), 6).as("rms_ch0"),
+          when(stereo, round(sqrt(q1 / n), 6)).as("rms_ch1"))
+      })
+  }
+
+  /** Pixel-count ceiling for the expression-level BMP fold: beyond this
+    * the per-row fold is the wrong tool (a 100 MP scan would unroll to
+    * a 300M-step per-row loop) — such rows report valid=false and
+    * should go through [[decodeMediaFeatures]] instead. */
+  val BmpMaxPixels: Long = 1L << 20
+
+  /** Parse a 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, MSDN layout: pixel-data offset u32le at +10,
+    * header size u32le at +14 must be 40, width i32le at +18, height
+    * i32le at +22, planes u16le at +26 = 1, bit count u16le at +28 =
+    * 24, compression u32le at +30 = 0/BI_RGB). Returns struct (valid,
+    * width, height, data_off). `valid` additionally requires the whole
+    * bottom-up pixel array — height rows of stride ⌈3·width/4⌉·4 bytes
+    * — to fit inside the binary, and width·height ≤ [[BmpMaxPixels]]. */
+  def parseBmp(media: Column): Column = {
+    val isBmp = length(media) >= 54 &&
+      hex(substring(media, 1, 2)) === lit("424D") &&     // "BM"
+      leAt(media, lit(14L), 4) === lit(40L) &&
+      leAt(media, lit(26L), 2) === lit(1L) &&
+      leAt(media, lit(28L), 2) === lit(24L) &&
+      leAt(media, lit(30L), 4) === lit(0L)
+    // clamp before ANY multiplication: u32 garbage dims (2^32 · 2^32)
+    // would overflow BIGINT under ANSI mode / DuckDB's eager vectorized
+    // AND. The clamp (2·BmpMaxPixels) preserves validity exactly — any
+    // clamped dimension already exceeds the pixel ceiling on its own.
+    val w = least(leAt(media, lit(18L), 4), lit(2L * BmpMaxPixels))
+    val h = least(leAt(media, lit(22L), 4), lit(2L * BmpMaxPixels))
+    val doff = leAt(media, lit(10L), 4)
+    val stride = ((w * lit(3L) + lit(3L)) / lit(4L)).cast("long") * lit(4L)
+    val valid = isBmp && w > lit(0L) && h > lit(0L) &&
+      w * h <= lit(BmpMaxPixels) && doff >= lit(54L) &&
+      (doff + stride * h) <= length(media).cast("long")
+    struct(valid.as("valid"),
+      when(valid, w).as("width"),
+      when(valid, h).as("height"),
+      when(valid, doff).as("data_off"))
+  }
+
+  /** REAL per-channel (B, G, R) pixel statistics for a 24-bit BMP as
+    * one integer column-expression fold over the pixel array: exact
+    * BIGINT sums and sums-of-squares per channel. The fold addresses
+    * byte i of the LOGICAL pixel stream (3·width bytes per row) and
+    * maps it through the 4-byte row stride — the pad bytes between
+    * rows never enter the statistics, which is the observable
+    * difference between a stride-aware walk and a naive contiguous
+    * read. Same materialized-inputs contract as [[pcmChannelStats]]. */
+  def bmpChannelStats(media: Column, dataOff: Column, w: Column,
+                      h: Column): Column = {
+    val rowBytes = w * lit(3L)
+    val stride = ((rowBytes + lit(3L)) / lit(4L)).cast("long") * lit(4L)
+    val z = lit(0L)
+    aggregate(
+      sequence(lit(0L), rowBytes * h - lit(1L)),
+      struct(z.as("sb"), z.as("sg"), z.as("sr"),
+        z.as("qb"), z.as("qg"), z.as("qr")),
+      (acc, i) => {
+        val r = floor(i / rowBytes).cast("long")
+        val off = dataOff + r * stride + (i - r * rowBytes)
+        val v = u8At(media, off)
+        val ch = i % lit(3L) // 0=B 1=G 2=R (BGR byte order, bottom-up rows)
+        struct(
+          (acc.getField("sb") + when(ch === z, v).otherwise(z)).as("sb"),
+          (acc.getField("sg") + when(ch === lit(1L), v).otherwise(z)).as("sg"),
+          (acc.getField("sr") + when(ch === lit(2L), v).otherwise(z)).as("sr"),
+          (acc.getField("qb") + when(ch === z, v * v).otherwise(z)).as("qb"),
+          (acc.getField("qg") + when(ch === lit(1L), v * v).otherwise(z)).as("qg"),
+          (acc.getField("qr") + when(ch === lit(2L), v * v).otherwise(z)).as("qr"))
+      },
+      acc => {
+        val n = (w * h).cast("double")
+        def meanVar(s: Column, q: Column, tag: String) = Seq(
+          s.as(s"sum_$tag"),
+          round(s / n, 6).as(s"mean_$tag"),
+          round(q / n - (s / n) * (s / n), 6).as(s"var_$tag"))
+        struct(
+          meanVar(acc.getField("sb"), acc.getField("qb"), "b") ++
+            meanVar(acc.getField("sg"), acc.getField("qg"), "g") ++
+            meanVar(acc.getField("sr"), acc.getField("qr"), "r"): _*)
+      })
+  }
+
+  /** Deterministic synthetic 24-bit BMP corpus: real BITMAPFILEHEADER +
+    * BITMAPINFOHEADER byte streams with md5-derived pixel bytes. Two
+    * properties are load-bearing for the parser: a variable-length gap
+    * between header and pixel array (so the pixel-data offset must be
+    * READ, not assumed = 54) and widths 1..4 (strides 4/8/12/12, so
+    * rows carry 0-3 pad bytes a contiguous reader would miscount). */
+  def syntheticBmp(docs: DataFrame,
+                   idCol: Column = col("doc_id"),
+                   textCol: Column = col("text")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    def le(v: Column, n: Int): Column = {
+      val hh = lpad(hex(v), 2 * n, "0")
+      unhex(concat((n - 1 to 0 by -1).map(i => hh.substr(lit(2 * i + 1), lit(2))): _*))
+    }
+    val w = lit(1L) + id % 4L
+    val h = lit(1L) + id % 3L
+    val gap = id % 5L
+    val stride = ((w * lit(3L) + lit(3L)) / lit(4L)).cast("long") * lit(4L)
+    val pixBytes = stride * h
+    // 48 deterministic bytes — enough for gap (≤4) + pixels (≤36)
+    val body = unhex(concat(md5(textCol),
+      md5(concat(textCol, lit("a"))), md5(concat(textCol, lit("b")))))
+    val bmp = concat(
+      unhex(lit("424D")), le(lit(54L) + gap + pixBytes, 4),
+      le(lit(0L), 4), le(lit(54L) + gap, 4),
+      le(lit(40L), 4), le(w, 4), le(h, 4), le(lit(1L), 2), le(lit(24L), 2),
+      le(lit(0L), 4), le(pixBytes, 4), le(lit(2835L), 4), le(lit(2835L), 4),
+      le(lit(0L), 4), le(lit(0L), 4),
+      body.substr(lit(1L), gap),
+      body.substr(gap + lit(1L), pixBytes))
+    spread.select(id.as("media_id"),
+      when(id % 97L === 0L, body).otherwise(bmp).as("media"))
+  }
+
   /** Deterministic synthetic media corpus derived from a documents
     * table: REAL format byte streams (PNG signature + IHDR; JPEG
     * SOI → APP0/JFIF → variable-length COM → SOF0 → EOI), dimensions
@@ -483,12 +717,120 @@ object Multimodal {
     out
   }
 
+  /** REAL sample-level decoder for the codec-free formats — integer-PCM
+    * WAV and 24-bit uncompressed BMP, whose payloads ARE the samples —
+    * plus the labeled hash stub as fallback for anything else
+    * (compressed formats genuinely need codec libraries this container
+    * does not ship; swap the fallback for a JNI/FFmpeg/libvips call in
+    * production).
+    *
+    * Feature layout (normalized to [-1, 1]):
+    *  - WAV:  [mean/FS, rms/FS, peak/FS] per channel (FS = full scale:
+    *    128 for 8-bit, 32768 for 16-bit), then zeros.
+    *  - BMP:  [mean/255, stddev/255] per channel in B, G, R order,
+    *    then zeros.
+    *
+    * The math is the same integer accumulation as [[pcmChannelStats]] /
+    * [[bmpChannelStats]] (MultimodalSpec pins the two paths equal on
+    * the synthetic corpora) — this is the production path for payloads
+    * too large for a per-row expression fold. */
+  def decodeMediaFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    def u8(i: Long): Int = bytes(i.toInt) & 0xff
+    def le(i: Long, n: Int): Long = {
+      var v = 0L; var k = n - 1
+      while (k >= 0) { v = (v << 8) | u8(i + k); k -= 1 }
+      v
+    }
+    def fourcc(i: Long, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+
+    val out = new Array[Float](dim)
+    if (bytes.length >= 44 && fourcc(0, "RIFF") && fourcc(8, "WAVE")) {
+      // RIFF chunk walk (id + u32le size + payload padded to even)
+      var off = 12L; var fmt = -1L; var doff = -1L; var dsize = -1L; var steps = 0
+      while (steps < 64 && (fmt < 0 || doff < 0) && off + 8 <= bytes.length) {
+        val csize = le(off + 4, 4)
+        if (fourcc(off, "fmt ")) fmt = off + 8
+        else if (fourcc(off, "data")) { doff = off + 8; dsize = csize }
+        off += 8 + csize + csize % 2
+        steps += 1
+      }
+      if (fmt >= 0 && doff >= 0) {
+        val codec = le(fmt, 2); val ch = le(fmt + 2, 2).toInt
+        val bits = le(fmt + 14, 2).toInt
+        val bps = bits / 8
+        val usable = math.min(dsize, bytes.length - doff)
+        val nFrames = if (ch > 0 && bps > 0) usable / (ch.toLong * bps) else 0L
+        if (codec == 1 && (bits == 8 || bits == 16) && ch >= 1 && ch <= 2 &&
+            nFrames > 0) {
+          val fullScale = if (bits == 8) 128f else 32768f
+          val sum = new Array[Long](ch); val sq = new Array[Long](ch)
+          val pk = new Array[Long](ch)
+          var f = 0L
+          while (f < nFrames) {
+            var c = 0
+            while (c < ch) {
+              val o = doff + (f * ch + c) * bps
+              val v = if (bits == 8) u8(o) - 128L
+                      else { val r = le(o, 2); if (r >= 32768L) r - 65536L else r }
+              sum(c) += v; sq(c) += v * v
+              if (math.abs(v) > pk(c)) pk(c) = math.abs(v)
+              c += 1
+            }
+            f += 1
+          }
+          var c = 0
+          while (c < ch && 3 * c + 2 < dim) {
+            out(3 * c) = (sum(c).toDouble / nFrames / fullScale).toFloat
+            out(3 * c + 1) = (math.sqrt(sq(c).toDouble / nFrames) / fullScale).toFloat
+            out(3 * c + 2) = pk(c).toFloat / fullScale
+            c += 1
+          }
+          return out
+        }
+      }
+      return stubDecodeFeatures(bytes, dim)
+    }
+    if (bytes.length >= 54 && u8(0) == 'B' && u8(1) == 'M' &&
+        le(14, 4) == 40 && le(26, 2) == 1 && le(28, 2) == 24 && le(30, 4) == 0) {
+      val w = le(18, 4); val h = le(22, 4); val doff = le(10, 4)
+      val stride = (w * 3 + 3) / 4 * 4
+      if (w > 0 && h > 0 && doff >= 54 && doff + stride * h <= bytes.length) {
+        val sum = new Array[Long](3); val sq = new Array[Long](3)
+        var r = 0L
+        while (r < h) {
+          var i = 0L
+          while (i < w * 3) {
+            val v = u8(doff + r * stride + i).toLong
+            val c = (i % 3).toInt
+            sum(c) += v; sq(c) += v * v
+            i += 1
+          }
+          r += 1
+        }
+        val n = (w * h).toDouble
+        var c = 0
+        while (c < 3 && 2 * c + 1 < dim) {
+          val mean = sum(c) / n
+          out(2 * c) = (mean / 255.0).toFloat
+          out(2 * c + 1) = (math.sqrt(sq(c) / n - mean * mean) / 255.0).toFloat
+          c += 1
+        }
+        return out
+      }
+    }
+    stubDecodeFeatures(bytes, dim)
+  }
+
   /** Decode/feature-extract: per-partition batch iterator over the
-    * binary column → (media_id, features array<float>). The decoder is
-    * injected; partitions stream row-by-row (no whole-partition
-    * buffering), so memory is bounded by one payload. */
+    * binary column → (media_id, features array<float>). The default
+    * decoder is [[decodeMediaFeatures]] — REAL sample statistics for
+    * PCM WAV and 24-bit BMP, hash-stub fallback for codec-requiring
+    * formats; inject a JNI/FFmpeg decoder in production. Partitions
+    * stream row-by-row (no whole-partition buffering), so memory is
+    * bounded by one payload. */
   def extractFeatures(df: DataFrame, dim: Int = 16,
-                      decoder: (Array[Byte], Int) => Array[Float] = stubDecodeFeatures)
+                      decoder: (Array[Byte], Int) => Array[Float] = decodeMediaFeatures)
       : DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -364,15 +364,249 @@ object Media {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q167
+  // REAL PCM sample-level decode: per-channel mean/RMS/peak computed as
+  // one integer expression fold over the WAV data chunk. The DuckDB twin
+  // replays the byte construction AND the sample loop (list_transform
+  // over range — integer sums are order-independent, so the two engines
+  // cannot disagree on accumulation order).
+  val q167_wav_pcm_stats: Q = (s, dir) => {
+    val m = Multimodal.syntheticWav(Tables.load(s, dir, "documents"))
+    // three-step select: the chunk-walk struct materializes once, its
+    // fields materialize once, THEN the sample fold runs over those
+    // flat columns — splicing the walk into the fold would multiply
+    // per-row cost (see parseWavHeader's finish-lambda note)
+    m.select(
+      col("media_id").as("doc_id"), col("media"),
+      Multimodal.parseWavPcm(col("media")).as("p"))
+      .select(col("doc_id"), col("media"),
+        col("p.valid").as("valid"),
+        col("p.channels").as("channels"),
+        col("p.bits_per_sample").as("bits_per_sample"),
+        col("p.n_frames").as("n_frames"),
+        col("p.doff").as("doff"))
+      .select(col("doc_id"),
+        when(col("valid"), lit("wav")).otherwise(lit("unknown")).as("format"),
+        col("channels"), col("bits_per_sample"), col("n_frames"),
+        when(col("valid"), Multimodal.pcmChannelStats(col("media"),
+          col("doff"), col("channels"), col("bits_per_sample"),
+          col("n_frames"))).as("st"))
+      .select(col("doc_id"), col("format"), col("channels"),
+        col("bits_per_sample"), col("n_frames"),
+        col("st.sum_ch0").as("sum_ch0"), col("st.sum_ch1").as("sum_ch1"),
+        col("st.peak_ch0").as("peak_ch0"), col("st.peak_ch1").as("peak_ch1"),
+        col("st.mean_ch0").as("mean_ch0"), col("st.mean_ch1").as("mean_ch1"),
+        col("st.rms_ch0").as("rms_ch0"), col("st.rms_ch1").as("rms_ch1"))
+      .orderBy("doc_id")
+  }
+
+  val q167_sql: String = {
+    val inBounds = "off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"(fmt IS NULL OR doff IS NULL) AND $inBounds"
+    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
+      s"""s$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open
+         |       THEN off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2
+         |       ELSE off END AS off,
+         |  CASE WHEN fmt IS NOT NULL THEN fmt
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '666D7420'
+         |       THEN off + 8 END AS fmt,
+         |  CASE WHEN doff IS NOT NULL THEN doff
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '64617461'
+         |       THEN off + 8 END AS doff,
+         |  CASE WHEN dsize IS NOT NULL THEN dsize
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '64617461'
+         |       THEN ${ln("off + 4", 4)} END AS dsize
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val nCh = "(1 + doc_id % 2)"
+    val sr = "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)"
+    val bps = "(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 2 END)"
+    val dataLen = "(doc_id % 9 + 8)"
+    val listLen = "(doc_id % 7 + 1)"
+    // sample i (0-based), b = bytes/sample: signed PCM value in hex space
+    def sampleV(i: String) = {
+      val o = s"(doff + ($i) * bps)"
+      val v8 = s"(CAST('0x' || substr(hexs, 2*$o + 1, 2) AS BIGINT) - 128)"
+      val raw16 = s"CAST('0x' || substr(hexs, 2*($o + 1) + 1, 2)" +
+        s" || substr(hexs, 2*$o + 1, 2) AS BIGINT)"
+      val v16 = s"($raw16 - CASE WHEN $raw16 >= 32768 THEN 65536 ELSE 0 END)"
+      s"(CASE WHEN bps = 1 THEN $v8 ELSE $v16 END)"
+    }
+    // nfx/chx are zeroed for invalid rows (guard CTE below), so the
+    // per-row sample loop is range(0) = empty wherever the header walk
+    // failed — garbage header bytes can never size a loop
+    def chSum(ch: Int, sq: Boolean) = {
+      val v = sampleV("i")
+      val term = if (sq) s"$v * $v" else v
+      s"CAST(list_sum(list_transform(range(nfx * chx), i -> " +
+        s"CASE WHEN i % chx = $ch THEN $term ELSE 0 END)) AS BIGINT)"
+    }
+    def chPeak(ch: Int) =
+      s"CAST(list_max(list_transform(range(nfx * chx), i -> " +
+        s"CASE WHEN i % chx = $ch THEN abs(${sampleV("i")}) ELSE -1 END)) AS BIGINT)"
+    s"""WITH m AS (SELECT doc_id, upper(CASE
+       |    WHEN doc_id % 89 = 0 THEN md5(text)
+       |    ELSE '52494646'
+       |      || ${lew(s"4 + CASE WHEN doc_id % 2 = 0 THEN 12 + $listLen + $listLen % 2 ELSE 0 END + 32 + $dataLen", 4)}
+       |      || '57415645'
+       |      || CASE WHEN doc_id % 2 = 0 THEN
+       |           '4C495354' || ${lew(s"$listLen + 4", 4)} || '494E464F'
+       |           || substr(md5(text), 1, CAST(2 * $listLen AS INT))
+       |           || CASE WHEN $listLen % 2 = 1 THEN '00' ELSE '' END
+       |         ELSE '' END
+       |      || '666D7420' || ${lew("16", 4)} || ${lew("1", 2)}
+       |      || ${lew(nCh, 2)} || ${lew(sr, 4)} || ${lew(s"$sr * $nCh * $bps", 4)}
+       |      || ${lew(s"$nCh * $bps", 2)} || ${lew(s"8 * $bps", 2)}
+       |      || '64617461' || ${lew(dataLen, 4)}
+       |      || substr(md5(text), 1, CAST(2 * $dataLen AS INT))
+       |  END) AS hexs FROM documents),
+       |s0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
+       |       CAST(NULL AS BIGINT) AS fmt, CAST(NULL AS BIGINT) AS doff,
+       |       CAST(NULL AS BIGINT) AS dsize FROM m),
+       |$steps,
+       |p AS (SELECT doc_id, hexs, fmt, doff, dsize,
+       |   ${ln("fmt", 2)} AS codec, ${ln("fmt + 2", 2)} AS ch,
+       |   ${ln("fmt + 14", 2)} AS bits, ${ln("fmt + 12", 2)} AS ba,
+       |   CAST(floor(dsize / ${ln("fmt + 12", 2)}) AS BIGINT) AS nf,
+       |   substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '57415645'
+       |     AND length(hexs) >= 88 AND fmt IS NOT NULL AND doff IS NOT NULL
+       |     AND dsize IS NOT NULL AS riff_ok
+       | FROM s${Multimodal.WavMaxChunks}),
+       |v AS (SELECT doc_id, hexs, doff, ch, bits, nf,
+       |   CASE WHEN bits = 8 THEN 1 ELSE 2 END AS bps,
+       |   riff_ok AND codec = 1 AND bits IN (8, 16) AND ch BETWEEN 1 AND 2
+       |     AND ba = ch * (bits // 8)
+       |     AND doff + dsize <= CAST(length(hexs)/2 AS BIGINT)
+       |     AND nf > 0 AS ok
+       | FROM p),
+       |v2 AS (SELECT *, CASE WHEN ok THEN nf ELSE 0 END AS nfx,
+       |       CASE WHEN ok THEN ch ELSE 1 END AS chx FROM v)
+       |SELECT doc_id,
+       |  CASE WHEN ok THEN 'wav' ELSE 'unknown' END AS format,
+       |  CASE WHEN ok THEN ch END AS channels,
+       |  CASE WHEN ok THEN bits END AS bits_per_sample,
+       |  CASE WHEN ok THEN nf END AS n_frames,
+       |  CASE WHEN ok THEN ${chSum(0, sq = false)} END AS sum_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN ${chSum(1, sq = false)} END AS sum_ch1,
+       |  CASE WHEN ok THEN ${chPeak(0)} END AS peak_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN ${chPeak(1)} END AS peak_ch1,
+       |  CASE WHEN ok THEN round(${chSum(0, sq = false)} / nf, 6) END AS mean_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN round(${chSum(1, sq = false)} / nf, 6) END AS mean_ch1,
+       |  CASE WHEN ok THEN round(sqrt(${chSum(0, sq = true)} / nf), 6) END AS rms_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN round(sqrt(${chSum(1, sq = true)} / nf), 6) END AS rms_ch1
+       |FROM v2 ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q168
+  // REAL BMP pixel-level decode: per-channel (B, G, R) mean/variance as
+  // one integer expression fold over the pixel array. The variable
+  // header-to-pixel gap forces reading the data offset; widths 1-4 give
+  // strides with 0-3 pad bytes per row that must be skipped.
+  val q168_bmp_pixel_stats: Q = (s, dir) => {
+    val m = Multimodal.syntheticBmp(Tables.load(s, dir, "documents"))
+    m.select(
+      col("media_id").as("doc_id"), col("media"),
+      Multimodal.parseBmp(col("media")).as("p"))
+      .select(col("doc_id"), col("media"),
+        col("p.valid").as("valid"),
+        col("p.width").as("width"),
+        col("p.height").as("height"),
+        col("p.data_off").as("data_off"))
+      .select(col("doc_id"),
+        when(col("valid"), lit("bmp")).otherwise(lit("unknown")).as("format"),
+        col("width"), col("height"),
+        when(col("valid"), col("width") * col("height")).as("n_pixels"),
+        when(col("valid"), Multimodal.bmpChannelStats(col("media"),
+          col("data_off"), col("width"), col("height"))).as("st"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_pixels"),
+        col("st.sum_b").as("sum_b"), col("st.sum_g").as("sum_g"),
+        col("st.sum_r").as("sum_r"),
+        col("st.mean_b").as("mean_b"), col("st.mean_g").as("mean_g"),
+        col("st.mean_r").as("mean_r"),
+        col("st.var_b").as("var_b"), col("st.var_g").as("var_g"),
+        col("st.var_r").as("var_r"))
+      .orderBy("doc_id")
+  }
+
+  val q168_sql: String = {
+    val w = "(1 + doc_id % 4)"
+    val h = "(1 + doc_id % 3)"
+    val gap = "(doc_id % 5)"
+    // pixel byte i of the LOGICAL stream (3w bytes/row) through the
+    // 4-byte stride — pad bytes never enter the sums; rbx/hhx are
+    // zeroed for invalid rows so garbage headers can't size the loop
+    val off = s"(doffx + (i // rbx) * stride + i % rbx)"
+    val v = s"CAST('0x' || substr(hexs, 2*$off + 1, 2) AS BIGINT)"
+    def chSum(ch: Int, sq: Boolean) = {
+      val term = if (sq) s"$v * $v" else v
+      s"CAST(list_sum(list_transform(range(rbx * hhx), i -> " +
+        s"CASE WHEN i % 3 = $ch THEN $term ELSE 0 END)) AS BIGINT)"
+    }
+    def meanVar(ch: Int, tag: String) = {
+      val s0 = chSum(ch, sq = false); val q0 = chSum(ch, sq = true)
+      s"""  CASE WHEN ok THEN $s0 END AS sum_$tag,
+         |  CASE WHEN ok THEN round($s0 / np, 6) END AS mean_$tag,
+         |  CASE WHEN ok THEN round($q0 / np - ($s0 / np) * ($s0 / np), 6) END AS var_$tag""".stripMargin
+    }
+    s"""WITH m AS (SELECT doc_id,
+       |    upper(md5(text) || md5(text || 'a') || md5(text || 'b')) AS body,
+       |    $w AS w, $h AS h, $gap AS gap,
+       |    ((3 * $w + 3) // 4) * 4 AS stride FROM documents),
+       |c AS (SELECT doc_id, upper(CASE
+       |    WHEN doc_id % 97 = 0 THEN body
+       |    ELSE '424D' || ${lew("54 + gap + stride * h", 4)}
+       |      || ${lew("0", 4)} || ${lew("54 + gap", 4)}
+       |      || ${lew("40", 4)} || ${lew("w", 4)} || ${lew("h", 4)}
+       |      || ${lew("1", 2)} || ${lew("24", 2)} || ${lew("0", 4)}
+       |      || ${lew("stride * h", 4)} || ${lew("2835", 4)} || ${lew("2835", 4)}
+       |      || ${lew("0", 4)} || ${lew("0", 4)}
+       |      || substr(body, 1, CAST(2 * gap AS INT))
+       |      || substr(body, CAST(2 * gap + 1 AS INT), CAST(2 * stride * h AS INT))
+       |  END) AS hexs FROM m),
+       |p0 AS (SELECT doc_id, hexs,
+       |   least(${ln("18", 4)}, ${2 * Multimodal.BmpMaxPixels}) AS wx,
+       |   least(${ln("22", 4)}, ${2 * Multimodal.BmpMaxPixels}) AS hh,
+       |   ${ln("10", 4)} AS doffx,
+       |   length(hexs) >= 108 AND substr(hexs, 1, 4) = '424D'
+       |     AND ${ln("14", 4)} = 40 AND ${ln("26", 2)} = 1
+       |     AND ${ln("28", 2)} = 24 AND ${ln("30", 4)} = 0 AS is_bmp
+       | FROM c),
+       |p AS (SELECT *, ((3 * wx + 3) // 4) * 4 AS stride, 3 * wx AS rb
+       | FROM p0),
+       |v AS (SELECT doc_id, hexs, wx, hh, doffx, stride, rb,
+       |   CAST(wx * hh AS DOUBLE) AS np,
+       |   is_bmp AND wx > 0 AND hh > 0 AND wx * hh <= ${Multimodal.BmpMaxPixels}
+       |     AND doffx >= 54
+       |     AND doffx + stride * hh <= CAST(length(hexs)/2 AS BIGINT) AS ok
+       | FROM p),
+       |v2 AS (SELECT *, CASE WHEN ok THEN rb ELSE 0 END AS rbx,
+       |       CASE WHEN ok THEN hh ELSE 0 END AS hhx FROM v)
+       |SELECT doc_id,
+       |  CASE WHEN ok THEN 'bmp' ELSE 'unknown' END AS format,
+       |  CASE WHEN ok THEN wx END AS width,
+       |  CASE WHEN ok THEN hh END AS height,
+       |  CASE WHEN ok THEN wx * hh END AS n_pixels,
+       |${meanVar(0, "b")},
+       |${meanVar(1, "g")},
+       |${meanVar(2, "r")}
+       |FROM v2 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q97_image_meta" -> q97_image_meta,
     "q100_audio_meta" -> q100_audio_meta,
     "q102_video_meta" -> q102_video_meta,
-    "q114_container_meta" -> q114_container_meta)
+    "q114_container_meta" -> q114_container_meta,
+    "q167_wav_pcm_stats" -> q167_wav_pcm_stats,
+    "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats)
 
   val oracle: Map[String, String] = Map(
     "q97_image_meta" -> q97_sql,
     "q100_audio_meta" -> q100_sql,
     "q102_video_meta" -> q102_sql,
-    "q114_container_meta" -> q114_sql)
+    "q114_container_meta" -> q114_sql,
+    "q167_wav_pcm_stats" -> q167_sql,
+    "q168_bmp_pixel_stats" -> q168_sql)
 }

@@ -257,6 +257,137 @@ class MultimodalSpec extends SparkSpec {
     assert(parseMp4(mp4) === Row("mp4", "69736F6D", 600L, 1500L, 2500L))
   }
 
+  test("pcmChannelStats: hand-computed samples of a 16-bit stereo wav") {
+    import spark.implicits._
+    // stereo 16-bit, 2 frames: L = [256, -2], R = [-256, 513]
+    // LE samples: 0001 → 256, 00FF → 0xFF00=65280 → -256,
+    //             FEFF → 0xFFFE=65534 → -2, 0102 → 0x0201=513
+    val wav = hexToBytes(
+      "52494646" + "2c000000" + "57415645" +
+        "666d7420" + "10000000" + "0100" + "0200" + "80bb0000" +
+        "00ee0200" + "0400" + "1000" +
+        "64617461" + "08000000" + "0001" + "00ff" + "feff" + "0102")
+    val r = Seq(Tuple1(wav)).toDF("media")
+      .select(col("media"), Multimodal.parseWavPcm(col("media")).as("p"))
+      .select(col("media"), col("p.valid").as("valid"), col("p.channels").as("ch"),
+        col("p.bits_per_sample").as("bits"), col("p.n_frames").as("nf"),
+        col("p.doff").as("doff"))
+      .select(Multimodal.pcmChannelStats(col("media"), col("doff"),
+        col("ch"), col("bits"), col("nf")).as("st"))
+      .select("st.sum_ch0", "st.sum_ch1", "st.peak_ch0", "st.peak_ch1",
+        "st.mean_ch0", "st.mean_ch1", "st.rms_ch0", "st.rms_ch1")
+      .head()
+    assert(r.getLong(0) === 254L)   // 256 + (-2)
+    assert(r.getLong(1) === 257L)   // -256 + 513
+    assert(r.getLong(2) === 256L)
+    assert(r.getLong(3) === 513L)
+    assert(r.getDouble(4) === 127.0)
+    assert(r.getDouble(5) === 128.5)
+    assert(r.getDouble(6) === math.rint(math.sqrt((256.0 * 256 + 4) / 2) * 1e6) / 1e6)
+  }
+
+  test("bmpChannelStats: stride padding never enters the sums") {
+    import spark.implicits._
+    // 1x2 bottom-up 24-bit BMP: stride 4 → 1 pad byte per row set to
+    // 0xEE — if the pad leaked into any channel sum, sums would shift
+    // row0 (bottom): B=10 G=20 R=30, pad EE; row1: B=1 G=2 R=3, pad EE
+    val bmp = hexToBytes(
+      "424d" + "3e000000" + "00000000" + "36000000" +
+        "28000000" + "01000000" + "02000000" + "0100" + "1800" +
+        "00000000" + "08000000" + "130b0000" + "130b0000" +
+        "00000000" + "00000000" +
+        "0a141e" + "ee" + "010203" + "ee")
+    val r = Seq(Tuple1(bmp)).toDF("media")
+      .select(col("media"), Multimodal.parseBmp(col("media")).as("p"))
+      .select(col("media"), col("p.valid").as("valid"), col("p.width").as("w"),
+        col("p.height").as("h"), col("p.data_off").as("doff"))
+      .select(col("valid"), Multimodal.bmpChannelStats(col("media"),
+        col("doff"), col("w"), col("h")).as("st"))
+      .select(col("valid"), col("st.sum_b"), col("st.sum_g"), col("st.sum_r"),
+        col("st.mean_g"), col("st.var_g"))
+      .head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) === 11L && r.getLong(2) === 22L && r.getLong(3) === 33L)
+    assert(r.getDouble(4) === 11.0)          // (20 + 2) / 2
+    assert(r.getDouble(5) === 81.0)          // E[g²] − mean² = 202 − 121
+  }
+
+  test("decodeMediaFeatures ≡ the expression path on the synthetic WAV corpus") {
+    import spark.implicits._
+    val docs = (0L until 150L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val wavs = Multimodal.syntheticWav(docs)
+    // expression side: per-channel mean/rms/peak normalized to full scale
+    val expr = wavs
+      .select(col("media_id"), col("media"), Multimodal.parseWavPcm(col("media")).as("p"))
+      .select(col("media_id"), col("media"), col("p.valid").as("valid"),
+        col("p.channels").as("ch"), col("p.bits_per_sample").as("bits"),
+        col("p.n_frames").as("nf"), col("p.doff").as("doff"))
+      .filter(col("valid"))
+      .select(col("media_id"), col("ch"), col("bits"),
+        Multimodal.pcmChannelStats(col("media"), col("doff"), col("ch"),
+          col("bits"), col("nf")).as("st"))
+      .collect().map { r =>
+        val fs = if (r.getLong(2) == 8L) 128f else 32768f
+        val st = r.getStruct(3)
+        val chN = r.getLong(1).toInt
+        val feats = (0 until chN).flatMap { c =>
+          val (s, p, m, q) =
+            if (c == 0) (st.getLong(0), st.getLong(2), st.getDouble(4), st.getDouble(6))
+            else (st.getLong(1), st.getLong(3), st.getDouble(5), st.getDouble(7))
+          // mean and rms are rounded to 6dp in the expression path;
+          // compare at 5dp to absorb that quantization
+          Seq((m / fs).toFloat, (q / fs).toFloat, p.toFloat / fs)
+        }
+        r.getLong(0) -> feats
+      }.toMap
+    val jvm = Multimodal.extractFeatures(wavs, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(expr.nonEmpty)
+    expr.foreach { case (id, feats) =>
+      feats.zipWithIndex.foreach { case (f, i) =>
+        assert(math.abs(jvm(id)(i) - f) < 1e-4f, s"id=$id feat=$i")
+      }
+    }
+  }
+
+  test("decodeMediaFeatures ≡ the expression path on the synthetic BMP corpus") {
+    import spark.implicits._
+    val docs = (0L until 150L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val bmps = Multimodal.syntheticBmp(docs)
+    val expr = bmps
+      .select(col("media_id"), col("media"), Multimodal.parseBmp(col("media")).as("p"))
+      .select(col("media_id"), col("media"), col("p.valid").as("valid"),
+        col("p.width").as("w"), col("p.height").as("h"),
+        col("p.data_off").as("doff"))
+      .filter(col("valid"))
+      .select(col("media_id"), Multimodal.bmpChannelStats(col("media"),
+        col("doff"), col("w"), col("h")).as("st"))
+      .collect().map { r =>
+        val st = r.getStruct(1)
+        // (sum_b, mean_b, var_b, sum_g, ...) → [mean/255, stddev/255] per channel
+        val feats = (0 until 3).flatMap { c =>
+          val mean = st.getDouble(3 * c + 1)
+          val v = st.getDouble(3 * c + 2)
+          Seq((mean / 255.0).toFloat, (math.sqrt(math.max(0.0, v)) / 255.0).toFloat)
+        }
+        r.getLong(0) -> feats
+      }.toMap
+    val jvm = Multimodal.extractFeatures(bmps, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(expr.nonEmpty)
+    expr.foreach { case (id, feats) =>
+      feats.zipWithIndex.foreach { case (f, i) =>
+        assert(math.abs(jvm(id)(i) - f) < 1e-4f, s"id=$id feat=$i")
+      }
+    }
+  }
+
+  test("decodeMediaFeatures falls back to the labeled stub for non-decodable payloads") {
+    val junk = "definitely not media".getBytes("UTF-8")
+    assert(Multimodal.decodeMediaFeatures(junk, 8).toSeq ===
+      Multimodal.stubDecodeFeatures(junk, 8).toSeq)
+  }
+
   test("parseMp4Header: garbage, truncated and versionless payloads are unknown") {
     assert(parseMp4("not a movie".getBytes).getString(0) === "unknown")
     assert(parseMp4(hexToBytes("0000001066747970")).getString(0) === "unknown")
