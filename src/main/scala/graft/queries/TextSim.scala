@@ -543,37 +543,93 @@ object TextSim {
        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------- q163
-  // ANN recall@k audit: q78's checked IVF (nlist=8, nprobe=3) measured
-  // per query against q31's brute-force cosine truth — THE acceptance
-  // number for an ANN index (recall < 1 exactly when a true neighbor's
-  // cell goes unprobed; q153 says whether that's imbalance or
-  // geometry). The truth side is the audit's cost and runs on the
-  // bounded query set; the index side is the production path.
+  // ANN recall@k audit at the SELF-CHOSEN operating point: the index
+  // auto-sizes nlist = ⌊4·√n⌋ (clamped to [4, n/8]), trains 5 checked
+  // Lloyd rounds, then picks nprobe empirically — the smallest probe
+  // depth whose coverage recall on a deterministic 48-query md5 tuning
+  // sample reaches 0.95 (Ivf.tuneNprobe). The audit then measures
+  // delivered recall@3 on the usual vec_id<20 query set against
+  // brute-force truth, plus the probe cost actually paid (candidates
+  // scanned / corpus). The whole chain — sizing formula, tuning-sample
+  // order statistic, probe routing — is integer-rank arithmetic over
+  // deterministic orders, so the DuckDB twin replays the TUNER too,
+  // not just the index.
+  val IvfTargetRecall = 0.95
+  val IvfTuneSample = 48
+  val IvfAutoIters = 5
+
   val q163_ann_recall: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
+    val n = e.count()
+    val idx = graft.similarity.Ivf.trainChecked(
+      e, nlist = graft.similarity.Ivf.autoNlist(n), iters = IvfAutoIters)
+    val nprobe = graft.similarity.Ivf.tuneNprobe(
+      idx, k = 3, targetRecall = IvfTargetRecall, sampleSize = IvfTuneSample)
     val queries = e.filter(col("vec_id") < 20)
-    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
-    val ivf = graft.similarity.Ivf.topK(idx, queries, k = 3, nprobe = 3)
+    val cand = graft.similarity.Ivf.candidates(idx, queries, nprobe)
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val ivfk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
       .select(col("query_id").as("__iq"), col("neighbor_id").as("__in"))
+    val scan = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_scanned"))
     Similarity.bruteForceTopK(e, queries, 3)
       .select(col("query_id"), col("neighbor_id"))
-      .join(ivf, col("query_id") === col("__iq") &&
+      .join(ivfk, col("query_id") === col("__iq") &&
         col("neighbor_id") === col("__in"), "left")
       .groupBy("query_id")
       .agg(sum(when(col("__iq").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .join(scan, "query_id")
       .select(col("query_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / 3.0, 6).as("recall"))
+        round(col("n_hit").cast("double") / 3.0, 6).as("recall"),
+        lit(idx.centroids.length.toLong).as("nlist"),
+        lit(nprobe.toLong).as("nprobe"),
+        col("n_scanned"),
+        round(col("n_scanned").cast("double") / lit((n - 1).toDouble), 6)
+          .as("scan_frac"))
       .orderBy("query_id")
   }
 
-  lazy val q163_sql: String =
-    s"""WITH $ivfCtes,
+  lazy val q163_sql: String = {
+    val nlSql = "SELECT nl FROM nlq"
+    s"""WITH nlq AS (SELECT greatest(4, least(count(*) // 8,
+       |    CAST(floor(4 * sqrt(count(*))) AS BIGINT))) AS nl FROM embeddings),
+       |${ivfCtesN(s"($nlSql)", IvfAutoIters)},
+       |samp AS (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'tune'), 1, 8)
+       |           AS BIGINT), vec_id
+       |  LIMIT $IvfTuneSample),
+       |ts AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id, $cosineSql AS sim
+       |  FROM samp sq JOIN embeddings qe ON qe.vec_id = sq.vec_id
+       |       JOIN embeddings ce ON ce.vec_id <> sq.vec_id),
+       |tk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM ts) WHERE rank <= 3),
+       |spr AS (SELECT e.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
+       |  FROM samp e CROSS JOIN cf c),
+       |needs AS (SELECT spr.pr AS need
+       |  FROM tk JOIN corpus co ON co.vec_id = tk.neighbor_id
+       |       JOIN spr ON spr.query_id = tk.query_id AND spr.cell = co.cell),
+       |chosen AS (SELECT need AS np FROM (
+       |    SELECT need, row_number() OVER (ORDER BY need) AS rn,
+       |           count(*) OVER () AS cnt
+       |    FROM needs)
+       |  WHERE rn = CAST(ceil(CAST($IvfTargetRecall AS DOUBLE) * cnt) AS BIGINT)),
        |probes AS (SELECT e.vec_id AS query_id, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
-       |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id < 20),
+       |  FROM embeddings e CROSS JOIN cf c WHERE e.vec_id < 20),
        |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
-       |         FROM probes p JOIN corpus co ON p.cell = co.cell AND p.pr <= 3
+       |         FROM probes p JOIN corpus co
+       |           ON p.cell = co.cell AND p.pr <= (SELECT np FROM chosen)
        |         WHERE co.vec_id <> p.query_id),
        |scored AS (SELECT cand.query_id, cand.neighbor_id, $cosineSql AS sim
        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
@@ -583,23 +639,29 @@ object TextSim {
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
        |    FROM scored) WHERE rank <= 3),
-       |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
-       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-       |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
-       |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
-       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |nsc AS (SELECT query_id, count(*) AS n_scanned FROM cand GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |bs AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id, $cosineSql AS sim
+       |  FROM embeddings qe JOIN embeddings ce
+       |    ON qe.vec_id < 20 AND qe.vec_id <> ce.vec_id),
        |bk AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |    FROM bs) WHERE rank <= 3)
-       |SELECT b.query_id,
-       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 6) AS recall
-       |FROM bk b LEFT JOIN ivfk i
-       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |    FROM bs) WHERE rank <= 3),
+       |res AS (SELECT b.query_id,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM bk b LEFT JOIN ivfk i
+       |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY 1)
+       |SELECT res.query_id, res.n_hit,
+       |  round(res.n_hit / 3.0, 6) AS recall,
+       |  ($nlSql) AS nlist,
+       |  (SELECT np FROM chosen) AS nprobe,
+       |  CAST(nsc.n_scanned AS BIGINT) AS n_scanned,
+       |  round(nsc.n_scanned / ((SELECT n FROM nn) - 1), 6) AS scan_frac
+       |FROM res JOIN nsc USING (query_id) ORDER BY query_id""".stripMargin
+  }
 
   // --------------------------------------------------------------- q162
   // Near-dup cluster-size distribution: histogram of q81's connected-
@@ -1092,12 +1154,13 @@ object TextSim {
     "i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) " +
     "- list_sum(list_transform(c.cv, x -> x * x)))"
 
-  /** Shared DuckDB chain replaying `Ivf.trainChecked(nlist=8, iters=3)`:
-    * md5-seeded init, three unrolled integer-micro-unit Lloyd rounds,
-    * then the final assignment — ends at `corpus(vec_id, embedding,
-    * cell)`. q78 appends probe routing + rank; q105 appends the
-    * within-cell semantic dedup. */
-  private def ivfCtes: String = {
+  /** Shared DuckDB chain replaying `Ivf.trainChecked(nlist, iters)`:
+    * md5-seeded init, `iters` unrolled integer-micro-unit Lloyd rounds,
+    * then the final assignment — ends at `cf` (the final centroids) and
+    * `corpus(vec_id, embedding, cell)`. `nlistSql` may be a literal or
+    * a scalar subquery (the auto-sized q163 computes it from count).
+    * q78 appends probe routing + rank; q105 the within-cell dedup. */
+  private def ivfCtesN(nlistSql: String, iters: Int): String = {
     def assign(k: Int, prev: String) =
       s"""a$k AS (SELECT e.vec_id, e.embedding, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
@@ -1114,28 +1177,32 @@ object TextSim {
          |        FROM t$k GROUP BY cell),
          |c$k AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
          |        FROM $prev p LEFT JOIN m$k m ON p.cell = m.cell)""".stripMargin
-    val iterations = (1 to 3).map(k => s"${assign(k, s"c${k - 1}")},\n${update(k, s"c${k - 1}")}")
+    val iterations = (1 to iters).map(k => s"${assign(k, s"c${k - 1}")},\n${update(k, s"c${k - 1}")}")
       .mkString(",\n")
     s"""h AS (SELECT vec_id, embedding,
        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
        |  FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |       FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= 8),
+       |       FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= ($nlistSql)),
        |$iterations,
+       |cf AS (SELECT * FROM c$iters),
        |af AS (SELECT e.vec_id, e.embedding, c.cell,
        |  row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY $ivfNd DESC, c.cell ASC) AS rn
-       |  FROM embeddings e CROSS JOIN c3 c),
+       |  FROM embeddings e CROSS JOIN cf c),
        |corpus AS (SELECT vec_id, embedding, cell FROM af WHERE rn = 1)""".stripMargin
   }
+
+  /** The fixed nlist=8, iters=3 instance shared by q78/q105/q153. */
+  private def ivfCtes: String = ivfCtesN("8", 3)
 
   val q78_sql: String =
     s"""WITH $ivfCtes,
        |probes AS (SELECT e.vec_id AS query_id, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
-       |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id < 20),
+       |  FROM embeddings e CROSS JOIN cf c WHERE e.vec_id < 20),
        |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
        |         FROM probes p JOIN corpus co ON p.cell = co.cell AND p.pr <= 3
        |         WHERE co.vec_id <> p.query_id),

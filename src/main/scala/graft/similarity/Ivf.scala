@@ -29,16 +29,58 @@ object Ivf {
 
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Cell-assignment column: id of the nearest centroid by squared L2
-    * distance ‖v‖² − 2·v·c + ‖c‖² (the ‖v‖² term is rank-invariant and
-    * dropped). Ties break to the lower cell id. */
+  /** Auto-sized cell count: ⌊4·√n⌋ clamped to [4, n/8] — fine enough
+    * that probing a recall-driven number of cells scans well under
+    * half the corpus (measured on the near-random unit-vector test
+    * embeddings, the hardest geometry), coarse enough that the
+    * centroid table stays a driver-side model (√n·dim doubles) and the
+    * mean cell still holds ≥ 8 vectors. The same formula must be
+    * replayed by the oracle SQL, so it sticks to floor/integer ops. */
+  def autoNlist(n: Long): Int =
+    math.max(4L, math.min(n / 8, math.floor(4.0 * math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Centroid table as ONE 2-D array literal (plus its squared-norm
+    * row) — the expression tree stays O(1) in nlist, where a
+    * struct-per-centroid form at nlist = 4·√n would unroll thousands
+    * of nodes and blow past codegen method limits. */
+  private def centroidLits(centroids: Array[Array[Double]]): (Column, Column) = {
+    val cs: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+    // norms accumulate left-to-right on the driver, matching the SQL
+    // twin's list_sum over x*x
+    val nm: Seq[Double] = centroids.map(_.map(x => x * x).sum).toSeq
+    (typedLit(cs), typedLit(nm))
+  }
+
+  /** Negated squared L2 distance of `vec` to centroid i (0-based):
+    * 2·v·cᵢ − ‖cᵢ‖² (the ‖v‖² term is rank-invariant and dropped). */
+  private def negDist(vec: Column, cLit: Column, nLit: Column, i: Column): Column =
+    Similarity.dot(vec, element_at(cLit, i + lit(1))) * 2.0 -
+      element_at(nLit, i + lit(1))
+
+  /** Cell-assignment column: id of the nearest centroid. Ties break to
+    * the lower cell id (strict-improvement fold over ascending cells). */
   private def cellExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(lit).toSeq: _*)
-      val negDist = Similarity.dot(vec, cCol) * 2.0 - lit(c.map(x => x * x).sum)
-      struct(negDist.as("s"), lit(-i).as("ord"), lit(i).as("cell"))
-    }
-    array_max(array(scored.toSeq: _*)).getField("cell")
+    val (cLit, nLit) = centroidLits(centroids)
+    aggregate(
+      sequence(lit(0), lit(centroids.length - 1)),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("cell")),
+      (acc, i) => {
+        val nd = negDist(vec, cLit, nLit, i)
+        val better = nd > acc.getField("s")
+        struct(when(better, nd).otherwise(acc.getField("s")).as("s"),
+          when(better, i).otherwise(acc.getField("cell")).as("cell"))
+      },
+      acc => acc.getField("cell"))
+  }
+
+  /** All cells ranked by centroid proximity to `vec`: array of
+    * struct(s, cell) sorted s DESC then cell DESC — the probe order.
+    * (Descending cell on ties matches the SQL twin's ORDER BY.) */
+  private def rankedCells(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val (cLit, nLit) = centroidLits(centroids)
+    reverse(array_sort(transform(
+      sequence(lit(0), lit(centroids.length - 1)),
+      i => struct(negDist(vec, cLit, nLit, i).as("s"), i.as("cell")))))
   }
 
   /** Train the coarse quantizer and assign every corpus vector to its
@@ -134,24 +176,30 @@ object Ivf {
       corpus.withColumn("cell", cellExpr(col(vecCol), centroids)))
   }
 
+  /** Candidate pairs at probe depth `nprobe`: each query joined to
+    * every corpus vector in its `nprobe` nearest cells (self excluded)
+    * — the rows an exact re-rank will score. Exposed separately from
+    * [[topK]] so audits can count them: |candidates| / (n−1) IS the
+    * probe cost. */
+  def candidates(index: Index, queries: DataFrame, nprobe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(rankedCells(col(vecCol), index.centroids), 1, nprobe).as("cs"))
+      .select(col("query_id"), col("qv"), explode(col("cs")).as("c"))
+      .select(col("query_id"), col("qv"), col("c.cell").as("cell"))
+    index.assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+  }
+
   /** Approximate top-k: visit the `nprobe` cells whose centroids are
     * nearest each query, exact cosine inside them. */
   def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = index.centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(lit).toSeq: _*)
-      struct((Similarity.dot(col(vecCol), cCol) * 2.0 - lit(c.map(x => x * x).sum)).as("s"),
-        lit(i).as("cell"))
-    }
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        slice(reverse(array_sort(array(cells.toSeq: _*))), 1, nprobe).as("cs"))
-      .select(col("query_id"), col("qv"), explode(col("cs")).as("c"))
-      .select(col("query_id"), col("qv"), col("c.cell").as("cell"))
-    val corpusCells = index.assigned
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
-    val scored = corpusCells.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = candidates(index, queries, nprobe, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"),
         round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -159,6 +207,49 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Probe rank of every cell for every query: (query_id, cell, pr)
+    * with pr = 1 the nearest centroid. The tuning/audit view of
+    * [[candidates]]' routing decision. */
+  def probeRanks(index: Index, queries: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        posexplode(rankedCells(col(vecCol), index.centroids)).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cell").as("cell"),
+        (col("pos") + 1).as("pr"))
+
+  /** Choose the probe depth for a target recall, empirically: take a
+    * deterministic md5-selected tuning sample of queries, compute their
+    * exact top-k (the audit's one bounded brute-force cost), and for
+    * each (query, true neighbor) record the probe depth that would
+    * cover the neighbor's cell. The chosen nprobe is the
+    * ⌈target·|pairs|⌉-th smallest such depth — the minimum depth whose
+    * COVERAGE recall on the sample meets the target. Coverage recall
+    * equals delivered recall@k here: a covered true top-k neighbor is
+    * only outranked by better true neighbors, never dropped.
+    *
+    * Everything is integer ranks over deterministic orders, so the
+    * oracle SQL replays the tuner exactly; the collect is
+    * sample·k ints — model-sized, like the centroids themselves. */
+  def tuneNprobe(index: Index, k: Int = 3, targetRecall: Double = 0.95,
+                 sampleSize: Int = 48,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+    val sample = index.assigned
+      .orderBy(graft.dedup.Dedup.md5Hash32(
+        concat(col(idCol).cast("string"), lit("tune"))).asc, col(idCol).asc)
+      .limit(sampleSize)
+      .select(col(idCol), col(vecCol))
+    val truth = Similarity.bruteForceTopK(index.assigned, sample, k, idCol, vecCol)
+    val cellOf = index.assigned.select(col(idCol).as("neighbor_id"), col("cell"))
+    val needs = truth.select("query_id", "neighbor_id")
+      .join(cellOf, "neighbor_id")
+      .join(probeRanks(index, sample, idCol, vecCol), Seq("query_id", "cell"))
+      .select(col("pr"))
+      .collect().map(_.getInt(0)).sorted
+    require(needs.nonEmpty, "tuneNprobe: empty tuning sample")
+    needs(math.max(0, math.ceil(targetRecall * needs.length).toInt - 1))
   }
 
   /** Index-health census: per-cell occupancy, share of the corpus, and

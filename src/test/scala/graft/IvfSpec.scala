@@ -78,11 +78,46 @@ class IvfSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
       .collect().toSet
     assert(ivf === brute)
-    // and the shipped nprobe=3 audit never exceeds 1 nor misses all
-    // queries (sf0.001 fixture: imperfect by construction at 3/8 cells)
-    val audit = graft.queries.TextSim.q163_ann_recall(spark, TestSpark.sf0001)
-      .select("recall").as[Double].collect()
-    assert(audit.forall(r => r >= 0.0 && r <= 1.0))
-    assert(audit.length === 20)
+  }
+
+  test("autoNlist: 4·√n clamped to [4, n/8]") {
+    assert(Ivf.autoNlist(500) === 62)   // n/8 binds
+    assert(Ivf.autoNlist(2000) === 178) // 4·√n binds
+    assert(Ivf.autoNlist(10) === 4)     // floor binds
+    assert(Ivf.autoNlist(1000000) === 4000)
+  }
+
+  test("tuneNprobe: monotone in target, exact at target 1.0") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val idx = Ivf.trainChecked(e, nlist = Ivf.autoNlist(e.count()), iters = 5)
+    val np90 = Ivf.tuneNprobe(idx, k = 3, targetRecall = 0.9, sampleSize = 32)
+    val np100 = Ivf.tuneNprobe(idx, k = 3, targetRecall = 1.0, sampleSize = 32)
+    assert(np90 >= 1 && np90 <= idx.centroids.length)
+    assert(np100 >= np90, "higher target must not pick a shallower probe")
+    // at the 1.0-target depth, every sampled true neighbor is covered,
+    // so sample recall is exactly 1 — verify through the delivered path
+    val sample = idx.assigned
+      .orderBy(graft.dedup.Dedup.md5Hash32(
+        concat(col("vec_id").cast("string"), lit("tune"))).asc, col("vec_id").asc)
+      .limit(32).select(col("vec_id"), col("embedding"))
+    val truth = Similarity.bruteForceTopK(idx.assigned, sample, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Ivf.topK(idx, sample, k = 3, nprobe = np100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(truth === got)
+  }
+
+  test("auto-tuned q163 audit: self-chosen operating point delivers the target") {
+    import spark.implicits._
+    val rows = graft.queries.TextSim.q163_ann_recall(spark, TestSpark.sf0001)
+      .select("recall", "nlist", "nprobe", "scan_frac")
+      .as[(Double, Long, Long, Double)].collect()
+    assert(rows.length === 20)
+    val avgRecall = rows.map(_._1).sum / rows.length
+    val avgScan = rows.map(_._4).sum / rows.length
+    assert(avgRecall >= 0.9, s"delivered recall $avgRecall below 0.9")
+    assert(avgScan < 0.5, s"probe cost $avgScan not under half the corpus")
+    assert(rows.head._2 === 62L) // autoNlist(500)
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= r._2))
   }
 }
