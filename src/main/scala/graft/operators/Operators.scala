@@ -74,6 +74,59 @@ object Operators {
     saltedBig.join(explodedSmall, keyCols :+ "__salt", joinType).drop("__salt")
   }
 
+  /** One-pass key-skew census over a prospective join key: (n_rows,
+    * n_keys, max_rows, imbalance = max/avg rows per key) — the q158
+    * audit reduced to the four numbers the join planner needs. One
+    * map-side-combined groupBy; the second aggregate is
+    * key-cardinality-sized. */
+  def keySkewStats(df: DataFrame, keyCols: Seq[String]): (Long, Long, Long, Double) = {
+    val r = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum("__c").as("n"), count(lit(1)).as("k"), max("__c").as("m"))
+      .head()
+    val (n, k, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (n, k, m, if (n == 0) 1.0 else m.toDouble * k / n)
+  }
+
+  /** Join-strategy decision derived from the skew census: salt when the
+    * hottest key exceeds `imbalanceThreshold`× the average key load,
+    * with the salt factor = ⌈imbalance⌉ clamped to [2, maxSalts] — just
+    * enough splits to flatten the hot reducer back to ~average load,
+    * no more build-side replication than that. Returns
+    * (salted?, salts, measured imbalance). */
+  def skewJoinDecision(big: DataFrame, keyCols: Seq[String],
+                      imbalanceThreshold: Double = 4.0,
+                      maxSalts: Int = 64): (Boolean, Int, Double) = {
+    val (_, _, _, imb) = keySkewStats(big, keyCols)
+    if (imb > imbalanceThreshold)
+      (true, math.max(2L, math.min(maxSalts.toLong, math.ceil(imb).toLong)).toInt, imb)
+    else (false, 1, imb)
+  }
+
+  /** Skew-aware equi-join: q158's census wired into the strategy
+    * choice — measures the big side's key imbalance and picks plain
+    * shuffle join (uniform keys) or [[saltedJoin]] with a derived salt
+    * factor (skewed keys) automatically. Result ≡ the plain join
+    * either way; only the shuffle shape differs.
+    *
+    * The census is one eager aggregate pass over the big side —
+    * at 100 TB, feed `decision` from stored table statistics or a
+    * cached q158 census instead of remeasuring per join. */
+  def skewAwareJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                    joinType: String = "inner",
+                    imbalanceThreshold: Double = 4.0,
+                    maxSalts: Int = 64,
+                    decision: Option[(Boolean, Int, Double)] = None): DataFrame = {
+    val (salted, salts, imb) =
+      decision.getOrElse(skewJoinDecision(big, keyCols, imbalanceThreshold, maxSalts))
+    if (salted) {
+      log.info(f"skewAwareJoin: imbalance $imb%.1f > $imbalanceThreshold%.1f " +
+        s"on ${keyCols.mkString(",")} — salting with $salts salts")
+      saltedJoin(big, small, keyCols, salts, joinType)
+    } else big.join(small, keyCols, joinType)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Bloom-prefiltered join: build a bloom sketch of the (small) build
     * side's keys, probe it in the fact side's scan filter, then join.
     * No false negatives → identical results to the plain join; most

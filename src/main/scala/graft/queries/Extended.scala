@@ -939,6 +939,35 @@ object Extended {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  // --------------------------------------------------------------- q170
+  // Skew-aware join, census-driven: q158's imbalance measurement wired
+  // into the join strategy (Operators.skewAwareJoin). The derived key
+  // funnels a third of events onto one hot key (imbalance ~30×), so
+  // the operator MUST choose salting here (OperatorsSpec pins the
+  // decision; it also pins plain-join on uniform keys) — and the
+  // salted result must stay ≡ the plain join, which is exactly what
+  // the DuckDB oracle computes. The aggregate on top makes the check
+  // order-insensitive to the salt routing.
+  val q170_skew_aware_join: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("k",
+        when(col("user_id") % 3 === 0, lit(0L))
+          .otherwise(col("user_id")).cast("long"))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("label", concat(lit("seg_"), col("k")))
+    graft.operators.Operators.skewAwareJoin(ev, dim, Seq("k"))
+      .groupBy("k", "label").agg(count(lit(1)).as("n_rows"))
+      .orderBy("k")
+  }
+
+  val q170_sql: String =
+    """WITH ev AS (SELECT CAST(CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END
+      |                        AS BIGINT) AS k FROM events),
+      |d AS (SELECT DISTINCT k, 'seg_' || CAST(k AS VARCHAR) AS label FROM ev)
+      |SELECT ev.k, d.label, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM ev JOIN d ON ev.k = d.k
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q165
   // Equi-depth histogram of l_extendedprice (10 buckets) — the
   // optimizer-stats histogram. The oracle uses a plain global ntile
@@ -961,6 +990,7 @@ object Extended {
 
   val all: Map[String, Q] = Map(
     "q158_key_skew" -> q158_key_skew,
+    "q170_skew_aware_join" -> q170_skew_aware_join,
     "q165_equidepth_hist" -> q165_equidepth_hist,
     "q91_right_join" -> q91_right_join,
     "q90_outlier_census" -> q90_outlier_census,
@@ -998,6 +1028,7 @@ object Extended {
 
   val oracle: Map[String, String] = Map(
     "q158_key_skew" -> q158_sql,
+    "q170_skew_aware_join" -> q170_sql,
     "q165_equidepth_hist" -> q165_sql,
     "q91_right_join" -> q91_sql,
     "q90_outlier_census" -> q90_sql,

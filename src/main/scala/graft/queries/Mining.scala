@@ -310,6 +310,64 @@ object Mining {
        |  CAST(cluster_size AS BIGINT) AS cluster_size
        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
 
+  // --------------------------------------------------------------- q169
+  // Quality-aware canonical selection UNCAPPED: q125's keep-best
+  // composed with q92's full-corpus MinHash banding instead of the
+  // PairDocCap demo window — clusters come from candidate components
+  // over the ENTIRE documents table, so the "dedup keeps the best
+  // copy" path is hash-checked at whatever corpus size the driver
+  // runs (the q155/q162 discipline applied to canonical selection).
+  // Everything after the banding is component-count-sized; the
+  // keep-best window partitions per duplicate component, whose size
+  // the banding's occupancy caps bound.
+  val q169_quality_canonical_full: Q = (s, dir) => {
+    import graft.dedup.Dedup
+    val docs = Tables.load(s, dir, "documents")
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(Curation.QwNTokens, Curation.QwAvgLen, Curation.QwStopword,
+        Curation.QwPunct), Curation.QwIntercept)
+    val scored = graft.text.TextAnalysis
+      .qualityFeatures(docs, col("text"))
+      .select(col("doc_id"), round(model.scoreExpr, 6).as("qscore"))
+    val pairs = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+      shingleHasher = Dedup.shingleHashes32Md5)
+    Dedup.keepBestByScore(scored, col("doc_id"), pairs, col("qscore"))
+      .select(col("component"), col("doc_id").as("kept_id"),
+        col("qscore"), col("cluster_size"))
+      .orderBy("component")
+  }
+
+  val q169_sql: String = {
+    // same 8 unrolled min-label rounds as q81, over the uncapped q92
+    // candidate pairs (AS MATERIALIZED: each step reads the previous
+    // level twice — default inlining would exponentiate the pipeline)
+    val steps = (1 to 8).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT n.id, least(n.l, coalesce(min(lu.l), n.l)) AS l
+         |  FROM l${k - 1} n
+         |  LEFT JOIN adj a ON a.v = n.id
+         |  LEFT JOIN l${k - 1} lu ON lu.id = a.u
+         |  GROUP BY n.id, n.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (${TextSim.q92_sql}),
+       |adj AS MATERIALIZED (SELECT id_a AS v, id_b AS u FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS l FROM adj),
+       |$steps,
+       |comp AS (SELECT id, l AS component FROM l8),
+       |q AS MATERIALIZED (${Curation.q112_sql}),
+       |r AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+       |        q.qscore
+       |      FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY component
+       |           ORDER BY qscore DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY component) AS cluster_size
+       |       FROM r)
+       |SELECT component, doc_id AS kept_id, qscore,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
+  }
+
   // --------------------------------------------------------------- q126
   // Rolling count-anomaly census: per event-type hourly counts
   // z-scored against the trailing 24 observed hours (current hour
@@ -998,6 +1056,7 @@ object Mining {
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
+    "q169_quality_canonical_full" -> q169_quality_canonical_full,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
     "q128_psi_drift" -> q128_psi_drift,
@@ -1026,6 +1085,7 @@ object Mining {
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,
+    "q169_quality_canonical_full" -> q169_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,
     "q128_psi_drift" -> q128_sql,

@@ -168,17 +168,62 @@ object UpsertSink {
     * leaves an uncommitted directory that is simply invisible, and the
     * previous version stays readable through the entire commit. The
     * `_latest` pointer is a validated fast path only — if it is stale,
-    * corrupt or missing, resolution falls back to listing. Single
-    * writer assumed (a streaming query's foreachBatch), as with any
-    * file-format sink without a lock service. Semantically this is
-    * Delta/Iceberg `MERGE INTO` + snapshot pointer, minus the lock
-    * manager. Old versions are kept for readers-in-flight / time travel
-    * until [[ParquetMergeSink.vacuum]] trims them. */
+    * corrupt or missing, resolution falls back to listing.
+    *
+    * **Multi-writer fencing.** Version N is fenced by an EPOCH CLAIM:
+    * before writing, a merge must atomically create
+    * `_claims/vNNNNNNNN` with create-if-absent, and claims are only
+    * ever taken for (highest committed)+1 — so every commit's basis is
+    * provably its immediate predecessor and a slower writer can never
+    * overwrite or leapfrog a faster one (the classic two-writers-both-
+    * commit-vN+1 lost update). A loser re-resolves and retries on the
+    * winner's snapshot up to `maxAttempts`, then aborts cleanly with
+    * [[ConcurrentWriteException]] — the table is untouched either way.
+    * A claim whose version never commits (crashed claimer) is broken
+    * after `staleClaimMs` and its partial directory overwritten.
+    *
+    * Caveat: create-if-absent is atomic on HDFS/ABFS/GCS and the local
+    * FS, but S3 has no conditional create in the Hadoop S3A connector
+    * (HADOOP-17851 tracks conditional-write support) — on plain S3A,
+    * fencing degrades to best-effort and a real lock service
+    * (DynamoDB-backed, or a Delta/Iceberg catalog) should arbitrate
+    * writers instead. Readers need no fencing in any case: committed
+    * versions are immutable.
+    *
+    * Semantically this is Delta/Iceberg `MERGE INTO` + snapshot
+    * pointer + optimistic concurrency, minus the catalog service. Old
+    * versions are kept for readers-in-flight / time travel until
+    * [[ParquetMergeSink.vacuum]] trims them. */
+  /** A merge lost the claim race `maxAttempts` times in a row — the
+    * clean abort of the fenced commit protocol. The table is intact;
+    * re-running the merge later is safe and idempotent. */
+  final class ConcurrentWriteException(msg: String)
+    extends java.io.IOException(msg)
+
   object ParquetMergeSink {
     import org.apache.hadoop.fs.{FileSystem, Path}
 
     private val Pointer = "_latest"
+    private val ClaimsDir = "_claims"
     private def dirName(v: Long) = f"v$v%08d"
+    private def claimPath(root: Path, v: Long) =
+      new Path(new Path(root, ClaimsDir), dirName(v))
+
+    /** Atomic create-if-absent of the claim file. Returns false when the
+      * claim is already held. HDFS/local `create(path, overwrite=false)`
+      * is an atomic namespace operation; see the class doc for the S3A
+      * caveat. */
+    private[graft] def tryClaim(fs: FileSystem, root: Path, v: Long,
+                                writerId: String): Boolean =
+      try {
+        val out = fs.create(claimPath(root, v), false)
+        try out.write(s"$writerId ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
 
     /** Committed versions in ascending order: `vNNNNNNNN` children
       * carrying Spark's `_SUCCESS` job-commit marker. */
@@ -238,9 +283,18 @@ object UpsertSink {
     /** Merge a batch into the table: new batch rows win on key conflict
       * (within-batch duplicates resolved deterministically by highest
       * `orderCol` first), everything else carries over from the current
-      * snapshot into a brand-new version directory. */
+      * snapshot into a brand-new version directory.
+      *
+      * Fenced commit: each attempt re-resolves the latest committed
+      * snapshot, claims exactly (latest+1), and only the claim holder
+      * writes — a concurrent winner makes this writer recompute on the
+      * NEW snapshot (no lost update), and `maxAttempts` losses abort
+      * cleanly with [[ConcurrentWriteException]]. A claim older than
+      * `staleClaimMs` whose version never committed is broken. */
     def merge(batch: DataFrame, tablePath: String, keyCols: Seq[String],
-              orderCol: Option[String] = None): Unit = {
+              orderCol: Option[String] = None,
+              maxAttempts: Int = 5, claimRetryMs: Long = 200L,
+              staleClaimMs: Long = 30L * 60 * 1000): Unit = {
       val spark = batch.sparkSession
       val dedupWindow = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(orderCol.map(c => col(c).desc).getOrElse(monotonically_increasing_id().desc))
@@ -249,27 +303,61 @@ object UpsertSink {
         .filter(col("__rn") === 1).drop("__rn")
       val root = new Path(tablePath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val merged = latestVersionPath(fs, root) match {
-        case Some(cur) =>
-          spark.read.parquet(cur.toString)
-            .join(newRows, keyCols, "left_anti").unionByName(newRows)
-        case None => newRows
+      val writerId = java.util.UUID.randomUUID().toString
+
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        // basis re-resolved EVERY attempt: a lost race means the next
+        // try merges against the winner's snapshot, never the stale one
+        val basis = committedVersions(fs, root).lastOption
+        val next = basis.map(_._1 + 1).getOrElse(1L)
+        if (tryClaim(fs, root, next, writerId)) {
+          val merged = basis match {
+            case Some((_, cur)) =>
+              spark.read.parquet(cur.toString)
+                .join(newRows, keyCols, "left_anti").unionByName(newRows)
+            case None => newRows
+          }
+          // Overwrite also clears any partial directory a crashed
+          // claimer left behind under this (re-claimed) version
+          val dst = new Path(root, dirName(next))
+          merged.write.mode(SaveMode.Overwrite).parquet(dst.toString)
+          // job commit above dropped _SUCCESS — the table is committed;
+          // the pointer flip is a best-effort hint, never load-bearing
+          try {
+            val tmp = new Path(root, Pointer + ".tmp")
+            val out = fs.create(tmp, true)
+            try out.write(dirName(next).getBytes("UTF-8")) finally out.close()
+            fs.delete(new Path(root, Pointer), false)
+            renameOrThrow(fs, tmp, new Path(root, Pointer))
+          } catch { case _: java.io.IOException => () }
+          committed = true
+        } else {
+          // claim held by someone else: break it if its writer is long
+          // dead (claim age > staleClaimMs and the version never
+          // committed), else wait-and-retry up to the attempt budget
+          val cp = claimPath(root, next)
+          val stale =
+            try {
+              fs.exists(cp) &&
+                (System.currentTimeMillis() - fs.getFileStatus(cp).getModificationTime) >
+                  staleClaimMs &&
+                !fs.exists(new Path(new Path(root, dirName(next)), "_SUCCESS"))
+            } catch { case _: java.io.IOException => false }
+          if (stale) {
+            fs.delete(cp, false): Unit // next attempt re-claims this slot
+          } else if (attempt >= maxAttempts) {
+            throw new ConcurrentWriteException(
+              s"merge into $tablePath lost the claim race $maxAttempts times " +
+                s"(version ${dirName(next)} held by another writer); " +
+                "table unchanged — safe to retry")
+          } else {
+            Thread.sleep(claimRetryMs)
+          }
+        }
       }
-      // next version number counts UNcommitted dirs too, so a crashed
-      // writer's leftover is overwritten rather than resurrected
-      val next = allVersions(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
-      val dst = new Path(root, dirName(next))
-      merged.write.mode(SaveMode.Overwrite).parquet(dst.toString)
-      // job commit above dropped _SUCCESS — the table is now committed;
-      // the pointer flip is a best-effort hint, never load-bearing
-      try {
-        val tmp = new Path(root, Pointer + ".tmp")
-        val out = fs.create(tmp, true)
-        try out.write(dirName(next).getBytes("UTF-8")) finally out.close()
-        fs.delete(new Path(root, Pointer), false)
-        renameOrThrow(fs, tmp, new Path(root, Pointer))
-      } catch { case _: java.io.IOException => () }
-      (): Unit
     }
 
     /** Trim old committed versions, keeping the `keepLast` most recent
@@ -287,6 +375,14 @@ object UpsertSink {
           .filter { case (v, p) =>
             v < latest && !fs.exists(new Path(p, "_SUCCESS")) }
           .foreach { case (_, p) => fs.delete(p, true) }
+        // claims below the newest committed version have served their
+        // purpose (their version is immutable history now)
+        val claims = new Path(root, ClaimsDir)
+        if (fs.exists(claims))
+          fs.listStatus(claims).toSeq
+            .filter(st => st.getPath.getName.matches("v\\d{8}") &&
+              st.getPath.getName.drop(1).toLong < latest)
+            .foreach(st => fs.delete(st.getPath, false))
       }
     }
 

@@ -64,6 +64,39 @@ class OperatorsSpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("skewJoinDecision: salting on the skewed key, plain on uniform keys") {
+    // lineitem gives the fixture's strongest constructed hot key at
+    // sf0.001 (events has only ~15 users there — imbalance barely 4)
+    val ev = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .withColumn("k", when(col("l_partkey") % 2 === 0, lit(0L))
+        .otherwise(col("l_partkey")).cast("long"))
+    val (saltedHot, saltsHot, imbHot) = Operators.skewJoinDecision(ev, Seq("k"))
+    assert(saltedHot, f"hot key not detected (imbalance $imbHot%.1f)")
+    assert(saltsHot >= 2 && saltsHot <= 64)
+    assert(imbHot > 4.0)
+    // natural keys in the fixture are near-uniform → plain join
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val (saltedU, saltsU, imbU) = Operators.skewJoinDecision(li, Seq("l_partkey"))
+    assert(!saltedU, f"uniform key mis-flagged (imbalance $imbU%.1f)")
+    assert(saltsU === 1)
+  }
+
+  test("skewAwareJoin ≡ plain join on both strategy branches") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .withColumn("k", when(col("user_id") % 3 === 0, lit(0L))
+        .otherwise(col("user_id")).cast("long"))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("label", concat(lit("seg_"), col("k")))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "label").agg(count(lit(1)).as("n"))
+        .orderBy("k").collect().toSeq
+    assert(agg(Operators.skewAwareJoin(ev, dim, Seq("k"))) ===
+      agg(ev.join(dim, Seq("k"))))
+    // force the plain branch via a precomputed decision and re-check
+    assert(agg(Operators.skewAwareJoin(ev, dim, Seq("k"),
+      decision = Some((false, 1, 1.0)))) === agg(ev.join(dim, Seq("k"))))
+  }
+
   test("bloomPrefilterJoin ≡ plain join; prunes non-matching fact rows") {
     val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
       .select("l_orderkey", "l_extendedprice")

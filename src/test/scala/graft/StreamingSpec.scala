@@ -104,6 +104,70 @@ class StreamingSpec extends SparkSpec {
       "stale hint dropped a committed batch")
   }
 
+  test("versioned merge fencing: loser aborts cleanly, stale claims break") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_fence").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    UpsertSink.ParquetMergeSink.merge(Seq(("a", 1.0)).toDF("k", "v"), path, Seq("k"))
+    // another writer holds the claim for v2 (mid-commit): our merge
+    // must NOT write v2 underneath it — bounded retries, clean abort
+    assert(UpsertSink.ParquetMergeSink.tryClaim(fs, new Path(path), 2L, "other"))
+    val ex = intercept[UpsertSink.ConcurrentWriteException] {
+      UpsertSink.ParquetMergeSink.merge(Seq(("b", 2.0)).toDF("k", "v"), path,
+        Seq("k"), maxAttempts = 2, claimRetryMs = 10L)
+    }
+    assert(ex.getMessage.contains("v00000002"))
+    // the abort left the table untouched
+    assert(UpsertSink.ParquetMergeSink.read(spark, path).count() === 1)
+    assert(!fs.exists(new Path(path, "v00000002/_SUCCESS")))
+    // the claimer died without committing: with the staleness horizon
+    // at 0 the claim is breakable and the same merge now lands as v2
+    UpsertSink.ParquetMergeSink.merge(Seq(("b", 2.0)).toDF("k", "v"), path,
+      Seq("k"), maxAttempts = 3, claimRetryMs = 10L, staleClaimMs = 0L)
+    val after = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after === Map("a" -> 1.0, "b" -> 2.0))
+  }
+
+  test("versioned merge fencing: two RACING writers both land, no lost update") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft_race").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    UpsertSink.ParquetMergeSink.merge(Seq(("seed", 0.0)).toDF("k", "v"), path, Seq("k"))
+    val pool = Executors.newFixedThreadPool(2)
+    val rounds = 3
+    try {
+      (1 to rounds).foreach { r =>
+        val gate = new CountDownLatch(1)
+        val done = new CountDownLatch(2)
+        var failure: Option[Throwable] = None
+        Seq("left", "right").foreach { side =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              gate.await()
+              try UpsertSink.ParquetMergeSink.merge(
+                Seq((s"$side-$r", r.toDouble)).toDF("k", "v"), path, Seq("k"),
+                maxAttempts = 300, claimRetryMs = 100L)
+              catch { case t: Throwable => failure.synchronized { failure = Some(t) } }
+              finally done.countDown()
+            }
+          })
+        }
+        gate.countDown()
+        assert(done.await(120, TimeUnit.SECONDS), s"round $r writers hung")
+        failure.foreach(t => fail(s"round $r writer failed: $t"))
+      }
+    } finally pool.shutdownNow()
+    // EVERY racing batch must be present: a lost update would have one
+    // side's key missing after its rival overwrote the same version slot
+    val keys = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val expected = Set("seed") ++
+      (1 to rounds).flatMap(r => Seq(s"left-$r", s"right-$r")).toSet
+    assert(keys === expected, "a racing writer's batch was silently lost")
+  }
+
   test("ON CONFLICT SQL matches the reference's upsert shape") {
     val sql = UpsertSink.onConflictSql("predictions",
       Seq("country", "year", "y_pred"), Seq("country", "year"))
