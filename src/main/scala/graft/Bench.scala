@@ -81,9 +81,14 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadEnd = loadAvg()
     val tsEnd = System.currentTimeMillis()
+    // driver heap ceiling (build.sbt -Xmx, SPARK_DRIVER_MEM): recorded
+    // so constrained-memory runs are self-identifying evidence — a
+    // "no OOM at sf0.3" claim is only meaningful with the ceiling in
+    // the artifact
+    val memMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val env = s""""env":{"cpus":$cpus,"loadavg_start":$loadStart,""" +
       s""""loadavg_end":$loadEnd,"ts_start_ms":$tsStart,"ts_end_ms":$tsEnd,""" +
-      s""""contended":${loadStart > 2.0},"retried":$retried,""" +
+      s""""contended":${loadStart > 2.0},"retried":$retried,"mem_mb":$memMb,""" +
       s""""mode":"${if (warm) "warm" else "cold"}"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
