@@ -129,6 +129,91 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** IVF cell assignment — argmax over cells of (2·v·cᵢ − ‖cᵢ‖²), ties
+  * to the LOWER cell id (strict-improvement scan over ascending
+  * cells) — as ONE compiled loop over a driver-held centroid matrix.
+  *
+  * This is the training/assignment hot path: the HOF formulation
+  * (aggregate over sequence(0, nlist−1) of a vector_dot each) walks a
+  * lambda interpreter per cell per row — at nlist = 4·√n that is
+  * hundreds of interpreted closures per row per Lloyd round. Here the
+  * matrix rides the task closure like a broadcast model
+  * (`addReferenceObj`), and both eval paths accumulate left-to-right
+  * doubles exactly like [[DotProduct]], so the assignment — and every
+  * oracle hash built on it (q78/q105/q153/q163) — is bit-identical to
+  * the HOF form. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]],
+                       norms: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty && centroids.length == norms.length,
+    "NearestCell needs one norm per centroid")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.sql}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(a.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          dot += (if (isF) a.getFloat(i).toDouble else a.getDouble(i)) * cv(i)
+        i += 1
+      }
+      val s = dot * 2.0 - norms(c)
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nrm = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best"); val bestS = ctx.freshName("bestS")
+      val c = ctx.freshName("c"); val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val s = ctx.freshName("s")
+      val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $best = -1;
+         |double $bestS = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cmat.length; $c++) {
+         |  double[] $cv = $cmat[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) { $dot += $get * $cv[$i]; }
+         |  }
+         |  double $s = $dot * 2.0 - $nrm[$c];
+         |  if ($s > $bestS) { $bestS = $s; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration. */
 object VectorExpressions {
   def vector_dot(a: Column, b: Column): Column =
@@ -136,6 +221,10 @@ object VectorExpressions {
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearest_cell(vec: Column, centroids: Array[Array[Double]],
+                   norms: Array[Double]): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids, norms))
 
   /** Expose as SQL functions (`SELECT vector_dot(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -58,20 +58,15 @@ object Ivf {
       element_at(nLit, i + lit(1))
 
   /** Cell-assignment column: id of the nearest centroid. Ties break to
-    * the lower cell id (strict-improvement fold over ascending cells). */
-  private def cellExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val (cLit, nLit) = centroidLits(centroids)
-    aggregate(
-      sequence(lit(0), lit(centroids.length - 1)),
-      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("cell")),
-      (acc, i) => {
-        val nd = negDist(vec, cLit, nLit, i)
-        val better = nd > acc.getField("s")
-        struct(when(better, nd).otherwise(acc.getField("s")).as("s"),
-          when(better, i).otherwise(acc.getField("cell")).as("cell"))
-      },
-      acc => acc.getField("cell"))
-  }
+    * the lower cell id (strict-improvement scan over ascending cells).
+    * Native codegen'd expression ([[graft.expressions.NearestCell]]) —
+    * the assignment runs over the whole corpus once per Lloyd round,
+    * and the HOF fold it replaces paid an interpreted lambda per cell
+    * per row. Bit-identical accumulation (left-to-right doubles,
+    * strict >), so the oracle hashes don't move. */
+  private def cellExpr(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.expressions.VectorExpressions.nearest_cell(vec, centroids,
+      centroids.map(_.map(x => x * x).sum))
 
   /** All cells ranked by centroid proximity to `vec`: array of
     * struct(s, cell) sorted s DESC then cell DESC — the probe order.

@@ -60,6 +60,42 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(native === Seq(5, 0, 0)) // "" splits to one empty token, 0 hits
   }
 
+  test("NearestCell ≡ the HOF argmax fold, ties to the lower cell") {
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 1.0, 0.0), // duplicate of cell 1: equal score, must lose
+      Array(0.5, 0.5, 0.0))
+    val norms = centroids.map(_.map(x => x * x).sum)
+    val vecs = Seq(
+      Array(0.9f, 0.1f, 0.0f),   // → cell 0
+      Array(0.1f, 0.9f, 0.0f),   // → cell 1 (2 is identical; lower id wins)
+      Array(0.5f, 0.5f, 0.0f),   // → cell 3 exactly
+      Array(0.0f, 0.0f, 1.0f))   // equidistant from nothing useful
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    val native = df.select(col("id"),
+      VectorExpressions.nearest_cell(col("v"), centroids, norms).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // HOF reference: the fold NearestCell replaced
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val nLit = typedLit(norms.toSeq)
+    val hof = df.select(col("id"),
+      aggregate(
+        sequence(lit(0), lit(centroids.length - 1)),
+        struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("cell")),
+        (acc, i) => {
+          val nd = graft.similarity.Similarity.dot(col("v"),
+            element_at(cLit, i + lit(1))) * 2.0 - element_at(nLit, i + lit(1))
+          val better = nd > acc.getField("s")
+          struct(when(better, nd).otherwise(acc.getField("s")).as("s"),
+            when(better, i).otherwise(acc.getField("cell")).as("cell"))
+        },
+        acc => acc.getField("cell")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(native === hof)
+    assert(native(0) === 0 && native(1) === 1 && native(2) === 3)
+  }
+
   test("SQL registration: vector_dot / cosine_sim usable from SQL text") {
     VectorExpressions.registerAll(spark)
     val r = spark.sql(
