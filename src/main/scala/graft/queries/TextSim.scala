@@ -1241,6 +1241,34 @@ object TextSim {
        |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q171
+  // SemDeDup at the AUTO-SIZED quantizer: q105's within-cell semantic
+  // dedup re-run with nlist = autoNlist(n) instead of the fixed-8 demo
+  // — the measured closure of BENCH_NOTES' n²/nlist argument ("at real
+  // scale nlist grows with the corpus, keeping cells bounded and the
+  // pairwise join linear per cell"). Same tau, same EXISTS semantics;
+  // the oracle replays the auto-sizing formula and the full Lloyd
+  // chain at whatever nlist the corpus implies.
+  lazy val q171_semdedup_auto: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.trainChecked(
+      e, nlist = graft.similarity.Ivf.autoNlist(e.count()), iters = 3)
+    Similarity.semDedup(idx.assigned, SemDedupTau).orderBy("vec_id")
+  }
+
+  lazy val q171_sql: String =
+    s"""WITH nlq AS (SELECT greatest(4, least(count(*) // 8,
+       |    CAST(floor(4 * sqrt(count(*))) AS BIGINT))) AS nl FROM embeddings),
+       |${ivfCtesN("(SELECT nl FROM nlq)", 3)},
+       |drops AS (SELECT DISTINCT b.vec_id
+       |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = a.vec_id
+       |  JOIN embeddings ce ON ce.vec_id = b.vec_id
+       |  WHERE $cosineSql >= $SemDedupTau)
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, d.vec_id IS NULL AS kept
+       |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q93_jaccard_dfcut" -> q93_jaccard_dfcut,
     "q94_simhash_capped" -> q94_simhash_capped,
@@ -1260,6 +1288,7 @@ object TextSim {
     "q81_dedup_components" -> q81_dedup_components,
     "q78_ann_ivf_checked" -> q78_ann_ivf_checked,
     "q105_semdedup" -> q105_semdedup,
+    "q171_semdedup_auto" -> q171_semdedup_auto,
     "q76_repetition" -> q76_repetition,
     "q77_quality_gate" -> q77_quality_gate,
     "q25_text_stats" -> q25_text_stats,
@@ -1295,6 +1324,7 @@ object TextSim {
     "q81_dedup_components" -> q81_sql,
     "q78_ann_ivf_checked" -> q78_sql,
     "q105_semdedup" -> q105_sql,
+    "q171_semdedup_auto" -> q171_sql,
     "q76_repetition" -> q76_sql,
     "q77_quality_gate" -> q77_sql,
     "q25_text_stats" -> q25_sql,
