@@ -210,20 +210,36 @@ object UpsertSink {
       new Path(new Path(root, ClaimsDir), dirName(v))
 
     /** Atomic create-if-absent of the claim file. Returns false when the
-      * claim is already held. HDFS/local `create(path, overwrite=false)`
-      * is an atomic namespace operation; see the class doc for the S3A
-      * caveat. */
+      * claim is already held. On HDFS `create(path, overwrite=false)` is
+      * an atomic namespace operation — but on the LOCAL filesystem
+      * Hadoop's RawLocalFileSystem implements it as check-then-create
+      * (a TOCTOU window two racing threads really do hit), so `file:`
+      * paths go through `java.io.File.createNewFile`, which is
+      * O_CREAT|O_EXCL-atomic. See the class doc for the S3A caveat. */
     private[graft] def tryClaim(fs: FileSystem, root: Path, v: Long,
-                                writerId: String): Boolean =
+                                writerId: String): Boolean = {
+      val cp = claimPath(root, v)
+      val payload = s"$writerId ${System.currentTimeMillis()}".getBytes("UTF-8")
       try {
-        val out = fs.create(claimPath(root, v), false)
-        try out.write(s"$writerId ${System.currentTimeMillis()}".getBytes("UTF-8"))
-        finally out.close()
-        true
+        if (fs.getScheme == "file") {
+          fs.mkdirs(cp.getParent)
+          val local = new java.io.File(cp.toUri.getPath)
+          if (!local.createNewFile()) false // atomic O_EXCL claim
+          else {
+            // we own the file; the payload write is just debuggability
+            java.nio.file.Files.write(local.toPath, payload)
+            true
+          }
+        } else {
+          val out = fs.create(cp, false)
+          try out.write(payload) finally out.close()
+          true
+        }
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.io.IOException => false
       }
+    }
 
     /** Committed versions in ascending order: `vNNNNNNNN` children
       * carrying Spark's `_SUCCESS` job-commit marker. */

@@ -148,7 +148,10 @@ class StreamingSpec extends SparkSpec {
               gate.await()
               try UpsertSink.ParquetMergeSink.merge(
                 Seq((s"$side-$r", r.toDouble)).toDF("k", "v"), path, Seq("k"),
-                maxAttempts = 300, claimRetryMs = 100L)
+                // generous budget: the loser spins while the winner's
+                // parquet write job runs, which on a contended CI box
+                // can take tens of seconds
+                maxAttempts = 1200, claimRetryMs = 100L)
               catch { case t: Throwable => failure.synchronized { failure = Some(t) } }
               finally done.countDown()
             }
