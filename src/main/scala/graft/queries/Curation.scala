@@ -500,7 +500,143 @@ object Curation {
        |WHERE rk <= ceil(n_src * 0.25) ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q172
+  // Product-quantized ANN (FAISS IVF-PQ's compression stage, Jégou et
+  // al. 2011): 8 subspaces × 8 dims, a 16-entry k-means codebook per
+  // subspace (md5-seeded, 2 integer-micro-unit Lloyd rounds, integer-mean
+  // updates), ADC scan via per-query 8×16 lookup tables (m lookups per
+  // candidate), exact re-rank of the 3k shortlist. Codebook fit,
+  // encoding, LUTs, both distance passes and the ranking are
+  // BIGINT-exact — the oracle replays the trainer and the two-stage
+  // search bit-for-bit. Where q107's SQ bins each dimension uniformly
+  // and independently, PQ quantizes each subspace jointly — better
+  // distortion at the same code budget, and the corpus scan reads
+  // NOTHING but 8 small codes per row.
+  val PqM = 8
+  val PqKsub = 16
+  val PqIters = 2
+  val PqK = 3
+  val PqRerank = 9
+  val PqDim = 64
+
+  val q172_pq_ann: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = graft.similarity.Pq.trainChecked(e, PqM, PqKsub, PqIters)
+    graft.similarity.Pq
+      .adcTopK(e, cents, e.filter(col("vec_id") < 20), k = PqK, rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  val q172_sql: String = {
+    val sd = PqDim / PqM
+    // exact integer subdistance of e.mv's subspace `sub` to centroid cv
+    def sdist(mvTbl: String, subRef: String, cvRef: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $sd), j -> " +
+        s"($mvTbl.mv[$subRef * $sd + j] - $cvRef[j]) * " +
+        s"($mvTbl.mv[$subRef * $sd + j] - $cvRef[j]))) AS BIGINT)"
+    def lloyd(k: Int, prev: String) =
+      s"""a$k AS (SELECT e.vec_id, c.sub, c.code,
+         |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+         |      ORDER BY ${sdist("e", "c.sub", "c.cv")}, c.code) AS rn
+         |  FROM m e CROSS JOIN $prev c),
+         |w$k AS (SELECT vec_id, sub, code FROM a$k WHERE rn = 1),
+         |t$k AS (SELECT w.sub, w.code, g.j,
+         |          sum(e.mv[w.sub * $sd + g.j]) AS sm, count(*) AS n
+         |        FROM w$k w JOIN m e USING (vec_id)
+         |        CROSS JOIN (SELECT UNNEST(generate_series(1, $sd)) AS j) g
+         |        GROUP BY 1, 2, 3),
+         |u$k AS (SELECT sub, code, list(CAST(sm // n AS BIGINT) ORDER BY j) AS cv
+         |        FROM t$k GROUP BY 1, 2),
+         |c$k AS (SELECT c.sub, c.code, coalesce(u.cv, c.cv) AS cv
+         |        FROM $prev c LEFT JOIN u$k u
+         |          ON u.sub = c.sub AND u.code = c.code)""".stripMargin
+    val rounds = (1 to PqIters).map(k => lloyd(k, s"c${k - 1}")).mkString(",\n")
+    s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |h AS (SELECT vec_id, mv,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
+       |  FROM m),
+       |seeds AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, mv
+       |          FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= $PqKsub),
+       |subs AS (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS sub),
+       |c0 AS (SELECT s.sub, sd.code,
+       |         list_transform(generate_series(1, $sd),
+       |           j -> sd.mv[s.sub * $sd + j]) AS cv
+       |       FROM subs s CROSS JOIN seeds sd),
+       |$rounds,
+       |cf AS (SELECT * FROM c$PqIters),
+       |af AS (SELECT e.vec_id, c.sub, c.code,
+       |    row_number() OVER (PARTITION BY e.vec_id, c.sub
+       |      ORDER BY ${sdist("e", "c.sub", "c.cv")}, c.code) AS rn
+       |  FROM m e CROSS JOIN cf c),
+       |wf AS (SELECT vec_id, sub, code FROM af WHERE rn = 1),
+       |qm AS (SELECT vec_id, mv FROM m WHERE vec_id < 20),
+       |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
+       |          ${sdist("q", "c.sub", "c.cv")} AS ld
+       |        FROM qm q CROSS JOIN cf c),
+       |adc AS (SELECT l.query_id, w.vec_id AS neighbor_id,
+       |          CAST(sum(l.ld) AS BIGINT) AS adist
+       |        FROM wf w JOIN lut l ON l.sub = w.sub AND l.code = w.code
+       |        WHERE w.vec_id <> l.query_id GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id, adist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adist, neighbor_id) AS arank
+       |       FROM adc),
+       |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDim), d ->
+       |           (q.mv[d] - c.mv[d]) * (q.mv[d] - c.mv[d]))) AS BIGINT) AS edist
+       |       FROM sl s JOIN m c ON c.vec_id = s.neighbor_id
+       |                 JOIN m q ON q.vec_id = s.query_id
+       |       WHERE s.arank <= $PqRerank),
+       |fin AS (SELECT query_id, neighbor_id, adist, edist,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY edist, neighbor_id) AS rank
+       |        FROM ex)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist, edist
+       |FROM fin WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q173
+  // Bloom-prefiltered incremental line dedup (CCNet-style ingest):
+  // docs md5-bucket 0 are the "new batch", the rest the existing
+  // corpus; the corpus's distinct 10-token lines build ONE broadcast
+  // Bloom sketch, incoming lines check it inside the scan, and only
+  // bloom-positives pay the exact confirm join. No false negatives ⇒
+  // the result is bit-identical to a plain semi-join, so the oracle
+  // checks the decision with an ordinary join while the prefilter's
+  // fpp traffic is pinned by BloomDedupSpec.
+  val q173_bloom_line_dedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    graft.dedup.BloomLineDedup
+      .census(docs.filter(bucket === 0), docs.filter(bucket =!= 0),
+        col("doc_id"), col("text"), LineTokens)
+      .orderBy("doc_id")
+  }
+
+  val q173_sql: String =
+    s"""WITH $linesCtes,
+       |bu AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |           % 10 AS b
+       |       FROM documents),
+       |bl AS (SELECT l.* FROM lines l JOIN bu USING (doc_id) WHERE bu.b = 0),
+       |cl AS (SELECT DISTINCT line FROM lines l JOIN bu USING (doc_id)
+       |       WHERE bu.b <> 0),
+       |d AS (SELECT bl.doc_id, count(*) AS n_lines,
+       |        count(cl.line) AS n_dup
+       |      FROM bl LEFT JOIN cl USING (line) GROUP BY 1)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(n_dup AS BIGINT) AS n_dup,
+       |  CAST(n_lines - n_dup AS BIGINT) AS n_kept
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q173_bloom_line_dedup" -> q173_bloom_line_dedup,
+    "q172_pq_ann" -> q172_pq_ann,
     "q166_quota_select" -> q166_quota_select,
     "q106_line_dedup" -> q106_line_dedup,
     "q107_sq_ann" -> q107_sq_ann,
@@ -515,6 +651,8 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q173_bloom_line_dedup" -> q173_sql,
+    "q172_pq_ann" -> q172_sql,
     "q166_quota_select" -> q166_sql,
     "q106_line_dedup" -> q106_sql,
     "q107_sq_ann" -> q107_sql,
