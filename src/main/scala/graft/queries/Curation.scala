@@ -634,7 +634,68 @@ object Curation {
        |  CAST(n_lines - n_dup AS BIGINT) AS n_kept
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q174
+  // DSIR-style data selection (Xie et al. 2023): hashed word-bigram
+  // bag-of-ngrams models on the target slice (lang = 'en') vs the raw
+  // corpus; every doc scores the exact integer Σ count·llr_micro over
+  // its features (the one float op — ln — is micronized per BUCKET, so
+  // document scores are order-independent BIGINTs); the top 20% by
+  // score are selected. The global-rank selection here is the
+  // demo-scale form; Dsir's scaladoc documents the approx-quantile
+  // threshold swap at real scale.
+  val DsirBuckets = 4096
+
+  val q174_dsir_select: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val model = graft.text.Dsir.fit(
+      docs, col("doc_id"), col("text"), col("lang") === "en", DsirBuckets)
+    val sc = graft.text.Dsir.scores(
+      docs, col("doc_id"), col("text"), model, DsirBuckets)
+    val named = docs.select(col("doc_id").as("id"), col("source"))
+      .join(sc, "id")
+    val rk = row_number()
+      .over(Window.orderBy(col("score_micro").desc, col("id").asc))
+    val n = count(lit(1)).over(Window.partitionBy())
+    named
+      .select(col("id").as("doc_id"), col("source"), col("score_micro"),
+        (rk <= (n / lit(5)).cast("int")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val q174_sql: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |bg AS (SELECT doc_id, lang, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+       |       FROM toks WHERE len(t) >= 2),
+       |f AS (SELECT doc_id, lang,
+       |        CAST('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8) AS BIGINT)
+       |          % $DsirBuckets AS bucket
+       |      FROM bg),
+       |cb AS (SELECT bucket, count(*) AS cr,
+       |         count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+       |       FROM f GROUP BY 1),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cb),
+       |llr AS (SELECT bucket,
+       |          CAST(round(1000000.0 *
+       |            (ln((ct + 1.0) / (nt + $DsirBuckets.0))
+       |             - ln((cr + 1.0) / (nr + $DsirBuckets.0)))) AS BIGINT) AS l
+       |        FROM cb CROSS JOIN tot),
+       |dc AS (SELECT doc_id, bucket, count(*) AS c FROM f GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, sum(d.c * l.l) AS score
+       |       FROM dc d JOIN llr l USING (bucket) GROUP BY 1),
+       |o AS (SELECT doc.doc_id, doc.source,
+       |        CAST(coalesce(sc.score, 0) AS BIGINT) AS score_micro
+       |      FROM documents doc LEFT JOIN sc USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       |        AS rk, count(*) OVER () AS n
+       |      FROM o)
+       |SELECT doc_id, source, score_micro, rk <= n // 5 AS selected
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q174_dsir_select" -> q174_dsir_select,
     "q173_bloom_line_dedup" -> q173_bloom_line_dedup,
     "q172_pq_ann" -> q172_pq_ann,
     "q166_quota_select" -> q166_quota_select,
@@ -651,6 +712,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q174_dsir_select" -> q174_sql,
     "q173_bloom_line_dedup" -> q173_sql,
     "q172_pq_ann" -> q172_sql,
     "q166_quota_select" -> q166_sql,

@@ -59,23 +59,14 @@ object Pq {
 
   /** Code-assignment column: array of `m` codes, each the argmin of
     * the exact integer subdistance over its subspace's codebook, ties
-    * to the lower code. The argmin is one integer `array_min` over
-    * sort keys `d·ksub + code` — exact (d ≤ m·sd·(2·10⁶)² ≈ 2⁴⁵ keeps
-    * the key far under 2⁶³), and the `+ code` term IS the
-    * lower-code tie-break. */
-  def codesExpr(mv: Column, cents: Array[Array[Array[Long]]]): Column = {
-    val m = cents.length
-    val ksub = cents(0).length
-    val sd = cents(0)(0).length
-    val cl = centLit(cents)
-    transform(sequence(lit(0), lit(m - 1)), s => {
-      val cvs = element_at(cl, s + lit(1))
-      val keys = transform(sequence(lit(0), lit(ksub - 1)), c =>
-        subDist(mv, s, element_at(cvs, c + lit(1)), sd) * lit(ksub.toLong) +
-          c.cast("long"))
-      (array_min(keys) % lit(ksub.toLong)).cast("int")
-    })
-  }
+    * to the lower code (argmin key `d·ksub + code` — exact:
+    * d ≤ m·sd·(2·10⁶)² ≈ 2⁴⁵ keeps the key far under 2⁶³, and the
+    * `+ code` term IS the lower-code tie-break). Native codegen'd
+    * expression ([[graft.expressions.PqCodes]]) — the HOF triple nest
+    * it replaces paid ~10⁴ interpreted lambda evals per row AND
+    * dragged its whole projection out of whole-stage codegen. */
+  def codesExpr(mv: Column, cents: Array[Array[Array[Long]]]): Column =
+    graft.expressions.PqExpressions.pq_codes(mv, cents)
 
   /** Per-query ADC lookup table: `lut[sub][code]` = exact integer
     * subdistance from the query's subvector to that codebook entry —
@@ -175,9 +166,8 @@ object Pq {
       scanned.filter(col("query_id") =!= col("neighbor_id"))
     else scanned)
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
-          acc + element_at(element_at(col("lut"), s + lit(1)),
-            element_at(col("codes"), s + lit(1)) + lit(1))).as("adist"))
+        graft.expressions.PqExpressions.pq_adc(col("codes"), col("lut"))
+          .as("adist"))
     val wa = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("arank", row_number().over(wa))
