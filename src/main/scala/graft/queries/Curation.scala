@@ -694,7 +694,64 @@ object Curation {
        |SELECT doc_id, source, score_micro, rk <= n // 5 AS selected
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q175
+  // Exact duplicated-SPAN census (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better"): every maximal token
+  // span of >= 8 tokens that repeats anywhere in the corpus — across
+  // documents or inside one — found by the k-gram form of the
+  // suffix-array pipeline (a span >= L repeats iff every L-token
+  // sliding window inside it repeats). Where q106's line dedup only
+  // sees fixed ALIGNED 10-token chunks, this catches the same passage
+  // at any offset, the real shape of copied boilerplate. Positions and
+  // lengths are exact integers; the window index moves 16-hex keys,
+  // never text.
+  val SpanL = 8
+
+  val q175_span_dedup: Q = (s, dir) =>
+    graft.text.SpanDedup
+      .census(Tables.load(s, dir, "documents"), col("doc_id"), col("text"), SpanL)
+      .orderBy("doc_id")
+
+  val q175_sql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id, t,
+       |        UNNEST(generate_series(0, len(t) - $SpanL)) AS pos
+       |      FROM toks WHERE len(t) >= $SpanL),
+       |k AS (SELECT doc_id, pos,
+       |        substr(md5(array_to_string(
+       |          list_slice(t, pos + 1, pos + $SpanL), ' ')), 1, 16) AS key
+       |      FROM w),
+       |hot AS (SELECT key FROM k GROUP BY key HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, pos FROM k JOIN hot USING (key)),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 > $SpanL
+       |             THEN 1 ELSE 0 END AS ns
+       |      FROM d),
+       |si AS (SELECT doc_id, pos,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |       FROM i),
+       |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + $SpanL - 1 AS en
+       |       FROM si GROUP BY doc_id, sid),
+       |cen AS (SELECT doc_id, count(*) AS n_spans,
+       |          sum(en - st + 1) AS dup_tokens,
+       |          max(en - st + 1) AS max_span
+       |        FROM sp GROUP BY doc_id),
+       |base AS (SELECT doc_id,
+       |           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       |         FROM documents)
+       |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(coalesce(max_span, 0) AS BIGINT) AS max_span,
+       |  CAST(coalesce(dup_tokens, 0) * 1000000 // n_tokens AS BIGINT)
+       |    AS dup_frac_micro
+       |FROM base b LEFT JOIN cen USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q175_span_dedup" -> q175_span_dedup,
     "q174_dsir_select" -> q174_dsir_select,
     "q173_bloom_line_dedup" -> q173_bloom_line_dedup,
     "q172_pq_ann" -> q172_pq_ann,
@@ -712,6 +769,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q175_span_dedup" -> q175_sql,
     "q174_dsir_select" -> q174_sql,
     "q173_bloom_line_dedup" -> q173_sql,
     "q172_pq_ann" -> q172_sql,

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-SPAN detection — the "deduplicating training data"
+  * operator (Lee et al. 2022): find every maximal token span of length
+  * >= `L` that occurs more than once ANYWHERE in the corpus (across
+  * documents or repeated inside one), the op suffix-array pipelines
+  * compute single-node. Where [[LineDedup]] dedups fixed, aligned
+  * chunks, this catches duplicated passages at ANY offset: a span of
+  * >= L tokens repeats iff every L-token sliding window inside it
+  * repeats, so the k-gram inverted index recovers exactly the
+  * suffix-array answer for spans >= L (windows at every offset, not
+  * every L tokens).
+  *
+  * 100 TB shape: the window index carries (doc_id, pos, 16-hex md5
+  * key) — never the window text — so the corpus-wide repeat test is
+  * one map-side-combined groupBy on a 16-byte key plus one shuffle
+  * join back. Span reconstruction is a per-document window (partition
+  * = one document's duplicated positions, bounded by doc length).
+  * Nothing is ever all-pairs and no driver-side state exists at all.
+  */
+object SpanDedup {
+
+  /** One row per L-token sliding window: (doc_id, pos, key) where
+    * `pos` is the 0-based token offset and `key` a 16-hex md5 prefix
+    * of the window text. Docs shorter than L tokens emit nothing. */
+  def windows(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame =
+    df.select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("t"))
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - L),
+          i => substring(md5(array_join(
+            slice(col("t"), i + 1, lit(L)), " ")), 1, 16)))
+          .as(Seq("pos", "key")))
+
+  /** Window positions whose key occurs >= 2 times corpus-wide —
+    * duplication across docs AND self-repetition inside one doc both
+    * count, matching suffix-array semantics. */
+  def dupPositions(w: DataFrame): DataFrame = {
+    val hot = w.groupBy("key").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("key")
+    w.join(hot, "key").select("doc_id", "pos")
+  }
+
+  /** Merge duplicated window positions into maximal spans: windows at
+    * prev and pos cover overlapping-or-adjacent token intervals iff
+    * pos - prev <= L, so a gap > L starts a new span. Output one row
+    * per maximal span: (doc_id, span_start, span_end) in token
+    * offsets, end inclusive. */
+  def spans(dup: DataFrame, L: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("ns",
+        (col("prev").isNull || col("pos") - col("prev") > L).cast("int"))
+      .withColumn("sid", sum("ns").over(byDoc))
+      .groupBy("doc_id", "sid")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(L - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Per-document census over the WHOLE corpus (docs with no
+    * duplicated span report zeros): token count, number of maximal
+    * duplicated spans, total and longest duplicated-token coverage,
+    * and the integer-micro duplicated fraction. */
+  def census(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame = {
+    val base = df.select(idCol.as("doc_id"),
+      size(TextAnalysis.tokens(textCol)).cast("long").as("n_tokens"))
+    val sp = spans(dupPositions(windows(df, idCol, textCol, L)), L)
+      .withColumn("len", col("span_end") - col("span_start") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("len").as("dup_tokens"),
+        max("len").as("max_span"))
+    base.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).cast("long").as("max_span"))
+      .withColumn("dup_frac_micro",
+        expr("dup_tokens * 1000000L div n_tokens"))
+  }
+}

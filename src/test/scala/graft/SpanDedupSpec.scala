@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.SpanDedup
+
+/** Pins the exact duplicated-span semantics (q175) on crafted corpora
+  * where the suffix-array answer is computable by hand. */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 4
+
+  private def census(docs: Seq[(Long, String)]) =
+    SpanDedup.census(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+  test("a shared passage is found at DIFFERENT offsets in each doc") {
+    // 6-token passage "p1 p2 p3 p4 p5 p6" at offset 0 in doc 1, offset 3
+    // in doc 2 — line-aligned chunking would miss this; span dedup
+    // reports exactly the 6 shared tokens in both docs.
+    val out = census(Seq(
+      1L -> "p1 p2 p3 p4 p5 p6 x1 x2 x3 x4",
+      2L -> "y1 y2 y3 p1 p2 p3 p4 p5 p6 z1"))
+    assert(out === Seq(
+      (1L, 10L, 1L, 6L, 6L, 600000L),
+      (2L, 10L, 1L, 6L, 6L, 600000L)))
+  }
+
+  test("self-repetition inside ONE doc counts as duplication") {
+    // "r1 r2 r3 r4" appears twice in the same doc: both occurrences are
+    // duplicated spans; the gap (> L) keeps them separate maximal spans.
+    val out = census(Seq(
+      1L -> "r1 r2 r3 r4 a1 a2 a3 a4 a5 r1 r2 r3 r4"))
+    assert(out === Seq((1L, 13L, 2L, 8L, 4L, 615384L)))
+  }
+
+  test("overlapping windows merge into ONE maximal span") {
+    // A shared 7-token passage yields 4 duplicated L=4 windows at
+    // offsets 0..3 — they must merge to a single span of 7, not four
+    // spans of 4.
+    val out = census(Seq(
+      1L -> "s1 s2 s3 s4 s5 s6 s7 u1 u2 u3",
+      2L -> "v1 v2 s1 s2 s3 s4 s5 s6 s7 w1"))
+    assert(out.map(_._3).toSeq === Seq(1L, 1L), "one maximal span per doc")
+    assert(out.map(_._4).toSeq === Seq(7L, 7L), "span covers all 7 tokens")
+  }
+
+  test("docs with no duplication report zeros; short docs emit no windows") {
+    val out = census(Seq(
+      1L -> "a b c d e f g h",
+      2L -> "q r s", // shorter than L: no windows, zeros
+      3L -> "m n o p q r s t"))
+    assert(out === Seq(
+      (1L, 8L, 0L, 0L, 0L, 0L),
+      (2L, 3L, 0L, 0L, 0L, 0L),
+      (3L, 8L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("spans straddling a gap > L stay separate; gap <= L merges") {
+    // doc 1 and doc 2 share tokens 0..3 and 8..11 (gap of 4 fresh
+    // tokens between window starts 0 and 8 -> 8 - 0 > L so only if the
+    // middle tokens differ do we get two spans).
+    val out = census(Seq(
+      1L -> "c1 c2 c3 c4 g1 g2 g3 g4 d1 d2 d3 d4",
+      2L -> "c1 c2 c3 c4 h1 h2 h3 h4 d1 d2 d3 d4"))
+    assert(out.map(_._3).toSeq === Seq(2L, 2L), "two separate maximal spans")
+    assert(out.map(_._4).toSeq === Seq(8L, 8L))
+    assert(out.map(_._5).toSeq === Seq(4L, 4L))
+  }
+}
