@@ -750,7 +750,54 @@ object Curation {
        |    AS dup_frac_micro
        |FROM base b LEFT JOIN cen USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q176
+  // BM25 ranked retrieval (Okapi k1=1.2, b=0.75): the first three
+  // documents act as queries, their distinct tokens score against
+  // every other document — the retrieval scorer behind benchmark-
+  // similarity decontamination sweeps (q47's tf-idf without length
+  // normalization under-ranks short exact matches; BM25 is the
+  // production weighting). Per-term contributions run one pinned IEEE
+  // op sequence over exact-integer inputs and micronize to BIGINT
+  // before the sum, so the top-10 hash-matches exactly.
+  val Bm25K = 10
+
+  val q176_bm25_topk: Q = (s, dir) =>
+    graft.text.Bm25
+      .topK(Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+        col("doc_id") < 3, Bm25K)
+      .orderBy("query_id", "rank")
+
+  val q176_sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |post AS (SELECT t.doc_id, t.token, t.tf, d.dl
+       |         FROM tf t JOIN dl d USING (doc_id)),
+       |stats AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+       |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+       |q AS (SELECT DISTINCT doc_id AS query_id, token FROM toks
+       |      WHERE doc_id < 3),
+       |sc AS (SELECT q.query_id, p.doc_id,
+       |         CAST(sum(CAST(round((ln(1.0 + (s.nd - f.df + 0.5) / (f.df + 0.5))
+       |               * (p.tf * CAST(2.2 AS DOUBLE))
+       |               / (p.tf + CAST(1.2 AS DOUBLE)
+       |                  * (0.25 + 0.75 * (p.dl * s.nd / s.sdl))))
+       |             * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+       |       FROM post p JOIN q ON q.token = p.token
+       |                          AND p.doc_id <> q.query_id
+       |       JOIN dfreq f ON f.token = p.token CROSS JOIN stats s
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_micro,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_micro DESC, doc_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+       |FROM r WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q176_bm25_topk" -> q176_bm25_topk,
     "q175_span_dedup" -> q175_span_dedup,
     "q174_dsir_select" -> q174_dsir_select,
     "q173_bloom_line_dedup" -> q173_bloom_line_dedup,
@@ -769,6 +816,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q176_bm25_topk" -> q176_sql,
     "q175_span_dedup" -> q175_sql,
     "q174_dsir_select" -> q174_sql,
     "q173_bloom_line_dedup" -> q173_sql,
