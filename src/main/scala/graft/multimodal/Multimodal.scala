@@ -529,6 +529,28 @@ object Multimodal {
       })
   }
 
+  /** Channel-0 sum of squared PCM samples — the exact-integer energy
+    * the perceptual audio fingerprint (q177) buckets on. A trimmed
+    * twin of [[pcmChannelStats]]'s q0 accumulator, kept separate so
+    * the fingerprint plan folds ONE long instead of a 6-field struct
+    * per sample. */
+  def pcmSsq0(media: Column, doff: Column, channels: Column,
+              bits: Column, nFrames: Column): Column = {
+    val bps = when(bits === lit(8L), lit(1L)).otherwise(lit(2L))
+    val z = lit(0L)
+    aggregate(
+      sequence(lit(0L), nFrames * channels - lit(1L)),
+      z,
+      (acc, i) => {
+        val off = doff + i * bps
+        val v8 = u8At(media, off) - lit(128L)
+        val raw16 = leAt(media, off, 2)
+        val v16 = raw16 - when(raw16 >= lit(32768L), lit(65536L)).otherwise(z)
+        val v = when(bps === lit(1L), v8).otherwise(v16)
+        acc + when(i % channels === z, v * v).otherwise(z)
+      })
+  }
+
   /** Pixel-count ceiling for the expression-level BMP fold: beyond this
     * the per-row fold is the wrong tool (a 100 MP scan would unroll to
     * a 300M-step per-row loop) — such rows report valid=false and

@@ -400,7 +400,36 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val q167_sql: String = {
+  // sample i (0-based), bps bytes/sample: signed PCM value in hex space
+  // — shared by the q167 stats fold and the q177 fingerprint fold
+  private def wavSampleV(i: String) = {
+    val o = s"(doff + ($i) * bps)"
+    val v8 = s"(CAST('0x' || substr(hexs, 2*$o + 1, 2) AS BIGINT) - 128)"
+    val raw16 = s"CAST('0x' || substr(hexs, 2*($o + 1) + 1, 2)" +
+      s" || substr(hexs, 2*$o + 1, 2) AS BIGINT)"
+    val v16 = s"($raw16 - CASE WHEN $raw16 >= 32768 THEN 65536 ELSE 0 END)"
+    s"(CASE WHEN bps = 1 THEN $v8 ELSE $v16 END)"
+  }
+
+  // nfx/chx are zeroed for invalid rows (guard CTE in wavPcmCtes), so
+  // the per-row sample loop is range(0) = empty wherever the header
+  // walk failed — garbage header bytes can never size a loop
+  private def wavChSum(ch: Int, sq: Boolean) = {
+    val v = wavSampleV("i")
+    val term = if (sq) s"$v * $v" else v
+    s"CAST(list_sum(list_transform(range(nfx * chx), i -> " +
+      s"CASE WHEN i % chx = $ch THEN $term ELSE 0 END)) AS BIGINT)"
+  }
+
+  private def wavChPeak(ch: Int) =
+    s"CAST(list_max(list_transform(range(nfx * chx), i -> " +
+      s"CASE WHEN i % chx = $ch THEN abs(${wavSampleV("i")}) ELSE -1 END)) AS BIGINT)"
+
+  /** Shared DuckDB CTE chain: documents → synthetic WAV hex stream →
+    * chunk walk → validated decode params, ending in `v2` with
+    * (doc_id, hexs, doff, ch, bits, nf, bps, ok, nfx, chx). q167 folds
+    * channel stats over it; q177 folds the perceptual fingerprint. */
+  private def wavPcmCtes: String = {
     val inBounds = "off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
     val open = s"(fmt IS NULL OR doff IS NULL) AND $inBounds"
     val steps = (1 to Multimodal.WavMaxChunks).map { k =>
@@ -424,28 +453,7 @@ object Media {
     val bps = "(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 2 END)"
     val dataLen = "(doc_id % 9 + 8)"
     val listLen = "(doc_id % 7 + 1)"
-    // sample i (0-based), b = bytes/sample: signed PCM value in hex space
-    def sampleV(i: String) = {
-      val o = s"(doff + ($i) * bps)"
-      val v8 = s"(CAST('0x' || substr(hexs, 2*$o + 1, 2) AS BIGINT) - 128)"
-      val raw16 = s"CAST('0x' || substr(hexs, 2*($o + 1) + 1, 2)" +
-        s" || substr(hexs, 2*$o + 1, 2) AS BIGINT)"
-      val v16 = s"($raw16 - CASE WHEN $raw16 >= 32768 THEN 65536 ELSE 0 END)"
-      s"(CASE WHEN bps = 1 THEN $v8 ELSE $v16 END)"
-    }
-    // nfx/chx are zeroed for invalid rows (guard CTE below), so the
-    // per-row sample loop is range(0) = empty wherever the header walk
-    // failed — garbage header bytes can never size a loop
-    def chSum(ch: Int, sq: Boolean) = {
-      val v = sampleV("i")
-      val term = if (sq) s"$v * $v" else v
-      s"CAST(list_sum(list_transform(range(nfx * chx), i -> " +
-        s"CASE WHEN i % chx = $ch THEN $term ELSE 0 END)) AS BIGINT)"
-    }
-    def chPeak(ch: Int) =
-      s"CAST(list_max(list_transform(range(nfx * chx), i -> " +
-        s"CASE WHEN i % chx = $ch THEN abs(${sampleV("i")}) ELSE -1 END)) AS BIGINT)"
-    s"""WITH m AS (SELECT doc_id, upper(CASE
+    s"""m AS (SELECT doc_id, upper(CASE
        |    WHEN doc_id % 89 = 0 THEN md5(text)
        |    ELSE '52494646'
        |      || ${lew(s"4 + CASE WHEN doc_id % 2 = 0 THEN 12 + $listLen + $listLen % 2 ELSE 0 END + 32 + $dataLen", 4)}
@@ -480,23 +488,32 @@ object Media {
        |     AND doff + dsize <= CAST(length(hexs)/2 AS BIGINT)
        |     AND nf > 0 AS ok
        | FROM p),
-       |v2 AS (SELECT *, CASE WHEN ok THEN nf ELSE 0 END AS nfx,
-       |       CASE WHEN ok THEN ch ELSE 1 END AS chx FROM v)
-       |SELECT doc_id,
+       |v2 AS MATERIALIZED (SELECT *, CASE WHEN ok THEN nf ELSE 0 END AS nfx,
+       |       CASE WHEN ok THEN ch ELSE 1 END AS chx FROM v)""".stripMargin
+  }
+  // ^ MATERIALIZED: a downstream WHERE ok (q177) otherwise makes DuckDB
+  // push the predicate through the four chunk-walk CTEs, duplicating the
+  // walk expressions combinatorially — the planner never returns.
+
+  // NOTE: wavPcmCtes is already margin-stripped and contains `||`
+  // string concatenations at line starts — interpolating it into
+  // another stripMargin template would eat one pipe of every `||`.
+  // Always CONCATENATE it, never re-strip over it.
+  val q167_sql: String = "WITH " + wavPcmCtes + "\n" +
+    s"""SELECT doc_id,
        |  CASE WHEN ok THEN 'wav' ELSE 'unknown' END AS format,
        |  CASE WHEN ok THEN ch END AS channels,
        |  CASE WHEN ok THEN bits END AS bits_per_sample,
        |  CASE WHEN ok THEN nf END AS n_frames,
-       |  CASE WHEN ok THEN ${chSum(0, sq = false)} END AS sum_ch0,
-       |  CASE WHEN ok AND ch = 2 THEN ${chSum(1, sq = false)} END AS sum_ch1,
-       |  CASE WHEN ok THEN ${chPeak(0)} END AS peak_ch0,
-       |  CASE WHEN ok AND ch = 2 THEN ${chPeak(1)} END AS peak_ch1,
-       |  CASE WHEN ok THEN round(${chSum(0, sq = false)} / nf, 6) END AS mean_ch0,
-       |  CASE WHEN ok AND ch = 2 THEN round(${chSum(1, sq = false)} / nf, 6) END AS mean_ch1,
-       |  CASE WHEN ok THEN round(sqrt(${chSum(0, sq = true)} / nf), 6) END AS rms_ch0,
-       |  CASE WHEN ok AND ch = 2 THEN round(sqrt(${chSum(1, sq = true)} / nf), 6) END AS rms_ch1
+       |  CASE WHEN ok THEN ${wavChSum(0, sq = false)} END AS sum_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN ${wavChSum(1, sq = false)} END AS sum_ch1,
+       |  CASE WHEN ok THEN ${wavChPeak(0)} END AS peak_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN ${wavChPeak(1)} END AS peak_ch1,
+       |  CASE WHEN ok THEN round(${wavChSum(0, sq = false)} / nf, 6) END AS mean_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN round(${wavChSum(1, sq = false)} / nf, 6) END AS mean_ch1,
+       |  CASE WHEN ok THEN round(sqrt(${wavChSum(0, sq = true)} / nf), 6) END AS rms_ch0,
+       |  CASE WHEN ok AND ch = 2 THEN round(sqrt(${wavChSum(1, sq = true)} / nf), 6) END AS rms_ch1
        |FROM v2 ORDER BY doc_id""".stripMargin
-  }
 
   // --------------------------------------------------------------- q168
   // REAL BMP pixel-level decode: per-channel (B, G, R) mean/variance as
@@ -594,7 +611,67 @@ object Media {
        |FROM v2 ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q177
+  // Perceptual audio dedup over DECODED content: every valid WAV maps
+  // to a container-invariant signature (channels, bit depth, coarse
+  // mean-square energy bucket — exact BIGINT arithmetic, no sqrt), and
+  // signature groups name a canonical member. Byte-level hashing CANNOT
+  // find these groups: the synthetic corpus varies RIFF framing
+  // (optional LIST/INFO chunk, chunk sizes) independently of the PCM
+  // payload, so only the decoded-sample path sees through the
+  // container. Grouping windows partition per signature — bounded by
+  // group size, never corpus-sized.
+  val AudioFpBucket8 = 64L
+  val AudioFpBucket16 = 4194304L
+
+  val q177_audio_fingerprint: Q = (s, dir) => {
+    val m = Multimodal.syntheticWav(Tables.load(s, dir, "documents"))
+    val parsed = m.select(
+      col("media_id").as("doc_id"), col("media"),
+      Multimodal.parseWavPcm(col("media")).as("p"))
+      .select(col("doc_id"), col("media"),
+        col("p.valid").as("valid"), col("p.channels").as("channels"),
+        col("p.bits_per_sample").as("bits_per_sample"),
+        col("p.n_frames").as("n_frames"), col("p.doff").as("doff"))
+      .filter(col("valid"))
+      .select(col("doc_id"), col("channels"), col("bits_per_sample"),
+        Multimodal.pcmSsq0(col("media"), col("doff"), col("channels"),
+          col("bits_per_sample"), col("n_frames")).as("ssq"),
+        col("n_frames"))
+      .withColumn("msq_bucket", expr(
+        s"(ssq div n_frames) div (CASE WHEN bits_per_sample = 8 " +
+          s"THEN $AudioFpBucket8 ELSE $AudioFpBucket16 END)"))
+    val sig = org.apache.spark.sql.expressions.Window
+      .partitionBy("channels", "bits_per_sample", "msq_bucket")
+    parsed
+      .withColumn("group_n", count(lit(1)).over(sig))
+      .withColumn("canonical_id", min("doc_id").over(sig))
+      .select(col("doc_id"), col("channels"), col("bits_per_sample"),
+        col("msq_bucket"), col("group_n"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val q177_sql: String = "WITH " + wavPcmCtes + ",\n" +
+    s"""e AS (SELECT doc_id, ch, bits, nf,
+       |        ${wavChSum(0, sq = true)} AS ssq
+       |      FROM v2 WHERE ok),
+       |g AS (SELECT doc_id, ch, bits,
+       |        (ssq // nf) // (CASE WHEN bits = 8 THEN $AudioFpBucket8
+       |                             ELSE $AudioFpBucket16 END) AS msq_bucket
+       |      FROM e),
+       |s AS (SELECT *,
+       |        count(*) OVER (PARTITION BY ch, bits, msq_bucket) AS group_n,
+       |        min(doc_id) OVER (PARTITION BY ch, bits, msq_bucket)
+       |          AS canonical_id
+       |      FROM g)
+       |SELECT doc_id, ch AS channels, bits AS bits_per_sample, msq_bucket,
+       |  CAST(group_n AS BIGINT) AS group_n, canonical_id,
+       |  doc_id = canonical_id AS is_canonical
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q177_audio_fingerprint" -> q177_audio_fingerprint,
     "q97_image_meta" -> q97_image_meta,
     "q100_audio_meta" -> q100_audio_meta,
     "q102_video_meta" -> q102_video_meta,
@@ -603,6 +680,7 @@ object Media {
     "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats)
 
   val oracle: Map[String, String] = Map(
+    "q177_audio_fingerprint" -> q177_sql,
     "q97_image_meta" -> q97_sql,
     "q100_audio_meta" -> q100_sql,
     "q102_video_meta" -> q102_sql,

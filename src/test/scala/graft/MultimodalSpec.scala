@@ -397,4 +397,26 @@ class MultimodalSpec extends SparkSpec {
         "00000010" + "6D6F6F76" + "00000008" + "75647461") // moov/udta
     assert(parseMp4(noMvhd).getString(0) === "unknown")
   }
+
+  test("pcmSsq0 is container-invariant: LIST chunk and RIFF size don't matter") {
+    import spark.implicits._
+    // identical mono 8-bit PCM payload (samples 0x00,0x80,0xFF,0x40 →
+    // centered -128, 0, 127, -64 → ssq = 16384 + 0 + 16129 + 4096)
+    val fmtData = "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+      "401f0000" + "0100" + "0800" +
+      "64617461" + "04000000" + "0080ff40"
+    val plain = hexToBytes("52494646" + "24000000" + "57415645" + fmtData)
+    val withList = hexToBytes("52494646" + "34000000" + "57415645" +
+      "4c495354" + "08000000" + "494e464f" + "deadbeef" + fmtData)
+    def ssq(payload: Array[Byte]): Long =
+      Seq(Tuple1(payload)).toDF("media")
+        .select(col("media"), Multimodal.parseWavPcm(col("media")).as("p"))
+        .select(Multimodal.pcmSsq0(col("media"), col("p.doff"),
+          col("p.channels"), col("p.bits_per_sample"),
+          col("p.n_frames")).as("ssq"), col("p.valid").as("valid"))
+        .collect().map { r => assert(r.getBoolean(1)); r.getLong(0) }.head
+    assert(ssq(plain) === 16384L + 0L + 16129L + 4096L)
+    assert(ssq(withList) === ssq(plain),
+      "the decoded-content fingerprint must see through RIFF framing")
+  }
 }
