@@ -1269,7 +1269,50 @@ object TextSim {
        |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  // Corpus topic map (the BERTopic shape): documents partition into 8
+  // embedding-space clusters (3 SRP sign bits — the q35 LSH family;
+  // IVF cells swap in unchanged) and each cluster is NAMED by its
+  // top-5 class-TF-IDF terms. idf is micronized per token before the
+  // integer multiply, so scores are exact BIGINTs and the whole
+  // cluster->label table hash-matches.
+  val TopicBits = 3
+  val TopicK = 5
+
+  val q178_cluster_topics: Q = (s, dir) =>
+    graft.text.Topics.topTerms(
+      Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"),
+      dim = 64, signBits = TopicBits, seed = 42L, k = TopicK)
+      .orderBy("cluster", "rank")
+
+  val q178_sql: String =
+    s"""WITH bits AS (SELECT vec_id, [${srpBitsList(TopicBits)}] AS bits
+       |              FROM embeddings),
+       |cl AS (SELECT vec_id AS doc_id,
+       |         bits[1]*1 + bits[2]*2 + bits[3]*4 AS cluster FROM bits),
+       |toks AS (SELECT doc_id,
+       |    UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+       |  FROM documents),
+       |tfc AS (SELECT cluster, token, count(*) AS tf_c
+       |        FROM toks JOIN cl USING (doc_id) GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |csize AS (SELECT cluster, count(*) AS n_docs FROM cl GROUP BY 1),
+       |sc AS (SELECT t.cluster, t.token, t.tf_c,
+       |         CAST(t.tf_c * CAST(round(1000000.0 * ln(1.0 + n.n / f.df))
+       |                AS BIGINT) AS BIGINT) AS score_micro
+       |       FROM tfc t JOIN dfq f USING (token) CROSS JOIN nd n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY score_micro DESC, token) AS rank
+       |      FROM sc)
+       |SELECT r.cluster, CAST(cs.n_docs AS BIGINT) AS n_docs,
+       |  CAST(rank AS BIGINT) AS rank, token, CAST(tf_c AS BIGINT) AS tf_c,
+       |  score_micro
+       |FROM r JOIN csize cs USING (cluster)
+       |WHERE rank <= $TopicK ORDER BY cluster, rank""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q178_cluster_topics" -> q178_cluster_topics,
     "q93_jaccard_dfcut" -> q93_jaccard_dfcut,
     "q94_simhash_capped" -> q94_simhash_capped,
     "q95_simhash_full" -> q95_simhash_full,
@@ -1306,6 +1349,7 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q178_cluster_topics" -> q178_sql,
     "q93_jaccard_dfcut" -> q93_sql,
     "q94_simhash_capped" -> q94_sql,
     "q95_simhash_full" -> q95_sql,
