@@ -796,7 +796,69 @@ object Curation {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
        |FROM r WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  // The span-dedup TRANSFORM (the other half of q175): corpus-wide
+  // first occurrence of each duplicated >= 8-token window keeps its
+  // text, every later occurrence's covering span is cut, documents
+  // reassemble from surviving tokens. The md5 fingerprint of every
+  // rewritten document hash-matches the DuckDB replay, so the edit
+  // itself — not just the counts — is pinned.
+  val q179_span_rewrite: Q = (s, dir) =>
+    graft.text.SpanDedup
+      .rewrite(Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+        SpanL)
+      .orderBy("doc_id")
+
+  val q179_sql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |w AS (SELECT doc_id, t,
+       |        UNNEST(generate_series(0, len(t) - $SpanL)) AS pos
+       |      FROM toks WHERE len(t) >= $SpanL),
+       |k AS (SELECT doc_id, pos,
+       |        substr(md5(array_to_string(
+       |          list_slice(t, pos + 1, pos + $SpanL), ' ')), 1, 16) AS key
+       |      FROM w),
+       |hot AS (SELECT key FROM k GROUP BY key HAVING count(*) >= 2),
+       |d AS (SELECT doc_id, pos, key FROM k JOIN hot USING (key)),
+       |lat AS (SELECT doc_id, pos FROM (
+       |          SELECT doc_id, pos,
+       |            row_number() OVER (PARTITION BY key
+       |              ORDER BY doc_id, pos) AS rn
+       |          FROM d) WHERE rn > 1),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 > $SpanL
+       |             THEN 1 ELSE 0 END AS ns
+       |      FROM lat),
+       |si AS (SELECT doc_id, pos,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |       FROM i),
+       |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + $SpanL - 1 AS en
+       |       FROM si GROUP BY doc_id, sid),
+       |cov AS (SELECT doc_id, UNNEST(generate_series(st, en)) AS pos FROM sp),
+       |tp AS (SELECT doc_id, UNNEST(generate_series(0, len(t) - 1)) AS pos, t
+       |       FROM toks),
+       |tok AS (SELECT doc_id, pos, t[pos + 1] AS token FROM tp),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.token
+       |         FROM tok LEFT JOIN cov
+       |           ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+       |         WHERE cov.pos IS NULL),
+       |re AS (SELECT doc_id, count(*) AS n_kept,
+       |         md5(coalesce(string_agg(token, ' ' ORDER BY pos), ''))
+       |           AS kept_fp
+       |       FROM kept GROUP BY doc_id),
+       |base AS (SELECT doc_id,
+       |           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       |         FROM documents)
+       |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(kept_fp, md5('')) AS kept_fp
+       |FROM base b LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q179_span_rewrite" -> q179_span_rewrite,
     "q176_bm25_topk" -> q176_bm25_topk,
     "q175_span_dedup" -> q175_span_dedup,
     "q174_dsir_select" -> q174_dsir_select,
@@ -816,6 +878,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q179_span_rewrite" -> q179_sql,
     "q176_bm25_topk" -> q176_sql,
     "q175_span_dedup" -> q175_sql,
     "q174_dsir_select" -> q174_sql,

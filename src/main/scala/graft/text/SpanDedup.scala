@@ -63,6 +63,47 @@ object SpanDedup {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** The dedup TRANSFORM (Lee et al.'s actual output, not just the
+    * census): the corpus-wide FIRST occurrence of each duplicated
+    * window — ordered by (doc_id, pos) — keeps its text; every later
+    * occurrence's covering span is removed, and each document is
+    * reassembled from its surviving tokens. Output per document:
+    * (doc_id, n_tokens, n_removed, kept_fp) where kept_fp is the md5
+    * of the surviving tokens in original order.
+    *
+    * Same 100 TB shape as the census plus one first-occurrence window
+    * per KEY (partition = one key's duplicate count) and a per-doc
+    * anti-join of token positions against removed intervals (intervals
+    * explode to positions only AFTER merging, so the explosion is
+    * bounded by the doc's own removed-token count). */
+  def rewrite(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame = {
+    val w = windows(df, idCol, textCol, L)
+    val hot = w.groupBy("key").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("key")
+    val dup = w.join(hot, "key")
+    val firstW = Window.partitionBy("key").orderBy("doc_id", "pos")
+    val later = dup.withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") > 1).select("doc_id", "pos")
+    val covered = spans(later, L)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = df.select(idCol.as("doc_id"),
+      posexplode(TextAnalysis.tokens(textCol)).as(Seq("pos", "token")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")),
+          " ")).as("kept_fp"))
+    df.select(idCol.as("doc_id"),
+      size(TextAnalysis.tokens(textCol)).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
+
   /** Per-document census over the WHOLE corpus (docs with no
     * duplicated span report zeros): token count, number of maximal
     * duplicated spans, total and longest duplicated-token coverage,

@@ -60,6 +60,36 @@ class SpanDedupSpec extends SparkSpec {
       (3L, 8L, 0L, 0L, 0L, 0L)))
   }
 
+  test("rewrite keeps the corpus-wide FIRST occurrence, cuts the rest") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq(
+      1L -> "p1 p2 p3 p4 x1 x2",
+      2L -> "y1 y2 p1 p2 p3 p4") // later occurrence -> span cut
+    val out = graft.text.SpanDedup
+      .rewrite(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 0L, "first occurrence untouched")
+    assert(out(1).getLong(2) === 4L, "later occurrence removed")
+    val fp1 = spark.range(1).select(md5(lit("p1 p2 p3 p4 x1 x2"))).head.getString(0)
+    val fp2 = spark.range(1).select(md5(lit("y1 y2"))).head.getString(0)
+    assert(out(0).getString(3) === fp1)
+    assert(out(1).getString(3) === fp2)
+  }
+
+  test("rewrite of a fully-duplicated document leaves the empty fingerprint") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq(
+      1L -> "q1 q2 q3 q4",
+      2L -> "q1 q2 q3 q4")
+    val out = graft.text.SpanDedup
+      .rewrite(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 0L)
+    assert(out(1).getLong(2) === 4L)
+    val empty = spark.range(1).select(md5(lit(""))).head.getString(0)
+    assert(out(1).getString(3) === empty)
+  }
+
   test("spans straddling a gap > L stay separate; gap <= L merges") {
     // doc 1 and doc 2 share tokens 0..3 and 8..11 (gap of 4 fresh
     // tokens between window starts 0 and 8 -> 8 - 0 > L so only if the
