@@ -857,7 +857,106 @@ object Curation {
        |  coalesce(kept_fp, md5('')) AS kept_fp
        |FROM base b LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  // Incremental-ingest span dedup: docs in md5-bucket 0 are the "new
+  // batch" (q173's split), the rest the stored corpus; batch spans
+  // already present in the corpus are found by joining the batch's
+  // window keys against the corpus's DISTINCT keys — the span-level
+  // member of the q156/q173 ingest family. Only batch-sized state
+  // flows after the join; batch-internal duplication is the full
+  // census's job, not the ingest check's.
+  val q180_incremental_span_dedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    graft.text.SpanDedup
+      .incrementalCensus(docs.filter(bucket === 0), docs.filter(bucket =!= 0),
+        col("doc_id"), col("text"), SpanL)
+      .orderBy("doc_id")
+  }
+
+  val q180_sql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |bu AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |           % 10 AS b
+       |       FROM documents),
+       |w AS (SELECT doc_id, t,
+       |        UNNEST(generate_series(0, len(t) - $SpanL)) AS pos
+       |      FROM toks WHERE len(t) >= $SpanL),
+       |k AS (SELECT doc_id, pos,
+       |        substr(md5(array_to_string(
+       |          list_slice(t, pos + 1, pos + $SpanL), ' ')), 1, 16) AS key
+       |      FROM w),
+       |ck AS (SELECT DISTINCT key FROM k JOIN bu USING (doc_id)
+       |       WHERE bu.b <> 0),
+       |d AS (SELECT k.doc_id, k.pos FROM k JOIN bu USING (doc_id)
+       |      JOIN ck USING (key) WHERE bu.b = 0),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 > $SpanL
+       |             THEN 1 ELSE 0 END AS ns
+       |      FROM d),
+       |si AS (SELECT doc_id, pos,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |       FROM i),
+       |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + $SpanL - 1 AS en
+       |       FROM si GROUP BY doc_id, sid),
+       |cen AS (SELECT doc_id, count(*) AS n_spans,
+       |          sum(en - st + 1) AS dup_tokens,
+       |          max(en - st + 1) AS max_span
+       |        FROM sp GROUP BY doc_id),
+       |base AS (SELECT d.doc_id,
+       |           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       |         FROM documents d JOIN bu ON bu.doc_id = d.doc_id
+       |         WHERE bu.b = 0)
+       |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(coalesce(max_span, 0) AS BIGINT) AS max_span,
+       |  CAST(coalesce(dup_tokens, 0) * 1000000 // n_tokens AS BIGINT)
+       |    AS dup_frac_micro
+       |FROM base b LEFT JOIN cen USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q181
+  // Per-document 3-gram NOVELTY census: of each doc's distinct
+  // shingles, the share first appearing in THIS doc (ingest order =
+  // doc_id order) — the scheduling signal behind novelty-ordered
+  // curricula, per-doc complement of q109's corpus growth curve.
+  // 3-gram shingles, not tokens: the synthetic vocabulary saturates
+  // instantly at the unigram level. Docs with < 3 tokens carry no
+  // shingles and are (deliberately) absent.
+  val q181_ngram_novelty: Q = (s, dir) => {
+    import graft.text.TextAnalysis
+    graft.text.Corpus
+      .noveltyCensus(Tables.load(s, dir, "documents"), col("doc_id"),
+        TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3))
+      .orderBy("doc_id")
+  }
+
+  val q181_sql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |g0 AS (SELECT doc_id, UNNEST(list_transform(
+      |    generate_series(1, greatest(len(t) - 2, 0)),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+      |  FROM toks),
+      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |fd AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+      |c AS (SELECT g.doc_id, count(*) AS n_grams,
+      |        count(CASE WHEN fd.first_doc = g.doc_id THEN 1 END) AS n_new
+      |      FROM g JOIN fd USING (gram) GROUP BY 1)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(n_new * 1000000 // n_grams AS BIGINT) AS novelty_micro
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q181_ngram_novelty" -> q181_ngram_novelty,
+    "q180_incremental_span_dedup" -> q180_incremental_span_dedup,
     "q179_span_rewrite" -> q179_span_rewrite,
     "q176_bm25_topk" -> q176_bm25_topk,
     "q175_span_dedup" -> q175_span_dedup,
@@ -878,6 +977,8 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q181_ngram_novelty" -> q181_sql,
+    "q180_incremental_span_dedup" -> q180_sql,
     "q179_span_rewrite" -> q179_sql,
     "q176_bm25_topk" -> q176_sql,
     "q175_span_dedup" -> q175_sql,

@@ -227,6 +227,24 @@ object Corpus {
       .select(col("first_doc"), col("new_types"), col("__run").as("vocab_size"))
   }
 
+  /** Per-document n-gram NOVELTY census: of a doc's distinct shingles,
+    * how many first appear in THIS doc (ingest order = id order)?
+    * The scheduling signal behind novelty-ordered curricula and the
+    * per-doc complement of [[vocabGrowth]]'s corpus curve. Integer
+    * micro fraction, exact. Two map-side-combined aggregates over the
+    * distinct (doc, gram) relation; nothing downstream is corpus-sized
+    * beyond the doc census itself. */
+  def noveltyCensus(df: DataFrame, id: Column, toks: Column): DataFrame = {
+    val grams = df.select(id.as("doc_id"), explode(toks).as("gram")).distinct()
+    val firstDoc = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    val perDoc = grams.join(firstDoc, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_new"))
+    perDoc
+      .withColumn("novelty_micro", expr("n_new * 1000000L div n_grams"))
+  }
+
   /** Per-(doc, term) TF-IDF with sklearn-style smoothing:
     * idf = ln((1+N)/(1+df)) + 1. One explode → tf groupBy; df from the
     * same relation; N broadcast as a literal-free 1-row aggregate. */

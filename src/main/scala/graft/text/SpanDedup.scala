@@ -36,6 +36,25 @@ object SpanDedup {
             slice(col("t"), i + 1, lit(L)), " ")), 1, 16)))
           .as(Seq("pos", "key")))
 
+  /** The production-scale window index: one native Rabin–Karp pass
+    * ([[graft.expressions.RollingTokenHash]]) emitting (doc_id, pos,
+    * key) with a 64-bit rolling hash — O(n) per document vs the md5
+    * path's O(n·L) string builds, and an 8-byte key on the wire
+    * instead of 16 hex chars. Same downstream shape; SpanDedupSpec
+    * pins that both paths find identical duplicated positions. */
+  def windowsFast(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+      transform(TextAnalysis.tokens(textCol), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        posexplode(graft.expressions.RollingHash
+          .rolling_token_hash(col("th"), L)).as(Seq("pos", "key")))
+
+  /** [[census]] over the fast window index — identical output as long
+    * as the 64-bit rolling hash is collision-free on the corpus (the
+    * expected-collision count at 10^9 windows is ~0.03). */
+  def censusFast(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame =
+    censusFrom(windowsFast(df, idCol, textCol, L), df, idCol, textCol, L)
+
   /** Window positions whose key occurs >= 2 times corpus-wide —
     * duplication across docs AND self-repetition inside one doc both
     * count, matching suffix-array semantics. */
@@ -104,14 +123,42 @@ object SpanDedup {
         coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
   }
 
+  /** Incremental-ingest form: spans of INCOMING documents that already
+    * exist in the stored corpus (the q156/q173 ingest discipline
+    * applied to spans). Only batch windows whose key appears among the
+    * corpus's DISTINCT window keys count — batch-internal duplication
+    * is deliberately ignored here (the full [[census]] over the merged
+    * corpus owns that); output is the per-batch-doc census with zeros
+    * for clean docs.
+    *
+    * 100 TB shape: corpus windows collapse to distinct keys once
+    * (map-side combined) and the batch — the small side — joins
+    * against them; only batch-sized state flows after the join. */
+  def incrementalCensus(batch: DataFrame, corpus: DataFrame, idCol: Column,
+                        textCol: Column, L: Int): DataFrame = {
+    val corpusKeys = windows(corpus, idCol, textCol, L)
+      .select("key").distinct()
+    val dupPos = windows(batch, idCol, textCol, L)
+      .join(corpusKeys, "key").select("doc_id", "pos")
+    censusOf(dupPos, batch, idCol, textCol, L)
+  }
+
   /** Per-document census over the WHOLE corpus (docs with no
     * duplicated span report zeros): token count, number of maximal
     * duplicated spans, total and longest duplicated-token coverage,
     * and the integer-micro duplicated fraction. */
-  def census(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame = {
+  def census(df: DataFrame, idCol: Column, textCol: Column, L: Int): DataFrame =
+    censusFrom(windows(df, idCol, textCol, L), df, idCol, textCol, L)
+
+  private def censusFrom(w: DataFrame, df: DataFrame, idCol: Column,
+                         textCol: Column, L: Int): DataFrame =
+    censusOf(dupPositions(w), df, idCol, textCol, L)
+
+  private def censusOf(dupPos: DataFrame, df: DataFrame, idCol: Column,
+                       textCol: Column, L: Int): DataFrame = {
     val base = df.select(idCol.as("doc_id"),
       size(TextAnalysis.tokens(textCol)).cast("long").as("n_tokens"))
-    val sp = spans(dupPositions(windows(df, idCol, textCol, L)), L)
+    val sp = spans(dupPos, L)
       .withColumn("len", col("span_end") - col("span_start") + 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum("len").as("dup_tokens"),

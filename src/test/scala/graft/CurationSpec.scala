@@ -248,4 +248,53 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(_._2 == "rare") === 1)
     assert(rows.map(_._1).contains(100L))
   }
+
+  // ------------------------------------------------- incremental span dedup
+
+  test("incrementalCensus flags only spans present in the stored corpus") {
+    val corpus = Seq(
+      10L -> "c1 c2 c3 c4 c5 tail1 tail2 tail3").toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> "c1 c2 c3 c4 fresh1 fresh2", //  4-token corpus span
+      2L -> "b1 b2 b3 b4 n1 n2 b1 b2 b3 b4" // batch-internal dup ONLY
+    ).toDF("doc_id", "text")
+    val out = graft.text.SpanDedup
+      .incrementalCensus(batch, corpus, col("doc_id"), col("text"), 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (1L, 1L, 4L), // the corpus span is found
+      (2L, 0L, 0L))) // batch-internal repetition is NOT the ingest check's job
+  }
+
+  // ------------------------------------------------------- n-gram novelty
+
+  test("noveltyCensus: first doc is fully novel, an exact copy fully stale") {
+    import graft.text.TextAnalysis
+    val d = Seq(
+      0L -> "w1 w2 w3 w4 w5",
+      1L -> "w1 w2 w3 w4 w5", // exact copy: zero new shingles
+      2L -> "w3 w4 w5 z1 z2"  // "w3 w4 w5" already seen; other two novel
+    ).toDF("doc_id", "text")
+    val out = Corpus.noveltyCensus(d, col("doc_id"),
+        TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (0L, 3L, 3L, 1000000L),
+      (1L, 3L, 0L, 0L),
+      (2L, 3L, 2L, 666666L)))
+  }
+
+  test("noveltyCensus: total novel shingles equal the distinct shingle count") {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val grams = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val out = Corpus.noveltyCensus(docs, col("doc_id"), grams)
+    val totalNew = out.agg(sum("n_new")).head().getLong(0)
+    val distinctGrams = docs.select(explode(grams).as("g"))
+      .select("g").distinct().count()
+    assert(totalNew === distinctGrams,
+      "every distinct shingle is novel in exactly one document")
+  }
 }

@@ -60,6 +60,33 @@ class SpanDedupSpec extends SparkSpec {
       (3L, 8L, 0L, 0L, 0L, 0L)))
   }
 
+  test("rolling_token_hash equals the direct polynomial at every window") {
+    import graft.expressions.RollingHash.rolling_token_hash
+    val B = 0x100000001b3L
+    val hs = Seq(7L, -3L, 42L, Long.MaxValue, 0L, 19L, -8881L)
+    val L2 = 3
+    val expect = hs.sliding(L2).map(_.foldLeft(0L)((a, h) => a * B + h)).toSeq
+    val got = Seq(Tuple1(hs)).toDF("th")
+      .select(rolling_token_hash(col("th"), L2).as("r"))
+      .head().getSeq[Long](0)
+    assert(got === expect)
+    // shorter than the window: empty result, not null, not an error
+    val short = Seq(Tuple1(Seq(1L, 2L))).toDF("th")
+      .select(rolling_token_hash(col("th"), L2).as("r"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("censusFast (native rolling hash) ≡ census (md5) on real documents") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val a = graft.text.SpanDedup
+      .census(docs, col("doc_id"), col("text"), 8).orderBy("doc_id").collect()
+    val b = graft.text.SpanDedup
+      .censusFast(docs, col("doc_id"), col("text"), 8).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.exists(_.getLong(2) > 0L), "corpus must actually contain dup spans")
+  }
+
   test("rewrite keeps the corpus-wide FIRST occurrence, cuts the rest") {
     import org.apache.spark.sql.functions.md5
     val docs = Seq(
