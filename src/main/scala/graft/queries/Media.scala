@@ -626,6 +626,13 @@ object Media {
 
   val q177_audio_fingerprint: Q = (s, dir) => {
     val m = Multimodal.syntheticWav(Tables.load(s, dir, "documents"))
+    // Invalid rows are NOT filtered until after the window: a filter
+    // between the parse and the fold pushes `valid` all the way into
+    // the file scan, inlining the whole construction + RIFF walk into
+    // the scan filter (a 500 KB plan past the codegen size limit →
+    // interpreted fallback, measured 10x). Null-keyed invalid rows ride
+    // the window harmlessly and drop at the top, where `valid` — not a
+    // partition key — cannot push through the Window operator.
     val parsed = m.select(
       col("media_id").as("doc_id"), col("media"),
       Multimodal.parseWavPcm(col("media")).as("p"))
@@ -633,19 +640,21 @@ object Media {
         col("p.valid").as("valid"), col("p.channels").as("channels"),
         col("p.bits_per_sample").as("bits_per_sample"),
         col("p.n_frames").as("n_frames"), col("p.doff").as("doff"))
-      .filter(col("valid"))
-      .select(col("doc_id"), col("channels"), col("bits_per_sample"),
-        Multimodal.pcmSsq0(col("media"), col("doff"), col("channels"),
-          col("bits_per_sample"), col("n_frames")).as("ssq"),
-        col("n_frames"))
-      .withColumn("msq_bucket", expr(
-        s"(ssq div n_frames) div (CASE WHEN bits_per_sample = 8 " +
-          s"THEN $AudioFpBucket8 ELSE $AudioFpBucket16 END)"))
+      .select(col("doc_id"), col("valid"), col("channels"),
+        col("bits_per_sample"), col("n_frames"),
+        when(col("valid"), Multimodal.pcmSsq0(col("media"), col("doff"),
+          col("channels"), col("bits_per_sample"), col("n_frames")))
+          .as("ssq"))
+      .select(col("doc_id"), col("valid"), col("channels"),
+        col("bits_per_sample"),
+        expr(s"(ssq div n_frames) div (CASE WHEN bits_per_sample = 8 " +
+          s"THEN $AudioFpBucket8 ELSE $AudioFpBucket16 END)").as("msq_bucket"))
     val sig = org.apache.spark.sql.expressions.Window
       .partitionBy("channels", "bits_per_sample", "msq_bucket")
     parsed
       .withColumn("group_n", count(lit(1)).over(sig))
       .withColumn("canonical_id", min("doc_id").over(sig))
+      .filter(col("valid"))
       .select(col("doc_id"), col("channels"), col("bits_per_sample"),
         col("msq_bucket"), col("group_n"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
