@@ -527,59 +527,68 @@ object Curation {
       .orderBy("query_id", "rank")
   }
 
-  val q172_sql: String = {
+  /** Micronized-embedding CTE shared by the PQ replays. */
+  private[queries] val pqMCte: String =
+    """m AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+      |  FROM embeddings)""".stripMargin
+
+  /** Exact integer subdistance of `mvTbl.mv`'s subspace `subRef` to
+    * centroid `cvRef` — the q172/q182 oracle primitive. */
+  private[queries] def pqSdist(mvTbl: String, subRef: String, cvRef: String): String = {
     val sd = PqDim / PqM
-    // exact integer subdistance of e.mv's subspace `sub` to centroid cv
-    def sdist(mvTbl: String, subRef: String, cvRef: String) =
-      s"CAST(list_sum(list_transform(generate_series(1, $sd), j -> " +
-        s"($mvTbl.mv[$subRef * $sd + j] - $cvRef[j]) * " +
-        s"($mvTbl.mv[$subRef * $sd + j] - $cvRef[j]))) AS BIGINT)"
+    s"CAST(list_sum(list_transform(generate_series(1, $sd), j -> " +
+      s"($mvTbl.mv[$subRef * $sd + j] - $cvRef[j]) * " +
+      s"($mvTbl.mv[$subRef * $sd + j] - $cvRef[j]))) AS BIGINT)"
+  }
+
+  /** DuckDB replay of `Pq.trainChecked(m=8, ksub=16, iters=2)` plus the
+    * full-corpus encoding, every CTE prefixed `p` so it composes with
+    * the IVF chain (whose names it would otherwise shadow): expects a
+    * CTE `m(vec_id, mv)` and ends at `pcf` (codebook) and `pwf`
+    * (per-(vec, sub) codes). */
+  private[queries] def pqTrainCtes: String = {
+    val sd = PqDim / PqM
     def lloyd(k: Int, prev: String) =
-      s"""a$k AS (SELECT e.vec_id, c.sub, c.code,
+      s"""pa$k AS (SELECT e.vec_id, c.sub, c.code,
          |    row_number() OVER (PARTITION BY e.vec_id, c.sub
-         |      ORDER BY ${sdist("e", "c.sub", "c.cv")}, c.code) AS rn
+         |      ORDER BY ${pqSdist("e", "c.sub", "c.cv")}, c.code) AS rn
          |  FROM m e CROSS JOIN $prev c),
-         |w$k AS (SELECT vec_id, sub, code FROM a$k WHERE rn = 1),
-         |t$k AS (SELECT w.sub, w.code, g.j,
+         |pw$k AS (SELECT vec_id, sub, code FROM pa$k WHERE rn = 1),
+         |pt$k AS (SELECT w.sub, w.code, g.j,
          |          sum(e.mv[w.sub * $sd + g.j]) AS sm, count(*) AS n
-         |        FROM w$k w JOIN m e USING (vec_id)
+         |        FROM pw$k w JOIN m e USING (vec_id)
          |        CROSS JOIN (SELECT UNNEST(generate_series(1, $sd)) AS j) g
          |        GROUP BY 1, 2, 3),
-         |u$k AS (SELECT sub, code, list(CAST(sm // n AS BIGINT) ORDER BY j) AS cv
-         |        FROM t$k GROUP BY 1, 2),
-         |c$k AS (SELECT c.sub, c.code, coalesce(u.cv, c.cv) AS cv
-         |        FROM $prev c LEFT JOIN u$k u
+         |pu$k AS (SELECT sub, code, list(CAST(sm // n AS BIGINT) ORDER BY j) AS cv
+         |        FROM pt$k GROUP BY 1, 2),
+         |pc$k AS (SELECT c.sub, c.code, coalesce(u.cv, c.cv) AS cv
+         |        FROM $prev c LEFT JOIN pu$k u
          |          ON u.sub = c.sub AND u.code = c.code)""".stripMargin
-    val rounds = (1 to PqIters).map(k => lloyd(k, s"c${k - 1}")).mkString(",\n")
-    s"""WITH m AS (SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
-       |  FROM embeddings),
-       |h AS (SELECT vec_id, mv,
+    val rounds = (1 to PqIters).map(k => lloyd(k, s"pc${k - 1}")).mkString(",\n")
+    s"""ph AS (SELECT vec_id, mv,
        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
        |  FROM m),
-       |seeds AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, mv
-       |          FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= $PqKsub),
-       |subs AS (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS sub),
-       |c0 AS (SELECT s.sub, sd.code,
+       |pseeds AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, mv
+       |          FROM ph QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= $PqKsub),
+       |psubs AS (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS sub),
+       |pc0 AS (SELECT s.sub, sd.code,
        |         list_transform(generate_series(1, $sd),
        |           j -> sd.mv[s.sub * $sd + j]) AS cv
-       |       FROM subs s CROSS JOIN seeds sd),
+       |       FROM psubs s CROSS JOIN pseeds sd),
        |$rounds,
-       |cf AS (SELECT * FROM c$PqIters),
-       |af AS (SELECT e.vec_id, c.sub, c.code,
+       |pcf AS (SELECT * FROM pc$PqIters),
+       |paf AS (SELECT e.vec_id, c.sub, c.code,
        |    row_number() OVER (PARTITION BY e.vec_id, c.sub
-       |      ORDER BY ${sdist("e", "c.sub", "c.cv")}, c.code) AS rn
-       |  FROM m e CROSS JOIN cf c),
-       |wf AS (SELECT vec_id, sub, code FROM af WHERE rn = 1),
-       |qm AS (SELECT vec_id, mv FROM m WHERE vec_id < 20),
-       |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
-       |          ${sdist("q", "c.sub", "c.cv")} AS ld
-       |        FROM qm q CROSS JOIN cf c),
-       |adc AS (SELECT l.query_id, w.vec_id AS neighbor_id,
-       |          CAST(sum(l.ld) AS BIGINT) AS adist
-       |        FROM wf w JOIN lut l ON l.sub = w.sub AND l.code = w.code
-       |        WHERE w.vec_id <> l.query_id GROUP BY 1, 2),
-       |sl AS (SELECT query_id, neighbor_id, adist,
+       |      ORDER BY ${pqSdist("e", "c.sub", "c.cv")}, c.code) AS rn
+       |  FROM m e CROSS JOIN pcf c),
+       |pwf AS (SELECT vec_id, sub, code FROM paf WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shortlist + exact re-rank remainder shared by q172/q182: expects
+    * `adc(query_id, neighbor_id, adist)` and `m`. */
+  private[queries] def pqRerankSql: String =
+    s"""sl AS (SELECT query_id, neighbor_id, adist,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY adist, neighbor_id) AS arank
        |       FROM adc),
@@ -595,7 +604,18 @@ object Curation {
        |        FROM ex)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist, edist
        |FROM fin WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin
-  }
+
+  val q172_sql: String =
+    "WITH " + pqMCte + ",\n" + pqTrainCtes + ",\n" +
+      s"""qm AS (SELECT vec_id, mv FROM m WHERE vec_id < 20),
+         |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
+         |          ${pqSdist("q", "c.sub", "c.cv")} AS ld
+         |        FROM qm q CROSS JOIN pcf c),
+         |adc AS (SELECT l.query_id, w.vec_id AS neighbor_id,
+         |          CAST(sum(l.ld) AS BIGINT) AS adist
+         |        FROM pwf w JOIN lut l ON l.sub = w.sub AND l.code = w.code
+         |        WHERE w.vec_id <> l.query_id GROUP BY 1, 2),
+         |""".stripMargin + pqRerankSql
 
   // --------------------------------------------------------------- q173
   // Bloom-prefiltered incremental line dedup (CCNet-style ingest):
@@ -954,7 +974,53 @@ object Curation {
       |  CAST(n_new * 1000000 // n_grams AS BIGINT) AS novelty_micro
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q182
+  // IVF-PQ: the production FAISS index — q78's checked coarse
+  // quantizer routes each query to its 3 nearest of 8 cells, and ONLY
+  // those cells' PQ codes (q172's checked codebooks) pay the ADC scan;
+  // exact BIGINT re-rank closes the gap. The oracle composes BOTH
+  // training replays (name-prefixed so the chains don't shadow each
+  // other) plus routing, the cell-restricted ADC, and the re-rank.
+  // Codes are over raw vectors (not residuals): the integer-micro
+  // discipline both replays depend on would break at the double-valued
+  // residual subtraction.
+  val IvfPqNprobe = 3
+
+  val q182_ivfpq_ann: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val cents = graft.similarity.Pq.trainChecked(e, PqM, PqKsub, PqIters)
+    graft.similarity.IvfPq
+      .adcTopK(e, idx, cents, e.filter(col("vec_id") < 20),
+        k = PqK, rerank = PqRerank, nprobe = IvfPqNprobe)
+      .orderBy("query_id", "rank")
+  }
+
+  val q182_sql: String =
+    "WITH " + graft.queries.TextSim.ivfCtes + ",\n" + pqMCte + ",\n" +
+      pqTrainCtes + ",\n" +
+      s"""probes AS (SELECT e.vec_id AS query_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${graft.queries.TextSim.ivfNd} DESC, c.cell DESC) AS pr
+         |  FROM embeddings e CROSS JOIN cf c WHERE e.vec_id < 20),
+         |qm AS (SELECT vec_id, mv FROM m WHERE vec_id < 20),
+         |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
+         |          ${pqSdist("q", "c.sub", "c.cv")} AS ld
+         |        FROM qm q CROSS JOIN pcf c),
+         |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
+         |         FROM probes p JOIN corpus co
+         |           ON co.cell = p.cell AND p.pr <= $IvfPqNprobe
+         |         WHERE co.vec_id <> p.query_id),
+         |adc AS (SELECT ca.query_id, ca.neighbor_id,
+         |          CAST(sum(l.ld) AS BIGINT) AS adist
+         |        FROM cand ca JOIN pwf w ON w.vec_id = ca.neighbor_id
+         |        JOIN lut l ON l.query_id = ca.query_id
+         |                  AND l.sub = w.sub AND l.code = w.code
+         |        GROUP BY 1, 2),
+         |""".stripMargin + pqRerankSql
+
   val all: Map[String, Q] = Map(
+    "q182_ivfpq_ann" -> q182_ivfpq_ann,
     "q181_ngram_novelty" -> q181_ngram_novelty,
     "q180_incremental_span_dedup" -> q180_incremental_span_dedup,
     "q179_span_rewrite" -> q179_span_rewrite,
@@ -977,6 +1043,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q182_ivfpq_ann" -> q182_sql,
     "q181_ngram_novelty" -> q181_sql,
     "q180_incremental_span_dedup" -> q180_sql,
     "q179_span_rewrite" -> q179_sql,

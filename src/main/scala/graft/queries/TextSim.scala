@@ -1150,7 +1150,7 @@ object TextSim {
 
   // negdist of a vector e against a centroid row c: 2·dot − ‖c‖²,
   // double accumulation left-to-right in both engines
-  private val ivfNd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
+  private[queries] val ivfNd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
     "i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) " +
     "- list_sum(list_transform(c.cv, x -> x * x)))"
 
@@ -1160,7 +1160,7 @@ object TextSim {
     * `corpus(vec_id, embedding, cell)`. `nlistSql` may be a literal or
     * a scalar subquery (the auto-sized q163 computes it from count).
     * q78 appends probe routing + rank; q105 the within-cell dedup. */
-  private def ivfCtesN(nlistSql: String, iters: Int): String = {
+  private[queries] def ivfCtesN(nlistSql: String, iters: Int): String = {
     def assign(k: Int, prev: String) =
       s"""a$k AS (SELECT e.vec_id, e.embedding, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
@@ -1195,7 +1195,7 @@ object TextSim {
   }
 
   /** The fixed nlist=8, iters=3 instance shared by q78/q105/q153. */
-  private def ivfCtes: String = ivfCtesN("8", 3)
+  private[queries] def ivfCtes: String = ivfCtesN("8", 3)
 
   val q78_sql: String =
     s"""WITH $ivfCtes,

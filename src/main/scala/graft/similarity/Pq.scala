@@ -168,6 +168,16 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         graft.expressions.PqExpressions.pq_adc(col("codes"), col("lut"))
           .as("adist"))
+    rerankTail(approx, corpus, q.select("query_id", "qmv"), k, rerank,
+      idCol, vecCol)
+  }
+
+  /** Shortlist + exact-integer re-rank shared by the full-scan ADC
+    * ([[adcTopK]]) and the IVF-routed ADC ([[IvfPq.adcTopK]]).
+    * `approx` = (query_id, neighbor_id, adist); `q` = (query_id, qmv). */
+  private[similarity] def rerankTail(approx: DataFrame, corpus: DataFrame,
+                                     q: DataFrame, k: Int, rerank: Int,
+                                     idCol: String, vecCol: String): DataFrame = {
     val wa = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("arank", row_number().over(wa))
@@ -175,8 +185,7 @@ object Pq {
     val store = corpus.select(col(idCol).as("neighbor_id"),
       Sq.micronize(col(vecCol)).as("mv"))
     val exact = store
-      .join(broadcast(shortlist.join(q.select("query_id", "qmv"), "query_id")),
-        Seq("neighbor_id"))
+      .join(broadcast(shortlist.join(q, "query_id")), Seq("neighbor_id"))
       .withColumn("edist",
         expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))

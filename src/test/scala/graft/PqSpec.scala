@@ -98,6 +98,38 @@ class PqSpec extends SparkSpec {
       s"deeper shortlist lost recall: $deep < $shallow")
   }
 
+  test("IvfPq with nprobe = nlist is EXACTLY the full-scan PQ ADC") {
+    import graft.similarity.{Ivf, IvfPq}
+    val idx = Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val q = e.filter(col("vec_id") < 10)
+    val full = Pq.adcTopK(e, cents, q, k = 3, rerank = 9)
+      .orderBy("query_id", "rank").collect()
+    val routed = IvfPq.adcTopK(e, idx, cents, q, k = 3, rerank = 9, nprobe = 8)
+      .orderBy("query_id", "rank").collect()
+    assert(routed.sameElements(full),
+      "probing every cell must reproduce the unrouted scan bit-for-bit")
+  }
+
+  test("IvfPq at nprobe < nlist visits a strict candidate subset") {
+    import graft.similarity.{Ivf, IvfPq}
+    val idx = Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val q = e.filter(col("vec_id") < 10)
+    val routed = IvfPq.adcTopK(e, idx, cents, q, k = 3, rerank = 9, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(routed.nonEmpty)
+    // every returned neighbor must live in one of the query's 2 probed cells
+    val cells = idx.assigned.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Ivf.probeRanks(idx, q).filter(col("pr") <= 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getInt(1)).toSet }
+    routed.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(probed(qid).contains(cells(nid)),
+        s"neighbor $nid of query $qid came from an unprobed cell")
+    }
+  }
+
   test("codes-only scan: the ADC stage reads no embedding column") {
     val q0 = e.filter(col("vec_id") === 0L)
     val plan = Pq.adcTopK(e, cents, q0, k = 3, rerank = 9)
