@@ -1311,7 +1311,44 @@ object TextSim {
        |FROM r JOIN csize cs USING (cluster)
        |WHERE rank <= $TopicK ORDER BY cluster, rank""".stripMargin
 
+  // --------------------------------------------------------------- q183
+  // Embedding-space decontamination: every 25th vector is the held-out
+  // "benchmark" set; each remaining corpus vector reports its best
+  // cosine against ANY benchmark vector (q36's SRP banding, bipartite)
+  // and a contaminated verdict at tau — the semantic complement of the
+  // n-gram decontaminators (q101/q138), catching paraphrased benchmark
+  // leakage that token overlap misses. Corpus docs sharing no band
+  // with any benchmark vector report null match by construction.
+  val EmbDecontamTau = 0.4
+
+  val q183_embed_decontam: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.embedDecontam(
+      e.filter(col("vec_id") % 25 =!= 0), e.filter(col("vec_id") % 25 === 0),
+      threshold = EmbDecontamTau, dim = 64)
+      .orderBy("vec_id")
+  }
+
+  val q183_sql: String =
+    s"""WITH bits AS (SELECT vec_id, [${srpBitsList(24)}] AS bits FROM embeddings),
+       |bk AS (${srpBandRows(4, 6)}),
+       |cand AS (SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+       |         FROM bk c JOIN bk b ON c.band = b.band AND c.bh = b.bh
+       |         WHERE c.vec_id % 25 <> 0 AND b.vec_id % 25 = 0),
+       |scored AS (SELECT cand.vec_id, cand.bench_id, $cosineSql AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.vec_id
+       |            JOIN embeddings ce ON ce.vec_id = cand.bench_id),
+       |best AS (SELECT vec_id, bench_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, bench_id ASC) AS rn
+       |  FROM scored)
+       |SELECT e.vec_id, b.bench_id, b.sim,
+       |  coalesce(b.sim >= $EmbDecontamTau, false) AS contaminated
+       |FROM embeddings e LEFT JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
+       |WHERE e.vec_id % 25 <> 0 ORDER BY e.vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q183_embed_decontam" -> q183_embed_decontam,
     "q178_cluster_topics" -> q178_cluster_topics,
     "q93_jaccard_dfcut" -> q93_jaccard_dfcut,
     "q94_simhash_capped" -> q94_simhash_capped,
@@ -1349,6 +1386,7 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q183_embed_decontam" -> q183_sql,
     "q178_cluster_topics" -> q178_sql,
     "q93_jaccard_dfcut" -> q93_sql,
     "q94_simhash_capped" -> q94_sql,

@@ -221,6 +221,45 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-space decontamination: for every corpus vector, the
+    * best cosine against the BENCHMARK set (SRP band candidates +
+    * exact verify — the bipartite form of [[embeddingNearDups]]), and
+    * a `contaminated` verdict at `threshold`. Docs sharing no band
+    * with any benchmark vector report null match — by construction
+    * not near any benchmark at the banding's operating point.
+    *
+    * 100 TB shape: band keys shuffle ids only; the benchmark side —
+    * queries, in effect — broadcasts twice (band keys + vectors); the
+    * corpus never self-joins and the verify join is candidate-sized. */
+  def embedDecontam(corpus: DataFrame, benchmark: DataFrame,
+                    threshold: Double, dim: Int,
+                    planes: Int = 24, bands: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    def keyed(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id),
+        explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = keyed(corpus, "vec_id")
+      .join(broadcast(keyed(benchmark, "bench_id")), Seq("band", "bh"))
+      .select("vec_id", "bench_id").distinct()
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val bv = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    val scored = cand
+      .join(cv, Seq("vec_id"))
+      .join(broadcast(bv), Seq("bench_id"))
+      .select(col("vec_id"), col("bench_id"),
+        round(cosine(col("cv"), col("bv")), 6).as("sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("bench_id").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    corpus.select(col(idCol).as("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bench_id"), col("sim"),
+        coalesce(col("sim") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** SemDeDup-style semantic dedup over a cell-assigned corpus (e.g.
     * [[Ivf.train]]'s `assigned`): a vector is dropped when ANY lower-id
     * vector in the SAME cell has cosine ≥ threshold — "near-duplicate

@@ -82,4 +82,28 @@ class SimilaritySpec extends SparkSpec {
     val hits = brute.count { case (qid, nn) => lsh.getOrElse(qid, Set.empty).contains(nn) }
     assert(hits >= brute.size / 2, s"recall $hits/${brute.size}")
   }
+
+  test("embedDecontam: an exact copy of a benchmark vector is flagged") {
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    // benchmark = every 25th vector; corpus vector 26 replaced by an
+    // exact copy of benchmark vector 25 -> cosine 1.0, must be flagged
+    val bench = e.filter(col("vec_id") % 25 === 0)
+    val copyOf25 = bench.filter(col("vec_id") === 25)
+      .select(org.apache.spark.sql.functions.lit(26L).as("vec_id"),
+        col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 25 =!= 0)
+      .filter(col("vec_id") =!= 26).unionByName(copyOf25)
+    val out = Similarity.embedDecontam(corpus, bench, 0.9, dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2), r.getBoolean(3)))))
+      .toMap
+    assert(out(26L).isDefined, "exact benchmark copy found no candidate")
+    val (bid, sim, flagged) = out(26L).get
+    assert(bid === 25L && sim === 1.0 && flagged,
+      s"copy of benchmark 25 reported ($bid, $sim, $flagged)")
+    // benchmark members never appear as corpus rows
+    assert(!out.contains(25L))
+    // every corpus row gets a verdict row, matched or not
+    assert(out.size === corpus.count())
+  }
 }

@@ -114,6 +114,32 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ code table partitioned by cell: probes prune the scan at the source") {
+    import graft.similarity.{Ivf, Pq}
+    val e = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val idx = Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val cents = Pq.trainChecked(e, m = 8, ksub = 16, iters = 2)
+    val dir = Files.createTempDirectory("graft_ivfpq_store").toString + "/codes"
+    // the production store: (vec_id, codes) partitioned by cell
+    Pq.encode(e, cents)
+      .join(idx.assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    // probe cells for a query batch are model-sized by design — they
+    // reach the scan as literal partition predicates
+    val probeCells = Ivf.probeRanks(idx, e.filter(col("vec_id") < 5))
+      .filter(col("pr") <= 2).select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(probeCells.length < 8, "probe set must be a strict cell subset")
+    val store = spark.read.parquet(dir)
+    val scan = store.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      s"probe cells did not land in PartitionFilters:\n$plan")
+    // and the pruned scan returns exactly the probed cells' members
+    val expected = idx.assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)).count()
+    assert(scan.count() === expected)
+  }
+
   test("runtime bloom filter: selective dim join prunes the fact scan on a NON-partition key") {
     // DPP needs the join key to be the partition column; the runtime
     // bloom filter is the complementary mechanism for every other key:
