@@ -111,6 +111,39 @@ object Sampling {
       .select("id_a", "id_b", "test_a", "test_b")
   }
 
+  /** Leakage-free train/holdout assignment: every document inherits
+    * the split of its duplicate COMPONENT, so no near-duplicate pair
+    * can straddle the boundary by construction — the constructive
+    * counterpart of [[crossSplitPairs]] (which only audits an
+    * existing assignment). Singleton documents (no near-dup edge) are
+    * their own component. Membership is the md5 bucket of the
+    * component label — a pure function of the data, stable across
+    * reruns and cluster layouts like every sampler here.
+    *
+    * 100 TB shape: component labels come from the banding-bounded
+    * candidate graph (the q92/q81 chain — no all-pairs work); the
+    * assignment itself is one left equi-join of the doc ids against
+    * the component table (dup-count-sized, far smaller than the
+    * corpus) plus a per-row hash. The cluster_size window partitions
+    * per component, bounded by the banding occupancy caps.
+    * Output: (doc_id, component, cluster_size, split). */
+  def componentSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+                     holdoutFraction: Double, seed: Long = 42L,
+                     iters: Int = 8): DataFrame = {
+    require(holdoutFraction > 0 && holdoutFraction < 1)
+    val comp = graft.dedup.Dedup.connectedComponents(edges, iters)
+    val labeled = docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val bucket = md5KeyBucket(Seq("component"), seed)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("split",
+        when(bucket < lit((holdoutFraction * Buckets).toLong), lit("holdout"))
+          .otherwise(lit("train")))
+  }
+
   /** Deterministic fixed-k per-group sample: the k rows with the
     * smallest seeded key-hash buckets in each group — the reproducible
     * "k examples per domain" draw (eval-set construction, per-source

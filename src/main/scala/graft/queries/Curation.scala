@@ -56,6 +56,47 @@ object Curation {
        |        ORDER BY line_idx), '')) AS kept_fp
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q184
+  // Within-SOURCE boilerplate removal (the CCNet/RefinedWeb rule q106
+  // deliberately is not): a line repeating across >= 2 distinct docs
+  // of the SAME source is template/navigation text and every
+  // occurrence goes — first included — while cross-source repeats
+  // survive. kept_fp pins the rewritten text itself.
+  val BoilerMinDocs = 2
+
+  val q184_boilerplate: Q = (s, dir) =>
+    graft.text.LineDedup
+      .boilerplateCensus(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("source"), col("text"), LineTokens, BoilerMinDocs)
+      .orderBy("doc_id")
+
+  /** linesCtes with the source column carried through. */
+  private[queries] def linesBySourceCtes: String =
+    s"""toks AS (SELECT doc_id, source,
+       |           regexp_split_to_array(trim(text), '\\s+') AS t
+       |         FROM documents),
+       |ln AS (SELECT doc_id, source, t,
+       |         UNNEST(generate_series(1,
+       |           CAST(greatest(ceil(len(t) / $LineTokens.0), 1) AS BIGINT))) AS i
+       |       FROM toks),
+       |lines AS (SELECT doc_id, source, i - 1 AS line_idx,
+       |            array_to_string(list_slice(t, (i - 1) * $LineTokens + 1,
+       |              (i - 1) * $LineTokens + $LineTokens), ' ') AS line
+       |          FROM ln)""".stripMargin
+
+  val q184_sql: String =
+    s"""WITH $linesBySourceCtes,
+       |b AS (SELECT source, line FROM lines
+       |      GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+       |k AS (SELECT l.doc_id, l.line_idx, l.line, b.line IS NULL AS keep
+       |      FROM lines l LEFT JOIN b
+       |        ON b.source = l.source AND b.line = l.line)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+       |        ORDER BY line_idx), '')) AS kept_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q107
   // Scalar-quantized ANN (FAISS SQ-family): 16 uniform bins per
   // dimension in integer micro-units, ADC scan over the codes, exact
@@ -816,6 +857,62 @@ object Curation {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
        |FROM r WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q188
+  // Hybrid retrieval: reciprocal-rank fusion of the q176 BM25 list
+  // and the dense cosine list over the SAME 3 queries (doc_id ≡
+  // vec_id in the testdata) — the standard RAG first stage. Both
+  // input lists are individually hash-matched pipelines, and each
+  // 1/(60+rank) term micronizes to BIGINT before the fused sum, so
+  // the fusion replays exactly. Fusion itself only ever touches
+  // queries × k rows — the corpus-sized work stays in the retrievers.
+  val RrfTopK = 10
+
+  val q188_rrf_fusion: Q = (s, dir) => {
+    val lex = graft.text.Bm25
+      .topK(Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+        col("doc_id") < 3, Bm25K)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val e = Tables.load(s, dir, "embeddings")
+    val dense = graft.similarity.Similarity
+      .bruteForceTopK(e, e.filter(col("vec_id") < 3), k = Bm25K)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.similarity.Fusion.rrf(Seq(lex, dense), RrfTopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val q188_sql: String =
+    s"""WITH lex AS MATERIALIZED ($q176_sql),
+       |dsims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+       |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+       |dense AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, doc_id ASC) AS rank
+       |    FROM dsims) WHERE rank <= $Bm25K),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+       |  UNION ALL
+       |  SELECT query_id, doc_id,
+       |    CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM dense),
+       |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+       |        CAST(count(*) AS BIGINT) AS n_lists
+       |      FROM contrib GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, rrf_micro, n_lists,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rrf_micro DESC, doc_id) AS rank
+       |      FROM f)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_micro,
+       |  n_lists
+       |FROM r WHERE rank <= $RrfTopK ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- q179
   // The span-dedup TRANSFORM (the other half of q175): corpus-wide
   // first occurrence of each duplicated >= 8-token window keeps its
@@ -1020,6 +1117,8 @@ object Curation {
          |""".stripMargin + pqRerankSql
 
   val all: Map[String, Q] = Map(
+    "q188_rrf_fusion" -> q188_rrf_fusion,
+    "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
     "q181_ngram_novelty" -> q181_ngram_novelty,
     "q180_incremental_span_dedup" -> q180_incremental_span_dedup,
@@ -1043,6 +1142,8 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q188_rrf_fusion" -> q188_sql,
+    "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,
     "q181_ngram_novelty" -> q181_sql,
     "q180_incremental_span_dedup" -> q180_sql,

@@ -137,13 +137,37 @@ object Governance {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q187
+  // k-anonymity census over quasi-identifiers (segment, nation,
+  // $1000-acctbal band): the histogram of equivalence-class sizes that
+  // decides whether a slice can leave the privacy boundary — min(k)
+  // IS the release's anonymity level, and the k<5 mass is the
+  // suppression worklist. Two map-side-combined aggregates; the
+  // histogram is bounded by distinct class sizes, tiny at any scale.
+  val q187_k_anonymity: Q = (s, dir) =>
+    graft.analytics.Privacy.kAnonymityHistogram(
+      Tables.load(s, dir, "customer"),
+      Seq(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket")))
+      .orderBy("k")
+
+  val q187_sql: String =
+    """WITH cls AS (SELECT c_mktsegment, c_nationkey,
+      |        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |        count(*) AS k
+      |      FROM customer GROUP BY 1, 2, 3)
+      |SELECT k, count(*) AS n_classes, k * count(*) AS n_rows
+      |FROM cls GROUP BY k ORDER BY k""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q98_pii_redact" -> q98_pii_redact,
     "q99_mixture_budget" -> q99_mixture_budget,
-    "q101_decontam" -> q101_decontam)
+    "q101_decontam" -> q101_decontam,
+    "q187_k_anonymity" -> q187_k_anonymity)
 
   val oracle: Map[String, String] = Map(
     "q98_pii_redact" -> q98_sql,
     "q99_mixture_budget" -> q99_sql,
-    "q101_decontam" -> q101_sql)
+    "q101_decontam" -> q101_sql,
+    "q187_k_anonymity" -> q187_sql)
 }

@@ -368,6 +368,55 @@ object Mining {
        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
   }
 
+  // --------------------------------------------------------------- q185
+  // Leakage-free split assignment: the CONSTRUCTIVE counterpart of the
+  // q139 leakage audit — every document inherits the train/holdout
+  // split of its duplicate component (uncapped q92 banding → q81's
+  // 8-round min-label propagation), so no near-dup pair can straddle
+  // the boundary by construction. Membership is the md5 bucket of the
+  // component label: reproducible across reruns and engines, 10%
+  // holdout in expectation (component-level, so clustered docs move
+  // together).
+  val SplitHoldoutFrac = 0.1
+
+  val q185_component_split: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs, col("doc_id"),
+      col("text"), shingleHasher = graft.dedup.Dedup.shingleHashes32Md5)
+    graft.operators.Sampling
+      .componentSplit(docs, "doc_id", pairs, SplitHoldoutFrac)
+      .orderBy("doc_id")
+  }
+
+  val q185_sql: String = {
+    // q81's 8 unrolled min-label rounds over the uncapped q92 pairs
+    // (AS MATERIALIZED: each step reads the previous level twice)
+    val steps = (1 to 8).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT n.id, least(n.l, coalesce(min(lu.l), n.l)) AS l
+         |  FROM l${k - 1} n
+         |  LEFT JOIN adj a ON a.v = n.id
+         |  LEFT JOIN l${k - 1} lu ON lu.id = a.u
+         |  GROUP BY n.id, n.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (${TextSim.q92_sql}),
+       |adj AS MATERIALIZED (SELECT id_a AS v, id_b AS u FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS l FROM adj),
+       |$steps,
+       |comp AS (SELECT id, l AS component FROM l8),
+       |r AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |b AS (SELECT doc_id, component,
+       |        CAST('0x' || substr(md5(concat_ws('|', component, '42')), 1, 8)
+       |          AS BIGINT) % 1000000 AS bucket
+       |      FROM r)
+       |SELECT doc_id, component,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       |  CASE WHEN bucket < ${(SplitHoldoutFrac * 1000000).toLong}
+       |       THEN 'holdout' ELSE 'train' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q126
   // Rolling count-anomaly census: per event-type hourly counts
   // z-scored against the trailing 24 observed hours (current hour
@@ -1056,6 +1105,7 @@ object Mining {
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
+    "q185_component_split" -> q185_component_split,
     "q169_quality_canonical_full" -> q169_quality_canonical_full,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
@@ -1085,6 +1135,7 @@ object Mining {
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,
+    "q185_component_split" -> q185_sql,
     "q169_quality_canonical_full" -> q169_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,

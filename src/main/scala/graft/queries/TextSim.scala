@@ -175,6 +175,36 @@ object TextSim {
       |SELECT query_id, rank, neighbor_id, sim FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  // Hard-negative mining: per query, the 3 most-similar corpus vectors
+  // with a DIFFERENT label — the contrastive-training complement of
+  // q31 (same exact-cosine discipline, label-mismatch filter before
+  // the rank window). Production swaps the brute scan for the IVF/PQ
+  // shortlist; this bounded-batch exact form is the mining audit.
+  val q186_hard_negatives: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val q186_sql: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS neighbor_label,
+      |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, neighbor_label, sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, neighbor_label, sim FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q32
   // MinHash-LSH near-dup pairs, fully oracle-checked: the md5-derived
   // shingle hash is computable in ANSI SQL, and the affine remixes,
@@ -1378,6 +1408,7 @@ object TextSim {
     "q29_fingerprint" -> q29_fingerprint,
     "q30_vector_dot" -> q30_vector_dot,
     "q31_knn_brute" -> q31_knn_brute,
+    "q186_hard_negatives" -> q186_hard_negatives,
     "q32_minhash_neardups" -> q32_minhash_neardups,
     "q33_simhash_neardups" -> q33_simhash_neardups,
     "q34_langid" -> q34_langid,
@@ -1386,6 +1417,7 @@ object TextSim {
     "q48_ann_ivf" -> q48_ann_ivf)
 
   val oracle: Map[String, String] = Map(
+    "q186_hard_negatives" -> q186_sql,
     "q183_embed_decontam" -> q183_sql,
     "q178_cluster_topics" -> q178_sql,
     "q93_jaccard_dfcut" -> q93_sql,

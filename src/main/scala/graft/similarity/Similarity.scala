@@ -129,6 +129,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most similar corpus vectors with a DIFFERENT label — the
+    * near-misses that define the decision boundary, which random
+    * negatives almost never sample. Exact brute-force over a bounded
+    * (broadcast) query batch: this is the audit/eval form; the
+    * production path swaps the cross join for an IVF/PQ shortlist
+    * (q182's machinery) and applies the same label filter + re-rank,
+    * making the per-query cost the probe's scan fraction instead of
+    * the corpus. Output: (query_id, rank, neighbor_id, neighbor_label,
+    * sim). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neighbor_label") =!= col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "sim")
+  }
+
   /** Deterministic ±1 hyperplane matrix: planes × dim. Exposed inside
     * the package so the oracle-SQL generators can embed the SAME planes
     * as literals — the SQL replays the exact bucketing. */

@@ -88,4 +88,49 @@ object LineDedup {
     rewrite(df, idCol, textCol, tokensPerLine)
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("kept_text")).as("kept_fp"))
+
+  /** Within-group boilerplate line removal — the CCNet/RefinedWeb
+    * cleaning rule that [[markFirstOccurrence]] deliberately is NOT:
+    * a line repeating across `minDocs`+ distinct documents of the SAME
+    * group (site/domain/source) is navigation, cookie banners, or a
+    * template, and EVERY occurrence goes — first included — while a
+    * line repeated only across groups survives (shared quotations are
+    * not boilerplate). Documents reassemble from surviving lines;
+    * output is (doc_id, n_lines, n_kept, kept_fp) with `kept_fp` an
+    * md5 of the rewritten text, pinning the edit itself.
+    *
+    * 100 TB shape: the boilerplate table is a (group, line) aggregate
+    * with map-side combine, cut by the document-frequency threshold —
+    * its survivors are df-capped and broadcastable per group; the
+    * decision rejoins on the same (group, line) keys (for extreme
+    * corpora key both sides by `xxhash64(line)` and keep text only on
+    * the census side). Reassembly is the one doc-keyed shuffle. */
+  def boilerplateCensus(df: DataFrame, idCol: Column, groupCol: Column,
+                        textCol: Column, tokensPerLine: Int,
+                        minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "boilerplateCensus: minDocs must be at least 2")
+    val toks = TextAnalysis.tokens(textCol)
+    val nLines = ceil(size(toks) / lit(tokensPerLine.toDouble)).cast("long")
+    val lineArr = transform(
+      sequence(lit(0L), greatest(nLines, lit(1L)) - 1),
+      i => array_join(slice(toks, (i * tokensPerLine + 1).cast("int"),
+        lit(tokensPerLine)), " "))
+    val lines = df.select(idCol.as("doc_id"), groupCol.as("g"),
+      posexplode(lineArr).as(Seq("line_idx", "line")))
+    val boiler = lines.groupBy("g", "line")
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d") >= minDocs)
+      .select(col("g"), col("line"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("g", "line"), "left")
+      .withColumn("keep", col("boiler").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")),
+          " ")).as("kept_fp"))
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Privacy
+import graft.operators.Sampling
+import graft.similarity.{Fusion, Similarity}
+import graft.text.LineDedup
+
+/** Round-6 second-batch operators: within-source boilerplate removal,
+  * leakage-free component splits, hard-negative mining, k-anonymity,
+  * and reciprocal-rank fusion. */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- boilerplate (q184)
+  test("boilerplateCensus: within-source repeats go entirely, cross-source survive") {
+    val docs = Seq(
+      (1L, "s1", "a b"), (2L, "s1", "a b"), // boilerplate inside s1
+      (3L, "s2", "a b"), // same line, different source: NOT boilerplate
+      (4L, "s1", "c d")  // unique inside s1
+    ).toDF("doc_id", "source", "text")
+    val out = LineDedup.boilerplateCensus(docs, col("doc_id"), col("source"),
+      col("text"), tokensPerLine = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // ALL occurrences removed — including the first (unlike markFirstOccurrence)
+    assert(out(1L)._1 === 0 && out(2L)._1 === 0)
+    // cross-source repeat and unique line survive byte-identically
+    val md5ab = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(3L) === ((1L, md5ab)))
+    assert(out(4L)._1 === 1L)
+  }
+
+  test("boilerplateCensus: below-threshold repeats survive") {
+    val docs = Seq((1L, "s1", "a b"), (2L, "s1", "a b"))
+      .toDF("doc_id", "source", "text")
+    val out = LineDedup.boilerplateCensus(docs, col("doc_id"), col("source"),
+      col("text"), tokensPerLine = 2, minDocs = 3)
+    assert(out.filter(col("n_kept") === 1).count() === 2)
+  }
+
+  // --------------------------------------------- component split (q185)
+  test("componentSplit: components move together, zero cross-split pairs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val assigned = Sampling.componentSplit(docs, "doc_id", edges, 0.5)
+    val rows = assigned.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // the 1-2-3 chain shares component 1, size 3, one split
+    assert(Seq(1L, 2L, 3L).map(rows(_)._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).distinct === Seq(3L))
+    assert(Seq(1L, 2L, 3L).map(rows(_)._3).distinct.size === 1)
+    // singletons are their own components
+    assert(rows(4L) === ((4L, 1L, rows(4L)._3)))
+    // the audit the split is built to satisfy: no pair straddles
+    val assign = assigned.select(col("doc_id"),
+      (col("split") === "holdout").as("is_test"))
+    assert(Sampling.crossSplitPairs(edges, assign).count() === 0)
+  }
+
+  test("componentSplit: assignment is a pure function of the data") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val a = Sampling.componentSplit(docs, "doc_id", edges, 0.3).collect().toSet
+    val b = Sampling.componentSplit(docs.repartition(7), "doc_id", edges, 0.3)
+      .collect().toSet
+    assert(a === b)
+  }
+
+  // ---------------------------------------------- hard negatives (q186)
+  test("hardNegatives: only other-label neighbors, exact cosine order") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), // query
+      (1L, Array(1f, 0.01f), 0), // same label: nearest but excluded
+      (2L, Array(1f, 0.1f), 1), // hard negative (closest other-label)
+      (3L, Array(0f, 1f), 1) // easy negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0),
+      k = 2).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 3L)) // neighbor_id order
+    assert(out.map(_.getInt(3)).forall(_ === 1)) // never the query's label
+  }
+
+  // -------------------------------------------------- k-anonymity (q187)
+  test("kAnonymityHistogram: class-size mass accounts for every row") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 1), ("c", 2))
+      .toDF("seg", "n")
+    val h = Privacy.kAnonymityHistogram(df, Seq(col("seg"), col("n")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h === Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    assert(h.values.map(_._2).sum === df.count())
+  }
+
+  test("atRiskRows: exactly the members of small classes, tagged with k") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 1), ("c", 2))
+      .toDF("seg", "n")
+    val risky = Privacy.atRiskRows(df, Seq(col("seg"), col("n")), minK = 2)
+    val segs = risky.select("seg").as[String].collect().sorted
+    assert(segs.toSeq === Seq("b", "c"))
+    assert(risky.select("class_k").as[Long].collect().forall(_ === 1L))
+  }
+
+  // ---------------------------------------------------- RRF fusion (q188)
+  test("rrf: both-list doc outranks single-list docs; terms are exact") {
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 10L, 2L), (0L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Fusion.rrf(Seq(lex, dense), topK = 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 12L, 11L))
+    val both = out.head
+    assert(both.getLong(3) ===
+      math.round(1e6 / 61) + math.round(1e6 / 62)) // rrf_micro exact
+    assert(both.getLong(4) === 2L) // n_lists
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("rrf: fusion output is bounded by topK per query") {
+    val lex = (1L to 20L).map(i => (0L, i, i)).toDF("query_id", "doc_id", "rank")
+    assert(Fusion.rrf(Seq(lex), topK = 5).count() === 5)
+  }
+}
