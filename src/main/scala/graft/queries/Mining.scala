@@ -417,6 +417,107 @@ object Mining {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q190
+  // Per-source dataset report card — the "datasheet" table a corpus
+  // ships with: doc/token mass, mean quality score, gate pass rate,
+  // exact-duplicate rate, dominant language. Composes four
+  // individually hash-matched pipelines (q112 scoring, q161 gates,
+  // q27 fingerprints, q34 language-ID) into one sources-sized frame;
+  // every ratio goes through exact integer sums (micronized qscore,
+  // BIGINT `div`) so the card replays bit-for-bit.
+  val q190_source_report_card: Q = (s, dir) => {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(s, dir, "documents")
+    val model = graft.ml.Logit.Model(
+      Seq("n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio"),
+      Array(Curation.QwNTokens, Curation.QwAvgLen, Curation.QwStopword,
+        Curation.QwPunct), Curation.QwIntercept)
+    val f = TextAnalysis.qualityFeatures(docs, col("text"))
+    val lenOk = col("n_tokens") >= 30 && col("n_tokens") <= 10000
+    val wordOk = col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0
+    val stopOk = col("stopword_ratio") >= 0.01
+    val punctOk = col("punct_ratio") <= 0.2
+    val perDoc = f.select(col("doc_id"), col("source"),
+      col("n_tokens").cast("long").as("n_tok"),
+      round(model.scoreExpr, 6).as("qscore"),
+      (lenOk && wordOk && stopOk && punctOk).as("pass"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lang"))
+    val fpc = perDoc.groupBy("fp").agg(count(lit(1)).as("fpc"))
+    val d = perDoc.join(fpc, "fp")
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("total_tokens"),
+      sum(round(col("qscore") * lit(1e6)).cast("long")).as("sq"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(when(col("fpc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val lc = perDoc.groupBy("source", "lang").agg(count(lit(1)).as("lcnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("lcnt").desc, col("lang"))
+    val topLang = lc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("lcnt").as("top_lang_docs"))
+    base.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("sq").cast("double") / lit(1e6) / col("n_docs"), 6)
+          .as("mean_qscore"),
+        expr("n_pass * 1000000L div n_docs").as("pass_micro"),
+        expr("n_dup_docs * 1000000L div n_docs").as("dup_micro"),
+        col("top_lang"), col("top_lang_docs"))
+      .orderBy("source")
+  }
+
+  lazy val q190_sql: String = {
+    val stop = graft.text.TextAnalysis.defaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val z = s"((((${Curation.QwIntercept} + n_tokens * ${Curation.QwNTokens})" +
+      s" + avg_token_len * ${Curation.QwAvgLen})" +
+      s" + stopword_ratio * ${Curation.QwStopword})" +
+      s" + punct_ratio * ${Curation.QwPunct})"
+    s"""WITH f AS (SELECT doc_id, source, text,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> length(t))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len,
+       |    round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            t -> lower(t) IN ($stop))) AS DOUBLE)
+       |          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio,
+       |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |          / length(text), 6) AS punct_ratio
+       |  FROM documents),
+       |pd AS (SELECT doc_id, source, n_tokens,
+       |    round(1.0 / (1.0 + exp(-$z)), 6) AS qscore,
+       |    n_tokens >= 30 AND n_tokens <= 10000
+       |      AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+       |      AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2 AS pass,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM f),
+       |pl AS (${TextSim.q34_sql}),
+       |fpc AS (SELECT fp, count(*) AS fpc FROM pd GROUP BY 1),
+       |d AS (SELECT pd.doc_id, pd.source, pd.n_tokens, pd.qscore, pd.pass,
+       |        fpc.fpc, pl.pred_lang AS lang
+       |      FROM pd JOIN fpc USING (fp) JOIN pl USING (doc_id)),
+       |base AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CAST(round(qscore * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(sum(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |  FROM d GROUP BY 1),
+       |lc AS (SELECT source, lang, count(*) AS lcnt FROM d GROUP BY 1, 2),
+       |tl AS (SELECT source, lang AS top_lang, lcnt AS top_lang_docs,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY lcnt DESC, lang) AS rn
+       |       FROM lc)
+       |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs, b.total_tokens,
+       |  round(CAST(b.sq AS DOUBLE) / 1000000.0 / b.n_docs, 6) AS mean_qscore,
+       |  b.n_pass * 1000000 // b.n_docs AS pass_micro,
+       |  b.n_dup_docs * 1000000 // b.n_docs AS dup_micro,
+       |  t.top_lang, CAST(t.top_lang_docs AS BIGINT) AS top_lang_docs
+       |FROM base b JOIN tl t ON t.source = b.source AND t.rn = 1
+       |ORDER BY b.source""".stripMargin
+  }
+
   // --------------------------------------------------------------- q126
   // Rolling count-anomaly census: per event-type hourly counts
   // z-scored against the trailing 24 observed hours (current hour
@@ -1106,6 +1207,7 @@ object Mining {
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
     "q185_component_split" -> q185_component_split,
+    "q190_source_report_card" -> q190_source_report_card,
     "q169_quality_canonical_full" -> q169_quality_canonical_full,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
@@ -1136,6 +1238,7 @@ object Mining {
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,
     "q185_component_split" -> q185_sql,
+    "q190_source_report_card" -> q190_sql,
     "q169_quality_canonical_full" -> q169_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,

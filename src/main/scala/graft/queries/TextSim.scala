@@ -205,6 +205,43 @@ object TextSim {
       |SELECT query_id, rank, neighbor_id, neighbor_label, sim FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q189
+  // Embedding outlier census: top-20 vectors by diagonal-Mahalanobis z²
+  // against their OWN label's per-dim stats — the mislabel/corruption
+  // screen before embeddings train anything. Label stats are exact
+  // integer sums (model-sized, broadcast); each dim's z² term
+  // micronizes before the per-vector sum, so the census replays
+  // bit-for-bit.
+  val OutlierTopK = 20
+
+  val q189_embed_outliers: Q = (s, dir) =>
+    Similarity.labelZscoreOutliers(Tables.load(s, dir, "embeddings"),
+      OutlierTopK)
+
+  val q189_sql: String =
+    s"""WITH xm AS (SELECT vec_id, label,
+       |    UNNEST(generate_series(0, len(embedding) - 1)) AS pos, embedding
+       |  FROM embeddings),
+       |x2 AS (SELECT vec_id, label, pos,
+       |    CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS xm
+       |  FROM xm),
+       |st AS (SELECT label, pos, count(*) AS n,
+       |         CAST(sum(xm) AS BIGINT) AS s1,
+       |         CAST(sum(xm * xm) AS BIGINT) AS s2
+       |       FROM x2 GROUP BY 1, 2),
+       |t AS (SELECT x.vec_id, x.label,
+       |        CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0 THEN
+       |          CAST(round(CAST(x.xm * s.n - s.s1 AS DOUBLE)
+       |                     * CAST(x.xm * s.n - s.s1 AS DOUBLE)
+       |                     / CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+       |                     * 1000000.0) AS BIGINT)
+       |        ELSE 0 END AS zterm
+       |      FROM x2 x JOIN st s ON s.label = x.label AND s.pos = x.pos)
+       |SELECT vec_id, label, CAST(sum(zterm) AS BIGINT) AS z2_micro
+       |FROM t GROUP BY 1, 2
+       |ORDER BY z2_micro DESC, vec_id LIMIT $OutlierTopK""".stripMargin
+
   // ---------------------------------------------------------------- q32
   // MinHash-LSH near-dup pairs, fully oracle-checked: the md5-derived
   // shingle hash is computable in ANSI SQL, and the affine remixes,
@@ -1409,6 +1446,7 @@ object TextSim {
     "q30_vector_dot" -> q30_vector_dot,
     "q31_knn_brute" -> q31_knn_brute,
     "q186_hard_negatives" -> q186_hard_negatives,
+    "q189_embed_outliers" -> q189_embed_outliers,
     "q32_minhash_neardups" -> q32_minhash_neardups,
     "q33_simhash_neardups" -> q33_simhash_neardups,
     "q34_langid" -> q34_langid,
@@ -1418,6 +1456,7 @@ object TextSim {
 
   val oracle: Map[String, String] = Map(
     "q186_hard_negatives" -> q186_sql,
+    "q189_embed_outliers" -> q189_sql,
     "q183_embed_decontam" -> q183_sql,
     "q178_cluster_topics" -> q178_sql,
     "q93_jaccard_dfcut" -> q93_sql,

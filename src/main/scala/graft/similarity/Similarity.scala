@@ -129,6 +129,46 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Per-label z-score outlier census: each vector's squared z-score
+    * summed over dimensions against ITS OWN label's per-dimension
+    * mean/variance — the mislabel/corruption detector run before
+    * embeddings enter training (a cheap diagonal Mahalanobis).
+    *
+    * Exactness discipline: coordinates micronize to BIGINT, per-(label,
+    * dim) count/sum/sum-of-squares are exact integer sums, and each
+    * dimension's z² term — num²/den over exact integers, one pinned
+    * double divide — re-micronizes before the per-vector sum, so the
+    * census is order-free and replays bit-for-bit. Integer bounds: with
+    * |x| ≤ 1 the s2 sums stay under 2⁶³ to ~5·10⁵ vectors per label;
+    * widen to DECIMAL(38,0) beyond. Constant dimensions (den = 0)
+    * contribute 0 by definition.
+    *
+    * 100 TB shape: one posexplode into a map-side-combined (label, dim)
+    * aggregate (labels × dim rows — model-sized), broadcast back into
+    * the scan, one per-vector aggregate. Nothing corpus-sized shuffles
+    * except the final (vec_id, label) combine. */
+  def labelZscoreOutliers(df: DataFrame, topK: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          labelCol: String = "label"): DataFrame = {
+    val xm = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("x").cast("double") * lit(1e6)).cast("long").as("xm"))
+    val st = xm.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("xm").as("s1"),
+        sum(col("xm") * col("xm")).as("s2"))
+    val num = (col("xm") * col("n") - col("s1")).cast("double")
+    val den = col("n") * col("s2") - col("s1") * col("s1")
+    val term = when(den > 0,
+      round(num * num / den.cast("double") * lit(1e6)).cast("long"))
+      .otherwise(lit(0L))
+    xm.join(broadcast(st), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"), term.as("zterm"))
+      .groupBy("vec_id", "label").agg(sum("zterm").as("z2_micro"))
+      .orderBy(col("z2_micro").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Hard-negative mining for contrastive training: for each query,
     * the k most similar corpus vectors with a DIFFERENT label — the
     * near-misses that define the decision boundary, which random

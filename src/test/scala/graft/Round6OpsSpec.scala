@@ -115,6 +115,48 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  // ------------------------------------------- embedding outliers (q189)
+  test("labelZscoreOutliers: the planted outlier ranks first, constant dims are 0") {
+    val base = (0L until 20L).map { i =>
+      (i, Array(1f + (i % 3) * 0.01f, 0.5f, 2f), 0)
+    }
+    // vec 99: wildly off in dim 0 within the same label; dim 2 constant
+    val vecs = (base :+ ((99L, Array(9f, 0.5f, 2f), 0))).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.labelZscoreOutliers(vecs, topK = 3)
+      .collect()
+    assert(out.head.getLong(0) === 99L)
+    // a repartition must not change the census (order-free integer sums)
+    val out2 = graft.similarity.Similarity
+      .labelZscoreOutliers(vecs.repartition(7), topK = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      out2.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
+  test("labelZscoreOutliers: stats never cross labels") {
+    // two labels with identical within-label constant vectors: zero
+    // variance everywhere -> every z2 is 0 even though the labels differ
+    val vecs = (Seq((1L, Array(1f, 1f), 0), (2L, Array(1f, 1f), 0),
+      (3L, Array(5f, 5f), 1), (4L, Array(5f, 5f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.labelZscoreOutliers(vecs, topK = 10)
+    assert(out.select("z2_micro").as[Long].collect().forall(_ === 0L))
+  }
+
+  // ------------------------------------------- source report card (q190)
+  test("q190 report card: row mass conserved, ratios bounded") {
+    val card = graft.queries.Mining.q190_source_report_card(spark, TestSpark.sf0001)
+    val rows = card.collect()
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pass_micro") <= 1000000L)
+      assert(r.getAs[Long]("dup_micro") <= 1000000L)
+      val q = r.getAs[Double]("mean_qscore")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Long]("top_lang_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("rrf: fusion output is bounded by topK per query") {
     val lex = (1L to 20L).map(i => (0L, i, i)).toDF("query_id", "doc_id", "rank")
     assert(Fusion.rrf(Seq(lex), topK = 5).count() === 5)
