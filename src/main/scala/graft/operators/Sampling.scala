@@ -111,6 +111,69 @@ object Sampling {
       .select("id_a", "id_b", "test_a", "test_b")
   }
 
+  /** Water-filling token-budget allocation: spread a total budget T
+    * across sources by capping every source at a common water level λ —
+    * `alloc = min(supply, λ)` with λ chosen so Σalloc fills T — the
+    * mixture allocator that caps dominant sources while funding small
+    * ones in full (the hard-cap complement of the √-temperature
+    * mixture). λ is found in closed form from the supply-ascending
+    * prefix sums: the first rank i where P_{i−1} + s_i·(n−i+1) ≥ T
+    * gives λ = (T − P_{i−1}) div (n−i+1); integer arithmetic end to
+    * end, so the allocation replays exactly (Σalloc ≤ T with slack
+    * < n). If T ≥ Σsupply nothing is capped.
+    *
+    * 100 TB shape: supplies come from one map-side-combined aggregate;
+    * everything after runs on the sources-sized frame through the
+    * range-bucketed distributed running total (no single-partition
+    * window), and λ broadcasts back as a 1-row frame.
+    * Output: (domain, supply, alloc, capped) ordered by domain. */
+  def waterfillAllocation(df: DataFrame, groupCol: Column, supplyCol: Column,
+                          budget: Long): DataFrame = {
+    require(budget >= 0)
+    waterfillCore(df, groupCol, supplyCol, lit(budget))
+  }
+
+  /** Water-fill at a FRACTION of total supply (numer/denom, integer
+    * div): the budget derives lazily from the same totals aggregate —
+    * no eager driver-side count of the corpus. */
+  def waterfillByFraction(df: DataFrame, groupCol: Column, supplyCol: Column,
+                          numer: Long, denom: Long): DataFrame = {
+    require(numer >= 0 && denom > 0)
+    waterfillCore(df, groupCol, supplyCol,
+      expr(s"tot_supply * ${numer}L div ${denom}L"))
+  }
+
+  /** `budgetExpr` may reference `tot_supply` (and `n_g`) from the 1-row
+    * totals frame. */
+  private def waterfillCore(df: DataFrame, groupCol: Column,
+                            supplyCol: Column, budgetExpr: Column): DataFrame = {
+    val sup = df.groupBy(groupCol.as("domain"))
+      .agg(sum(supplyCol).as("supply"))
+    val ord = Seq(col("supply"), col("domain"))
+    val withP = graft.operators.Operators
+      .withRunningTotal(sup, col("supply"), ord)
+      .withColumnRenamed("__run", "p")
+    val withI = graft.operators.Operators
+      .withRunningTotal(withP, lit(1L), ord)
+      .withColumnRenamed("__run", "i")
+    val tot = withI.agg(count(lit(1)).as("n_g"), sum("supply").as("tot_supply"))
+      .withColumn("t", budgetExpr)
+    val j = withI.crossJoin(broadcast(tot))
+    val feas = (col("p") - col("supply")) +
+      col("supply") * (col("n_g") - col("i") + 1)
+    val lam = j.filter(col("tot_supply") > col("t") && feas >= col("t"))
+      .select(expr("(t - (p - supply)) div (n_g - i + 1)").as("water_level"),
+        col("i"))
+      .agg(min_by(col("water_level"), col("i")).as("water_level"))
+    sup.crossJoin(broadcast(lam))
+      .select(col("domain"), col("supply"),
+        when(col("water_level").isNull, col("supply"))
+          .otherwise(least(col("supply"), col("water_level"))).as("alloc"),
+        when(col("water_level").isNull, lit(false))
+          .otherwise(col("supply") > col("water_level")).as("capped"))
+      .orderBy("domain")
+  }
+
   /** Leakage-free train/holdout assignment: every document inherits
     * the split of its duplicate COMPONENT, so no near-duplicate pair
     * can straddle the boundary by construction — the constructive

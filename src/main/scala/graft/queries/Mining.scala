@@ -518,6 +518,50 @@ object Mining {
        |ORDER BY b.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q192
+  // Water-filling mixture allocation: cap every source's token
+  // contribution at a common water level λ chosen so the total fills
+  // 90% of the corpus — the hard-cap mixture allocator (complement of
+  // q121's √-temperature reweighting: this one funds small sources in
+  // FULL and shaves only the dominant ones). λ comes from the
+  // supply-ascending prefix sums in closed integer form, so the whole
+  // allocation replays exactly.
+  val q192_waterfill_mixture: Q = (s, dir) => {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(s, dir, "documents")
+    val supplies = docs.select(col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.operators.Sampling.waterfillByFraction(
+      supplies, col("source"), col("n_tok"), 9, 10)
+  }
+
+  val q192_sql: String =
+    """WITH c AS (SELECT source AS domain,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS supply
+      |  FROM documents GROUP BY 1),
+      |b AS (SELECT CAST(sum(supply) AS BIGINT) * 9 // 10 AS t,
+      |        CAST(sum(supply) AS BIGINT) AS tot, count(*) AS n_g
+      |      FROM c),
+      |r AS (SELECT domain, supply,
+      |        CAST(sum(supply) OVER (ORDER BY supply, domain
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS p,
+      |        row_number() OVER (ORDER BY supply, domain) AS i
+      |      FROM c),
+      |cand AS (SELECT (b.t - (r.p - r.supply)) // (b.n_g - r.i + 1) AS lambda,
+      |           r.i
+      |         FROM r CROSS JOIN b
+      |         WHERE b.tot > b.t
+      |           AND (r.p - r.supply) + r.supply * (b.n_g - r.i + 1) >= b.t),
+      |lam AS (SELECT min_by(lambda, i) AS water_level FROM cand)
+      |SELECT c.domain, c.supply,
+      |  CASE WHEN l.water_level IS NULL THEN c.supply
+      |       ELSE least(c.supply, l.water_level) END AS alloc,
+      |  CASE WHEN l.water_level IS NULL THEN FALSE
+      |       ELSE c.supply > l.water_level END AS capped
+      |FROM c CROSS JOIN lam l ORDER BY c.domain""".stripMargin
+
   // --------------------------------------------------------------- q126
   // Rolling count-anomaly census: per event-type hourly counts
   // z-scored against the trailing 24 observed hours (current hour
@@ -1208,6 +1252,7 @@ object Mining {
     "q125_quality_canonical" -> q125_quality_canonical,
     "q185_component_split" -> q185_component_split,
     "q190_source_report_card" -> q190_source_report_card,
+    "q192_waterfill_mixture" -> q192_waterfill_mixture,
     "q169_quality_canonical_full" -> q169_quality_canonical_full,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
@@ -1239,6 +1284,7 @@ object Mining {
     "q125_quality_canonical" -> q125_sql,
     "q185_component_split" -> q185_sql,
     "q190_source_report_card" -> q190_sql,
+    "q192_waterfill_mixture" -> q192_sql,
     "q169_quality_canonical_full" -> q169_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,

@@ -1215,6 +1215,40 @@ object TextSim {
       .orderBy("query_id", "rank")
   }
 
+  // --------------------------------------------------------------- q191
+  // ANN index ingest/staleness census: a deterministic 10% hash slice
+  // plays the freshly-ingested batch; per cell, how much new mass
+  // landed vs the standing occupancy — the drift signal that schedules
+  // the periodic retrain (the ANN-side sibling of q156/q180's
+  // incremental-dedup ingest discipline). Exact integer ratios over
+  // the q78 checked-index assignment.
+  val q191_index_ingest: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    graft.similarity.Ivf.ingestCensus(idx,
+      graft.dedup.Dedup.md5Hash32(col("vec_id").cast("string")) % 10 === 0)
+  }
+
+  lazy val q191_sql: String =
+    s"""WITH $ivfCtes,
+       |bu AS (SELECT vec_id,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % 10 AS b
+       |  FROM embeddings),
+       |asg AS (SELECT c.cell, bu.b = 0 AS is_new
+       |        FROM corpus c JOIN bu ON bu.vec_id = c.vec_id),
+       |cen AS (SELECT cell,
+       |    CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |  FROM asg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_new) AS BIGINT) AS tn FROM cen)
+       |SELECT cen.cell, cen.n_old, cen.n_new,
+       |  CASE WHEN cen.n_old > 0 THEN cen.n_new * 1000000 // cen.n_old
+       |  END AS growth_micro,
+       |  CASE WHEN t.tn > 0 THEN cen.n_new * 1000000 // t.tn ELSE 0
+       |  END AS share_new_micro
+       |FROM cen CROSS JOIN tot t ORDER BY cen.cell""".stripMargin
+
   // negdist of a vector e against a centroid row c: 2·dot − ‖c‖²,
   // double accumulation left-to-right in both engines
   private[queries] val ivfNd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
@@ -1447,6 +1481,7 @@ object TextSim {
     "q31_knn_brute" -> q31_knn_brute,
     "q186_hard_negatives" -> q186_hard_negatives,
     "q189_embed_outliers" -> q189_embed_outliers,
+    "q191_index_ingest" -> q191_index_ingest,
     "q32_minhash_neardups" -> q32_minhash_neardups,
     "q33_simhash_neardups" -> q33_simhash_neardups,
     "q34_langid" -> q34_langid,
@@ -1457,6 +1492,7 @@ object TextSim {
   val oracle: Map[String, String] = Map(
     "q186_hard_negatives" -> q186_sql,
     "q189_embed_outliers" -> q189_sql,
+    "q191_index_ingest" -> q191_sql,
     "q183_embed_decontam" -> q183_sql,
     "q178_cluster_topics" -> q178_sql,
     "q93_jaccard_dfcut" -> q93_sql,

@@ -247,6 +247,37 @@ object Ivf {
     needs(math.max(0, math.ceil(targetRecall * needs.length).toInt - 1))
   }
 
+  /** Ingest/staleness census: after a batch lands in the index (new
+    * vectors assign to their nearest EXISTING cell — the `NearestCell`
+    * expression against the stored centroid table), which cells
+    * absorbed the mass? A cell whose growth far outpaces its share
+    * signals distribution drift and schedules the periodic retrain;
+    * uniform growth means the index is still representative.
+    *
+    * `isNew` marks the batch rows inside the assignment (here a
+    * deterministic hash slice; production passes an ingest-time flag).
+    * The demo trains on the union corpus because the oracle replays
+    * that chain end-to-end — the production path assigns the batch
+    * against the STORED centroids, and this census is identical.
+    *
+    * Output per occupied cell: (cell, n_old, n_new, growth_micro =
+    * n_new/n_old, share_new_micro = n_new/Σn_new), all exact integer
+    * ratios; nlist rows, model-sized. */
+  def ingestCensus(index: Index, isNew: Column): DataFrame = {
+    val a = index.assigned.withColumn("is_new", isNew)
+    val cen = a.groupBy("cell").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    val tot = cen.agg(sum("n_new").as("__tn"))
+    cen.crossJoin(broadcast(tot))
+      .select(col("cell").cast("long").as("cell"), col("n_old"), col("n_new"),
+        when(col("n_old") > 0, expr("n_new * 1000000L div n_old"))
+          .as("growth_micro"),
+        when(col("__tn") > 0, expr("n_new * 1000000L div __tn")).otherwise(0L)
+          .as("share_new_micro"))
+      .orderBy("cell")
+  }
+
   /** Index-health census: per-cell occupancy, share of the corpus, and
     * imbalance factor (n_vecs · nlist / total — 1.0 is perfectly
     * balanced). The acceptance check before an IVF index ships: a hot

@@ -157,6 +157,50 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ ingest census (q191)
+  test("ingestCensus: exact per-cell old/new mass and ratios") {
+    val assigned = Seq(
+      (1L, 0), (2L, 0), (3L, 0), (4L, 0), // cell 0: 4 old
+      (10L, 0), // cell 0: 1 new
+      (5L, 1), (11L, 1), (12L, 1) // cell 1: 1 old, 2 new
+    ).toDF("vec_id", "cell")
+    val idx = graft.similarity.Ivf.Index(Array(Array(0.0), Array(1.0)), assigned)
+    val out = graft.similarity.Ivf
+      .ingestCensus(idx, col("vec_id") >= 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) === ((4L, 1L, 250000L, 333333L))) // 1/4 growth, 1/3 of new
+    assert(out(1L) === ((1L, 2L, 2000000L, 666666L)))
+  }
+
+  // ------------------------------------------------- water-filling (q192)
+  test("waterfillAllocation: closed-form water level, exact fill") {
+    val sup = Seq(("a", 10L), ("b", 20L), ("c", 70L)).toDF("src", "n")
+    val out = Sampling.waterfillAllocation(sup, col("src"), col("n"), 60L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // sorted (10,20,70): lambda = (60-30)/1 = 30 -> allocs 10+20+30 = 60
+    assert(out === Map("a" -> ((10L, false)), "b" -> ((20L, false)),
+      "c" -> ((30L, true))))
+  }
+
+  test("waterfillAllocation: budget >= total supply caps nothing") {
+    val sup = Seq(("a", 10L), ("b", 20L)).toDF("src", "n")
+    val out = Sampling.waterfillAllocation(sup, col("src"), col("n"), 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out === Map("a" -> ((10L, false)), "b" -> ((20L, false))))
+  }
+
+  test("waterfillByFraction: never overfills, slack under group count") {
+    val sup = (1L to 37L).map(i => (s"s$i", i * 13 % 97 + 1)).toDF("src", "n")
+    val out = Sampling.waterfillByFraction(sup, col("src"), col("n"), 1, 2)
+    val total = sup.agg(sum("n")).head.getLong(0)
+    val alloc = out.agg(sum("alloc")).head.getLong(0)
+    assert(alloc <= total / 2)
+    assert(alloc > total / 2 - 37) // integer-div slack < n groups
+  }
+
   test("rrf: fusion output is bounded by topK per query") {
     val lex = (1L to 20L).map(i => (0L, i, i)).toDF("query_id", "doc_id", "rank")
     assert(Fusion.rrf(Seq(lex), topK = 5).count() === 5)

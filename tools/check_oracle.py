@@ -7,14 +7,30 @@ sorts columns by name, and compares values exactly.
 
 Usage: python3 tools/check_oracle.py <sfdir> <outdir>
 """
-import json, math, sys, glob
+import json, math, os, sys, glob
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    # ScaleUp-generated corpora are parquet DIRECTORIES (Spark layout)
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    if t == "events":
+        # generated events store raw BIGINT nanos; the real testdata is
+        # TIMESTAMP(NANOS)/MICROS which DuckDB reads natively. Normalize
+        # to TIMESTAMP so every oracle sees one schema (graft.Tables
+        # does the same on the Spark side).
+        (ts_type,) = [r[1] for r in con.execute(
+            f"DESCRIBE SELECT ts FROM {src}").fetchall()]
+        if ts_type == "BIGINT":
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT event_id, "
+                f"make_timestamp(ts // 1000) AS ts, user_id, event_type, "
+                f"value, props FROM {src}")
+            continue
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
