@@ -159,13 +159,43 @@ object Governance {
       |SELECT k, count(*) AS n_classes, k * count(*) AS n_rows
       |FROM cls GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------- q193
+  // Phrase-blocklist audit: per (source, phrase) document hit counts
+  // plus the any-phrase flagged mass — the compliance/NSFW filtering
+  // stage in audit form. The blocklist folds into the scan as a
+  // broadcast array literal (filter+contains HOF, no join, no UDF);
+  // only hit pairs leave the scan.
+  val Blocklist = Seq("slow fast", "hash value", "merge batch")
+
+  val q193_blocklist: Q = (s, dir) =>
+    graft.text.TextAnalysis.blocklistCensus(
+      Tables.load(s, dir, "documents"), col("source"), col("text"), Blocklist)
+      .orderBy("g", "phrase")
+
+  val q193_sql: String = {
+    val bl = Blocklist.map(p => s"'$p'").mkString(", ")
+    s"""WITH h AS (SELECT source AS g,
+       |    list_filter([$bl], p -> contains(text, p)) AS hits
+       |  FROM documents),
+       |a AS (SELECT g, CAST(count(CASE WHEN len(hits) > 0 THEN 1 END) AS BIGINT)
+       |        AS n_docs_flagged
+       |      FROM h GROUP BY 1),
+       |p AS (SELECT g, UNNEST(hits) AS phrase FROM h),
+       |c AS (SELECT g, phrase, CAST(count(*) AS BIGINT) AS n_docs_hit
+       |      FROM p GROUP BY 1, 2)
+       |SELECT c.g, c.phrase, c.n_docs_hit, a.n_docs_flagged
+       |FROM c JOIN a USING (g) ORDER BY g, phrase""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q193_blocklist" -> q193_blocklist,
     "q98_pii_redact" -> q98_pii_redact,
     "q99_mixture_budget" -> q99_mixture_budget,
     "q101_decontam" -> q101_decontam,
     "q187_k_anonymity" -> q187_k_anonymity)
 
   val oracle: Map[String, String] = Map(
+    "q193_blocklist" -> q193_sql,
     "q98_pii_redact" -> q98_sql,
     "q99_mixture_budget" -> q99_sql,
     "q101_decontam" -> q101_sql,

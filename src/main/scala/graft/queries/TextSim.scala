@@ -1249,6 +1249,50 @@ object TextSim {
        |  END AS share_new_micro
        |FROM cen CROSS JOIN tot t ORDER BY cen.cell""".stripMargin
 
+  // --------------------------------------------------------------- q194
+  // Matryoshka truncation audit: overlap@3 between full-dim (64) and
+  // truncated-dim (16) exact top-3 per query — the acceptance number
+  // for a cheap truncated ANN prefilter tier (scan 4x less, re-rank
+  // survivors at full precision). One pass scores both similarities.
+  val TruncDim = 16
+
+  val q194_mrl_truncation: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.truncationOverlap(e, e.filter(col("vec_id") < 20), k = 3,
+      truncDim = TruncDim).orderBy("query_id")
+  }
+
+  val q194_sql: String = {
+    def cos(a: String, b: String, n: String) =
+      s"""round(list_sum(list_transform(generate_series(1, $n),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(list_slice($a, 1, $n), x -> CAST(x AS DOUBLE) * x)))
+         |         * sqrt(list_sum(list_transform(list_slice($b, 1, $n), x -> CAST(x AS DOUBLE) * x)))), 6)""".stripMargin
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cos("q.embedding", "c.embedding", "len(q.embedding)")} AS sim_full,
+       |    ${cos("q.embedding", "c.embedding", s"$TruncDim")} AS sim_trunc
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |tf AS (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim_full DESC, neighbor_id ASC) AS rank
+       |       FROM sims QUALIFY rank <= 3),
+       |tt AS (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim_trunc DESC, neighbor_id ASC) AS rank
+       |       FROM sims QUALIFY rank <= 3),
+       |ov AS (SELECT tf.query_id, CAST(count(*) AS BIGINT) AS overlap_k
+       |       FROM tf JOIN tt USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT f.query_id, f.neighbor_id AS top_full_id,
+       |  t.neighbor_id AS top_trunc_id,
+       |  coalesce(ov.overlap_k, 0) AS overlap_k
+       |FROM (SELECT * FROM tf WHERE rank = 1) f
+       |JOIN (SELECT * FROM tt WHERE rank = 1) t USING (query_id)
+       |LEFT JOIN ov USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   // negdist of a vector e against a centroid row c: 2·dot − ‖c‖²,
   // double accumulation left-to-right in both engines
   private[queries] val ivfNd = "(2.0 * list_sum(list_transform(generate_series(1, 64), " +
@@ -1482,6 +1526,7 @@ object TextSim {
     "q186_hard_negatives" -> q186_hard_negatives,
     "q189_embed_outliers" -> q189_embed_outliers,
     "q191_index_ingest" -> q191_index_ingest,
+    "q194_mrl_truncation" -> q194_mrl_truncation,
     "q32_minhash_neardups" -> q32_minhash_neardups,
     "q33_simhash_neardups" -> q33_simhash_neardups,
     "q34_langid" -> q34_langid,
@@ -1493,6 +1538,7 @@ object TextSim {
     "q186_hard_negatives" -> q186_sql,
     "q189_embed_outliers" -> q189_sql,
     "q191_index_ingest" -> q191_sql,
+    "q194_mrl_truncation" -> q194_sql,
     "q183_embed_decontam" -> q183_sql,
     "q178_cluster_topics" -> q178_sql,
     "q93_jaccard_dfcut" -> q93_sql,

@@ -198,6 +198,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "neighbor_label", "sim")
   }
 
+  /** Truncation-quality audit (the Matryoshka question): if the ANN
+    * tier ran on the first `truncDim` coordinates instead of the full
+    * vector — 4× less data moved and scanned — how much of the
+    * full-precision top-k survives? Per query: overlap@k between the
+    * full-dim and truncated-dim exact top-k, plus both top-1 ids. The
+    * acceptance number that licenses a cheap truncated prefilter tier
+    * (scan truncated codes, re-rank survivors at full precision).
+    *
+    * Exact bounded-batch form over a broadcast query set; both
+    * similarities come from ONE pass over each (query, corpus) pair —
+    * the truncated slice is a projection, not a second scan. */
+  def truncationOverlap(corpus: DataFrame, queries: DataFrame, k: Int,
+                        truncDim: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim_full"),
+        round(cosine(slice(col("qv"), 1, truncDim),
+          slice(col("cv"), 1, truncDim)), 6).as("sim_trunc"))
+    def top(simCol: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(simCol).desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+    val tf = top("sim_full")
+    val tt = top("sim_trunc")
+    val overlap = tf.join(tt, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("overlap_k"))
+    tf.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("top_full_id"))
+      .join(tt.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("top_trunc_id")),
+        "query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("top_full_id"), col("top_trunc_id"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"))
+  }
+
   /** Deterministic ±1 hyperplane matrix: planes × dim. Exposed inside
     * the package so the oracle-SQL generators can embed the SAME planes
     * as literals — the SQL replays the exact bucketing. */

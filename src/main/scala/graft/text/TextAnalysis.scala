@@ -146,6 +146,34 @@ object TextAnalysis {
     * and four adds in pinned sequence — 6dp-rounded, it replays in any
     * engine (the [[graft.analytics.Drift.chi2Independence]] discipline
     * with a compile-time term order instead of a sorted fold). */
+  /** Phrase-blocklist census: per (group, phrase), how many documents
+    * contain the phrase as a substring, plus how many documents in the
+    * group match ANY phrase — the NSFW/compliance filtering stage of a
+    * curation pipeline, in audit form (the removal itself is
+    * `filter(!hitsAny)` over the same expression).
+    *
+    * 100 TB shape: the blocklist is a broadcast array LITERAL folded
+    * into the scan (`filter` + `contains` HOF, codegen'd — no join, no
+    * UDF); only (group, phrase) hit pairs leave the scan, and both
+    * aggregates combine map-side. For blocklists beyond a few thousand
+    * entries switch to the token-join form (shared with the
+    * decontaminators) — substring semantics then need phrase-length
+    * windows, i.e. [[graft.text.SpanDedup]]'s keys. */
+  def blocklistCensus(df: DataFrame, group: Column, text: Column,
+                      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty)
+    val parr = array(phrases.map(lit): _*)
+    val hits = df.select(group.as("g"),
+      filter(parr, p => text.contains(p)).as("hits"))
+    val any = hits.groupBy("g")
+      .agg(count(when(size(col("hits")) > 0, lit(1))).as("n_docs_flagged"))
+    val per = hits.select(col("g"), explode(col("hits")).as("phrase"))
+      .groupBy("g", "phrase").agg(count(lit(1)).as("n_docs_hit"))
+    per.join(any, "g")
+      .select(col("g"), col("phrase"), col("n_docs_hit"),
+        col("n_docs_flagged"))
+  }
+
   def charClassEntropy(df: DataFrame, group: Column, text: Column): DataFrame = {
     def cnt(pattern: String): Column =
       sum(length(regexp_replace(text, pattern, ""))).cast("long")

