@@ -880,6 +880,89 @@ object Multimodal {
         substring(col("media"), col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual image hash (average hash) over decoded BMP pixels
+  // ------------------------------------------------------------------
+
+  /** Integer luminance of logical pixel `j` (0-based in the 3·w-byte
+    * logical row stream, mapped through the 4-byte stride so pad bytes
+    * never contribute): 2·R + 5·G + B — the classic 0.25/0.6/0.1 luma
+    * weights scaled ×8 and kept in exact BIGINT space (range 0..2040).
+    */
+  private def bmpLum(media: Column, dataOff: Column, w: Column,
+                     j: Column): Column = {
+    val rb = w * lit(3L)
+    val stride = ((rb + lit(3L)) / lit(4L)).cast("long") * lit(4L)
+    def px(c: Int): Column = {
+      val i = j * lit(3L) + lit(c.toLong)
+      val r = floor(i / rb).cast("long")
+      u8At(media, dataOff + r * stride + (i - r * rb))
+    }
+    lit(2L) * px(2) + lit(5L) * px(1) + px(0) // BGR byte order on disk
+  }
+
+  /** Exact BIGINT sum of per-pixel luminance over the whole bitmap —
+    * the mean the average-hash thresholds against (kept un-divided:
+    * the bit test compares n·lum_j > Σlum, never a float mean). */
+  def bmpLumSum(media: Column, dataOff: Column, w: Column,
+                h: Column): Column =
+    aggregate(sequence(lit(0L), w * h - lit(1L)), lit(0L),
+      (acc, j) => acc + bmpLum(media, dataOff, w, j))
+
+  /** Average-hash bits as one BIGINT: bit j set iff pixel j's
+    * luminance is strictly above the image mean (n·lum_j > Σlum in
+    * exact integers). Bit j carries weight 2^j; pixel counts are
+    * bounded by the caller (≤ 12 px for the synthetic corpus, ≤ 63 in
+    * general before the BIGINT runs out — larger images should be
+    * average-pooled to an 8×8 grid first, same math per cell). */
+  def bmpAHash(media: Column, dataOff: Column, w: Column, h: Column,
+               lumSum: Column): Column = {
+    val n = w * h
+    aggregate(sequence(lit(0L), n - lit(1L)), lit(0L),
+      (acc, j) => acc +
+        when(n * bmpLum(media, dataOff, w, j) > lumSum,
+          pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L)))
+  }
+
+  // ------------------------------------------------------------------
+  // PCM audio quality census (clipping + silence)
+  // ------------------------------------------------------------------
+
+  /** Near-full-scale threshold (|v| ≥ thresh ⇒ "clipped"): 95% of full
+    * scale per bit depth. */
+  val ClipThresh8 = 121L   // 0.95 · 127
+  val ClipThresh16 = 31129L // 0.95 · 32767
+
+  /** Silence threshold (|v| ≤ thresh ⇒ "silent"): ~ -36 dBFS. */
+  val SilenceThresh8 = 2L
+  val SilenceThresh16 = 512L
+
+  /** Clipped/silent sample counts over ALL channels of a PCM payload —
+    * one exact-integer fold per row, same materialized-inputs contract
+    * as [[pcmChannelStats]]. Returns struct (n_clipped, n_silent). */
+  def pcmQualityCounts(media: Column, doff: Column, channels: Column,
+                       bits: Column, nFrames: Column): Column = {
+    val bps = when(bits === lit(8L), lit(1L)).otherwise(lit(2L))
+    val clipT = when(bits === lit(8L), lit(ClipThresh8)).otherwise(lit(ClipThresh16))
+    val silT = when(bits === lit(8L), lit(SilenceThresh8)).otherwise(lit(SilenceThresh16))
+    val z = lit(0L)
+    aggregate(
+      sequence(lit(0L), nFrames * channels - lit(1L)),
+      struct(z.as("nc"), z.as("ns")),
+      (acc, i) => {
+        val off = doff + i * bps
+        val v8 = u8At(media, off) - lit(128L)
+        val raw16 = leAt(media, off, 2)
+        val v16 = raw16 - when(raw16 >= lit(32768L), lit(65536L)).otherwise(z)
+        val a = abs(when(bps === lit(1L), v8).otherwise(v16))
+        struct(
+          (acc.getField("nc") + when(a >= clipT, lit(1L)).otherwise(z)).as("nc"),
+          (acc.getField("ns") + when(a <= silT, lit(1L)).otherwise(z)).as("ns"))
+      },
+      acc => struct(acc.getField("nc").as("n_clipped"),
+        acc.getField("ns").as("n_silent")))
+  }
+
   /** Byte-budget repartitioning: aim for `targetBytes` of payload per
     * task. One cheap size aggregate, then a hash repartition — at 100 TB
     * this is what keeps decode tasks uniform despite skewed payloads. */

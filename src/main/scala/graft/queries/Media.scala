@@ -547,27 +547,15 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val q168_sql: String = {
+  /** Shared DuckDB CTE chain: documents → synthetic BMP hex stream →
+    * validated decode params, ending in `v2` with (doc_id, hexs, wx,
+    * hh, doffx, stride, rb, np, ok, rbx, hhx). q168 folds channel
+    * stats over it; q195 folds the average hash. */
+  private def bmpCtes: String = {
     val w = "(1 + doc_id % 4)"
     val h = "(1 + doc_id % 3)"
     val gap = "(doc_id % 5)"
-    // pixel byte i of the LOGICAL stream (3w bytes/row) through the
-    // 4-byte stride — pad bytes never enter the sums; rbx/hhx are
-    // zeroed for invalid rows so garbage headers can't size the loop
-    val off = s"(doffx + (i // rbx) * stride + i % rbx)"
-    val v = s"CAST('0x' || substr(hexs, 2*$off + 1, 2) AS BIGINT)"
-    def chSum(ch: Int, sq: Boolean) = {
-      val term = if (sq) s"$v * $v" else v
-      s"CAST(list_sum(list_transform(range(rbx * hhx), i -> " +
-        s"CASE WHEN i % 3 = $ch THEN $term ELSE 0 END)) AS BIGINT)"
-    }
-    def meanVar(ch: Int, tag: String) = {
-      val s0 = chSum(ch, sq = false); val q0 = chSum(ch, sq = true)
-      s"""  CASE WHEN ok THEN $s0 END AS sum_$tag,
-         |  CASE WHEN ok THEN round($s0 / np, 6) END AS mean_$tag,
-         |  CASE WHEN ok THEN round($q0 / np - ($s0 / np) * ($s0 / np), 6) END AS var_$tag""".stripMargin
-    }
-    s"""WITH m AS (SELECT doc_id,
+    s"""m AS (SELECT doc_id,
        |    upper(md5(text) || md5(text || 'a') || md5(text || 'b')) AS body,
        |    $w AS w, $h AS h, $gap AS gap,
        |    ((3 * $w + 3) // 4) * 4 AS stride FROM documents),
@@ -599,8 +587,28 @@ object Media {
        |     AND doffx + stride * hh <= CAST(length(hexs)/2 AS BIGINT) AS ok
        | FROM p),
        |v2 AS (SELECT *, CASE WHEN ok THEN rb ELSE 0 END AS rbx,
-       |       CASE WHEN ok THEN hh ELSE 0 END AS hhx FROM v)
-       |SELECT doc_id,
+       |       CASE WHEN ok THEN hh ELSE 0 END AS hhx FROM v)""".stripMargin
+  }
+
+  val q168_sql: String = {
+    // pixel byte i of the LOGICAL stream (3w bytes/row) through the
+    // 4-byte stride — pad bytes never enter the sums; rbx/hhx are
+    // zeroed for invalid rows so garbage headers can't size the loop
+    val off = s"(doffx + (i // rbx) * stride + i % rbx)"
+    val v = s"CAST('0x' || substr(hexs, 2*$off + 1, 2) AS BIGINT)"
+    def chSum(ch: Int, sq: Boolean) = {
+      val term = if (sq) s"$v * $v" else v
+      s"CAST(list_sum(list_transform(range(rbx * hhx), i -> " +
+        s"CASE WHEN i % 3 = $ch THEN $term ELSE 0 END)) AS BIGINT)"
+    }
+    def meanVar(ch: Int, tag: String) = {
+      val s0 = chSum(ch, sq = false); val q0 = chSum(ch, sq = true)
+      s"""  CASE WHEN ok THEN $s0 END AS sum_$tag,
+         |  CASE WHEN ok THEN round($s0 / np, 6) END AS mean_$tag,
+         |  CASE WHEN ok THEN round($q0 / np - ($s0 / np) * ($s0 / np), 6) END AS var_$tag""".stripMargin
+    }
+    "WITH " + bmpCtes + "\n" +
+      s"""SELECT doc_id,
        |  CASE WHEN ok THEN 'bmp' ELSE 'unknown' END AS format,
        |  CASE WHEN ok THEN wx END AS width,
        |  CASE WHEN ok THEN hh END AS height,
@@ -679,7 +687,174 @@ object Media {
        |  doc_id = canonical_id AS is_canonical
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q195
+  // Perceptual IMAGE dedup over decoded pixels: every valid BMP maps to
+  // an average-hash (bit j set iff pixel j's integer luminance exceeds
+  // the image mean — exact BIGINT compare n·lum > Σlum), and near-dup
+  // pairs at Hamming distance ≤ 1 are found by bit-sampling LSH
+  // multi-probe: each row emits its hash plus every single-bit flip as
+  // probe keys, and candidates come from an EQUI-join on (w, h, probe)
+  // — the Hamming-ball-1 query is complete (probe r=1 covers d≤1) with
+  // zero all-pairs work. 100 TB shape: probes per row = n_px + 1
+  // (bounded; an 8×8 pooled aHash emits 65), and the join shuffles only
+  // (id, hash) pairs — pixels never leave the scan. The distance-0 /
+  // distance-1 split in the output is the knob a curator uses to pick
+  // exact-only vs tolerant dedup.
+  val q195_image_ahash: Q = (s, dir) => {
+    val m = Multimodal.syntheticBmp(Tables.load(s, dir, "documents"))
+    // same pushdown discipline as q177: `valid` is filtered only after
+    // a Window keyed on derived columns, so the construction + parse
+    // never inlines into the parquet scan filter
+    val parsed = m.select(col("media_id").as("doc_id"), col("media"),
+      Multimodal.parseBmp(col("media")).as("p"))
+      .select(col("doc_id"), col("media"),
+        col("p.valid").as("valid"), col("p.width").as("width"),
+        col("p.height").as("height"), col("p.data_off").as("data_off"))
+      .select(col("doc_id"), col("valid"), col("width"), col("height"),
+        col("media"), col("data_off"),
+        when(col("valid"), Multimodal.bmpLumSum(col("media"),
+          col("data_off"), col("width"), col("height"))).as("lum_sum"))
+      .select(col("doc_id"), col("valid"), col("width"), col("height"),
+        (col("width") * col("height")).as("n_px"),
+        when(col("valid"), Multimodal.bmpAHash(col("media"), col("data_off"),
+          col("width"), col("height"), col("lum_sum"))).as("ahash"))
+    val sig = org.apache.spark.sql.expressions.Window
+      .partitionBy("width", "height", "ahash")
+    // localCheckpoint truncates the lineage at the (id, w, h, hash)
+    // table — 5 narrow columns, pixels long gone. Without it the
+    // self-join below re-plans the whole construction + parse + two
+    // nested pixel folds on BOTH sides and the optimizer pass over the
+    // duplicated ~MB expression tree never returns (same pathology as
+    // the MATERIALIZED note on wavPcmCtes, Spark edition).
+    // group_n must survive until the checkpoint: it is what keeps the
+    // Window alive under column pruning — dropping it earlier lets the
+    // optimizer erase the Window, and the `valid` filter then inlines
+    // the whole construction into the scan (codegen-size fallback).
+    val hashed = parsed
+      .withColumn("group_n", count(lit(1)).over(sig))
+      .filter(col("valid"))
+      .select("doc_id", "width", "height", "n_px", "ahash", "group_n")
+      .localCheckpoint()
+      .drop("group_n")
+    val probes = hashed.select(col("doc_id"), col("width"), col("height"),
+      col("ahash"),
+      explode(concat(array(col("ahash")),
+        transform(sequence(lit(0L), col("n_px") - 1), j =>
+          col("ahash").bitwiseXOR(
+            pow(lit(2.0), j.cast("double")).cast("long"))))).as("probe"))
+    probes.as("a").join(hashed.as("b"),
+      col("a.width") === col("b.width") &&
+        col("a.height") === col("b.height") &&
+        col("a.probe") === col("b.ahash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.width").as("width"), col("a.height").as("height"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .filter(col("hamming") <= 1) // probe construction already implies this
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q195_sql: String = {
+    // luminance of logical pixel j: bytes 3j (B), 3j+1 (G), 3j+2 (R)
+    // of the pixel stream, each mapped through the row stride
+    def off(i: String) = s"(doffx + (($i) // rb) * stride + ($i) % rb)"
+    def u8(o: String) = s"CAST('0x' || substr(hexs, 2*$o + 1, 2) AS BIGINT)"
+    def lum(j: String) =
+      s"(2 * ${u8(off(s"3*($j) + 2"))} + 5 * ${u8(off(s"3*($j) + 1"))}" +
+        s" + ${u8(off(s"3*($j)"))})"
+    "WITH " + bmpCtes + ",\n" +
+      s"""h0 AS MATERIALIZED (SELECT doc_id, wx, hh, wx * hh AS npx,
+       |    hexs, doffx, stride, rb,
+       |    CAST(list_sum(list_transform(range(wx * hh), j ->
+       |      ${lum("j")})) AS BIGINT) AS suml
+       |  FROM v2 WHERE ok),
+       |h1 AS MATERIALIZED (SELECT doc_id, wx, hh, npx,
+       |    CAST(coalesce(list_sum(list_transform(range(npx), j ->
+       |      CASE WHEN npx * ${lum("j")} > suml
+       |           THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), 0)
+       |      AS BIGINT) AS ahash
+       |  FROM h0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.wx AS width, a.hh AS height,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+       |FROM h1 a JOIN h1 b
+       |  ON a.wx = b.wx AND a.hh = b.hh AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q196
+  // PCM audio-quality census: clipped-sample and silent-sample counts
+  // over every decoded sample of every channel — the audio analog of
+  // the text quality gate. Thresholds are bit-depth-scaled integers
+  // (95% full scale / ~-36 dBFS), so the whole census is one exact
+  // BIGINT fold per row fused into the scan; only (id, counts) rows
+  // ever move, and the verdict derives from integer cross-products
+  // (n·10 ≥ total), never a float ratio.
+  val q196_audio_quality: Q = (s, dir) => {
+    val m = Multimodal.syntheticWav(Tables.load(s, dir, "documents"))
+    m.select(col("media_id").as("doc_id"), col("media"),
+      Multimodal.parseWavPcm(col("media")).as("p"))
+      .select(col("doc_id"), col("media"),
+        col("p.valid").as("valid"), col("p.channels").as("channels"),
+        col("p.bits_per_sample").as("bits_per_sample"),
+        col("p.n_frames").as("n_frames"), col("p.doff").as("doff"))
+      .select(col("doc_id"), col("valid"), col("channels"),
+        col("bits_per_sample"), col("n_frames"),
+        when(col("valid"), Multimodal.pcmQualityCounts(col("media"),
+          col("doff"), col("channels"), col("bits_per_sample"),
+          col("n_frames"))).as("qc"))
+      .select(col("doc_id"),
+        when(col("valid"), lit("wav")).otherwise(lit("unknown")).as("format"),
+        col("channels"), col("bits_per_sample"),
+        when(col("valid"), col("n_frames") * col("channels")).as("n_samples"),
+        col("qc.n_clipped").as("n_clipped"),
+        col("qc.n_silent").as("n_silent"),
+        when(col("valid"), round(col("qc.n_clipped") /
+          (col("n_frames") * col("channels")).cast("double"), 6)).as("clip_ratio"),
+        when(col("valid"), round(col("qc.n_silent") /
+          (col("n_frames") * col("channels")).cast("double"), 6)).as("silence_ratio"),
+        when(col("valid"),
+          when(col("qc.n_clipped") * 10 >= col("n_frames") * col("channels"),
+            lit("clipped"))
+            .when(col("qc.n_silent") * 2 >= col("n_frames") * col("channels"),
+              lit("silent"))
+            .otherwise(lit("ok"))).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val q196_sql: String = {
+    val clipT = s"(CASE WHEN bits = 8 THEN ${Multimodal.ClipThresh8}" +
+      s" ELSE ${Multimodal.ClipThresh16} END)"
+    val silT = s"(CASE WHEN bits = 8 THEN ${Multimodal.SilenceThresh8}" +
+      s" ELSE ${Multimodal.SilenceThresh16} END)"
+    def absCount(cmp: String) =
+      s"CAST(list_sum(list_transform(range(nfx * chx), i -> " +
+        s"CASE WHEN abs(${wavSampleV("i")}) $cmp THEN 1 ELSE 0 END)) AS BIGINT)"
+    "WITH " + wavPcmCtes + ",\n" +
+      s"""q AS (SELECT doc_id, ok, ch, bits, nf,
+       |    CASE WHEN ok THEN ${absCount(s">= $clipT")} END AS nc,
+       |    CASE WHEN ok THEN ${absCount(s"<= $silT")} END AS ns
+       |  FROM v2)
+       |SELECT doc_id,
+       |  CASE WHEN ok THEN 'wav' ELSE 'unknown' END AS format,
+       |  CASE WHEN ok THEN ch END AS channels,
+       |  CASE WHEN ok THEN bits END AS bits_per_sample,
+       |  CASE WHEN ok THEN nf * ch END AS n_samples,
+       |  nc AS n_clipped, ns AS n_silent,
+       |  CASE WHEN ok THEN round(nc / CAST(nf * ch AS DOUBLE), 6) END AS clip_ratio,
+       |  CASE WHEN ok THEN round(ns / CAST(nf * ch AS DOUBLE), 6) END AS silence_ratio,
+       |  CASE WHEN ok THEN
+       |    CASE WHEN nc * 10 >= nf * ch THEN 'clipped'
+       |         WHEN ns * 2 >= nf * ch THEN 'silent'
+       |         ELSE 'ok' END END AS verdict
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q195_image_ahash" -> q195_image_ahash,
+    "q196_audio_quality" -> q196_audio_quality,
     "q177_audio_fingerprint" -> q177_audio_fingerprint,
     "q97_image_meta" -> q97_image_meta,
     "q100_audio_meta" -> q100_audio_meta,
@@ -689,6 +864,8 @@ object Media {
     "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats)
 
   val oracle: Map[String, String] = Map(
+    "q195_image_ahash" -> q195_sql,
+    "q196_audio_quality" -> q196_sql,
     "q177_audio_fingerprint" -> q177_sql,
     "q97_image_meta" -> q97_sql,
     "q100_audio_meta" -> q100_sql,
