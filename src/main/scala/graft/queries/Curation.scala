@@ -1116,7 +1116,77 @@ object Curation {
          |        GROUP BY 1, 2),
          |""".stripMargin + pqRerankSql
 
+  // --------------------------------------------------------------- q199
+  // MMR diversity-aware selection (Carbonell & Goldstein 1998): greedy
+  // top-k where each round's pick maximizes quality minus
+  // lambda * max-SimHash-similarity to the already-selected set — the
+  // curation step that stops "take the k best docs" from returning k
+  // near-clones. Quality = distinct-token ratio (micro-units);
+  // similarity = 60-bit-SimHash bit overlap; the penalty is an integer
+  // div on non-negative operands, so the whole greedy trace is exact
+  // and the oracle replays all k rounds as unrolled CTEs. The
+  // corpus-sized work is ONE scoring pass + TakeOrderedAndProject to a
+  // 40-doc shortlist; the rounds run on the checkpointed shortlist.
+  val MmrK = 8
+  val MmrShortlist = 40
+  val MmrLambdaMicro = 500000L
+
+  val q199_mmr_select: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val t = split(trim(col("text")), "\\s+")
+    val scored = docs.select(col("doc_id"),
+        size(t).cast("long").as("n_tok"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        graft.dedup.Dedup.simhash64(col("text"),
+          graft.dedup.Dedup.md5Hash60).as("sig"))
+      .withColumn("q_micro", expr("(n_distinct * 1000000) div n_tok"))
+    val cands = scored
+      .orderBy(col("q_micro").desc, col("doc_id")).limit(MmrShortlist)
+    graft.operators.Mmr.select(cands, MmrK, MmrLambdaMicro)
+  }
+
+  val q199_sql: String = {
+    val bits = (0 until 60).map { i =>
+      s"(CASE WHEN 2*len(list_filter(hs, x -> ((x >> $i) & 1) = 1)) > len(hs) " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val steps = (2 to MmrK).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT * FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT $t AS sel_rank, doc_id, q_micro, sig, min_hamming, mmr_micro
+         |  FROM (
+         |    SELECT c.doc_id, c.q_micro, c.sig,
+         |      CAST(min(bit_count(xor(c.sig, s.sig))) AS BIGINT) AS min_hamming,
+         |      c.q_micro - ($MmrLambdaMicro
+         |        * (60 - CAST(min(bit_count(xor(c.sig, s.sig))) AS BIGINT))) // 60
+         |        AS mmr_micro
+         |    FROM c0 c JOIN s${t - 1} s ON true
+         |    WHERE c.doc_id NOT IN (SELECT doc_id FROM s${t - 1})
+         |    GROUP BY c.doc_id, c.q_micro, c.sig
+         |    ORDER BY mmr_micro DESC, c.doc_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST(len(list_distinct(tk)) * 1000000 AS BIGINT)
+       |      // CAST(len(tk) AS BIGINT) AS q_micro,
+       |    list_transform(tk,
+       |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+       |  FROM t0),
+       |sq AS (SELECT doc_id, q_micro, CAST($bits AS BIGINT) AS sig FROM h),
+       |c0 AS MATERIALIZED (SELECT doc_id, q_micro, sig FROM sq
+       |    ORDER BY q_micro DESC, doc_id LIMIT $MmrShortlist),
+       |s1 AS MATERIALIZED (SELECT 1 AS sel_rank, doc_id, q_micro, sig,
+       |    CAST(NULL AS BIGINT) AS min_hamming, q_micro AS mmr_micro
+       |  FROM c0 ORDER BY q_micro DESC, doc_id LIMIT 1),
+       |$steps
+       |SELECT sel_rank, doc_id, q_micro, min_hamming, mmr_micro
+       |FROM s$MmrK ORDER BY sel_rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q199_mmr_select" -> q199_mmr_select,
     "q188_rrf_fusion" -> q188_rrf_fusion,
     "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
@@ -1142,6 +1212,7 @@ object Curation {
     "q148_shuffle_shards" -> q148_shuffle_shards)
 
   val oracle: Map[String, String] = Map(
+    "q199_mmr_select" -> q199_sql,
     "q188_rrf_fusion" -> q188_sql,
     "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,

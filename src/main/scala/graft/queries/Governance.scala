@@ -187,7 +187,58 @@ object Governance {
        |FROM c JOIN a USING (g) ORDER BY g, phrase""".stripMargin
   }
 
+  // --------------------------------------------------------------- q198
+  // Unicode-normalization census: the canonicalization audit a
+  // multilingual corpus runs before ANY hash-keyed dedup — composed
+  // "é" and decomposed "e"+U+0301 are byte-different, hash-different,
+  // render-identical strings, so un-normalized text leaks duplicates
+  // straight through fingerprint dedup. The synthetic corpus is pure
+  // ASCII, so each doc gets a deterministic id-keyed suffix in one of
+  // four states (three decomposed accent sequences + one already-NFC
+  // control group); the census counts, per (source, variant), how many
+  // docs NFC actually rewrites and how many characters it saves.
+  // The normalizer itself is a native codegen'd expression
+  // (graft.expressions.UnicodeNormalize) with an isNormalized
+  // zero-allocation fast path — no UDF, fused into the scan.
+  private val nfcSuffix =
+    when(col("doc_id") % 4 === 0, lit(" cafe\u0301 menu"))
+      .when(col("doc_id") % 4 === 1, lit(" u\u0308ber alles"))
+      .when(col("doc_id") % 4 === 2, lit(" plain ascii"))
+      .otherwise(lit(" man\u0303ana plans"))
+
+  val q198_nfc_census: Q = (s, dir) => {
+    val dirty = concat(col("text"), nfcSuffix)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 4).as("variant"),
+        dirty.as("d"),
+        graft.expressions.UnicodeNormalize.nfc(dirty).as("n"))
+      .groupBy("source", "variant")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("d") =!= col("n"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("d"))).as("chars_before"),
+        sum(length(col("n"))).as("chars_after"))
+      .orderBy("source", "variant")
+  }
+
+  val q198_sql: String =
+    """WITH d AS (SELECT source, doc_id % 4 AS variant,
+      |    text || CASE doc_id % 4
+      |      WHEN 0 THEN ' cafe' || chr(769) || ' menu'
+      |      WHEN 1 THEN ' u' || chr(776) || 'ber alles'
+      |      WHEN 2 THEN ' plain ascii'
+      |      ELSE ' man' || chr(771) || 'ana plans' END AS dirty
+      |  FROM documents),
+      |n AS (SELECT source, variant, dirty, nfc_normalize(dirty) AS norm
+      |      FROM d)
+      |SELECT source, variant, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN dirty <> norm THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(sum(length(dirty)) AS BIGINT) AS chars_before,
+      |  CAST(sum(length(norm)) AS BIGINT) AS chars_after
+      |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q198_nfc_census" -> q198_nfc_census,
     "q193_blocklist" -> q193_blocklist,
     "q98_pii_redact" -> q98_pii_redact,
     "q99_mixture_budget" -> q99_mixture_budget,
@@ -195,6 +246,7 @@ object Governance {
     "q187_k_anonymity" -> q187_k_anonymity)
 
   val oracle: Map[String, String] = Map(
+    "q198_nfc_census" -> q198_sql,
     "q193_blocklist" -> q193_sql,
     "q98_pii_redact" -> q98_sql,
     "q99_mixture_budget" -> q99_sql,

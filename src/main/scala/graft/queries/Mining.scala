@@ -562,6 +562,73 @@ object Mining {
       |       ELSE c.supply > l.water_level END AS capped
       |FROM c CROSS JOIN lam l ORDER BY c.domain""".stripMargin
 
+  // --------------------------------------------------------------- q197
+  // DoReMi-style domain reweighting: one deterministic
+  // multiplicative-weights step over per-domain EXCESS LOSS — bits the
+  // corpus-wide generalist bigram LM pays over each domain's own
+  // specialist LM. Complements q121 (√-temperature) and q192
+  // (water-filling): those reshape by SIZE alone; this one funds
+  // domains by how much distributional mass the shared model is
+  // leaving on the table (the Group-DRO signal). All losses are
+  // micro-unit BIGINTs; the one exp() per domain re-pins to integers
+  // before the normalizing sum.
+  val DoremiEta = 1.0
+
+  val q197_doremi_weights: Q = (s, dir) =>
+    graft.text.LangModel.domainExcessWeights(
+      Tables.load(s, dir, "documents"),
+      col("doc_id"), col("text"), col("source"), DoremiEta)
+
+  val q197_sql: String =
+    s"""WITH a AS (SELECT doc_id, source AS domain,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |o AS (SELECT doc_id, domain, gram, split_part(gram, ' ', 1) AS w1 FROM (
+       |    SELECT doc_id, domain, UNNEST(list_transform(
+       |        generate_series(1, greatest(len(toks) - 1, 0)),
+       |        i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM a)),
+       |c12 AS (SELECT gram, w1, count(*) AS c12 FROM o GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM o GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT UNNEST(toks) AS tok FROM a)),
+       |lmg AS (SELECT gram, CAST(round(log2(
+       |      (CAST(c12 AS DOUBLE) + 0.5)
+       |      / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+       |    * 1000000.0, 0) AS BIGINT) AS lpg
+       |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+       |c12d AS (SELECT domain, gram, w1, count(*) AS c12 FROM o GROUP BY 1, 2, 3),
+       |c1d AS (SELECT domain, w1, count(*) AS c1 FROM o GROUP BY 1, 2),
+       |vd AS (SELECT domain, count(DISTINCT tok) AS v
+       |       FROM (SELECT domain, UNNEST(toks) AS tok FROM a) GROUP BY 1),
+       |lmd AS (SELECT domain, gram, CAST(round(log2(
+       |      (CAST(c12 AS DOUBLE) + 0.5)
+       |      / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+       |    * 1000000.0, 0) AS BIGINT) AS lpd
+       |  FROM c12d JOIN c1d USING (domain, w1) JOIN vd USING (domain)),
+       |pd AS (SELECT domain, doc_id, count(*) AS nb,
+       |         sum(lpg) AS sg, sum(lpd) AS sd
+       |       FROM o JOIN lmg USING (gram) JOIN lmd USING (domain, gram)
+       |       GROUP BY 1, 2),
+       |dm AS (SELECT domain, count(*) AS n_docs,
+       |         CAST(sum(nb) AS BIGINT) AS bigram_mass,
+       |         CAST(sum(sg) AS BIGINT) AS sgt, CAST(sum(sd) AS BIGINT) AS sdt
+       |       FROM pd GROUP BY 1),
+       |e AS (SELECT domain, n_docs, bigram_mass,
+       |        greatest(sdt - sgt, 0) // bigram_mass AS excess_micro FROM dm),
+       |t AS (SELECT CAST(sum(bigram_mass) AS BIGINT) AS mass_tot FROM e),
+       |w AS (SELECT domain, n_docs, bigram_mass, excess_micro,
+       |        CAST(bigram_mass AS DOUBLE) / CAST(mass_tot AS DOUBLE) AS base_share,
+       |        CAST(round(CAST(bigram_mass AS DOUBLE) / CAST(mass_tot AS DOUBLE)
+       |          * exp($DoremiEta * excess_micro / 1000000.0) * 1e12, 0)
+       |          AS BIGINT) AS wrm
+       |      FROM e CROSS JOIN t),
+       |wt AS (SELECT CAST(sum(wrm) AS BIGINT) AS w_tot FROM w)
+       |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, bigram_mass,
+       |  CAST(excess_micro AS BIGINT) AS excess_micro,
+       |  round(base_share, 6) AS base_share,
+       |  round(CAST(wrm AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS weight
+       |FROM w CROSS JOIN wt ORDER BY domain""".stripMargin
+
   // --------------------------------------------------------------- q126
   // Rolling count-anomaly census: per event-type hourly counts
   // z-scored against the trailing 24 observed hours (current hour
@@ -1253,6 +1320,7 @@ object Mining {
     "q185_component_split" -> q185_component_split,
     "q190_source_report_card" -> q190_source_report_card,
     "q192_waterfill_mixture" -> q192_waterfill_mixture,
+    "q197_doremi_weights" -> q197_doremi_weights,
     "q169_quality_canonical_full" -> q169_quality_canonical_full,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
@@ -1285,6 +1353,7 @@ object Mining {
     "q185_component_split" -> q185_sql,
     "q190_source_report_card" -> q190_sql,
     "q192_waterfill_mixture" -> q192_sql,
+    "q197_doremi_weights" -> q197_sql,
     "q169_quality_canonical_full" -> q169_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,

@@ -75,6 +75,81 @@ object LangModel {
           lit(MicroScale), 0).cast("long").as("lp_micro"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    * distilled to a deterministic one-step multiplicative-weights
+    * update over exact integer losses:
+    *
+    *   excess(d) = loss under the corpus-wide GENERALIST bigram LM
+    *             − loss under domain d's own SPECIALIST bigram LM
+    *             (clipped at 0, in micro-bits/bigram)
+    *   weight(d) ∝ base_share(d) · exp(η · excess(d))
+    *
+    * Domains the shared model underserves relative to an in-domain
+    * model carry distributional mass the mixture should fund — the
+    * Group-DRO upweighting step, with the domain-specialist LM
+    * standing in for DoReMi's proxy model.
+    *
+    * Determinism discipline: both LMs' log-probs are micro-unit
+    * BIGINTs (order-free sums); excess uses integer division on a
+    * non-negative numerator; the one exp() per DOMAIN is immediately
+    * re-pinned to a micro×10⁶ BIGINT before the normalizing sum, so
+    * no double summation order ever matters.
+    *
+    * 100 TB shape: both LMs are vocabulary-bounded map-side-combined
+    * aggregates; scoring joins the occurrence stream to the LM tables
+    * on (gram) / (domain, gram); everything after the per-doc
+    * aggregate is domains-sized. */
+  def domainExcessWeights(df: DataFrame, id: Column, text: Column,
+                          domain: Column, eta: Double = 1.0,
+                          addK: Double = 0.5): DataFrame = {
+    val docs = df.select(id.as("id"), domain.as("domain"), text.as("text"))
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val o = docs.select(col("id"), col("domain"), toks.as("toks"))
+      .select(col("id"), col("domain"), explode(
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("gram"))
+      .select(col("id"), col("domain"), col("gram"),
+        split(col("gram"), " ", 2).getItem(0).as("w1"))
+    val lmg = bigramLm(docs, col("id"), col("text"), addK)
+    val c12d = o.groupBy("domain", "gram", "w1").agg(count(lit(1)).as("c12"))
+    val c1d = o.groupBy("domain", "w1").agg(count(lit(1)).as("c1"))
+    val vd = docs.select(col("domain"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("domain").agg(countDistinct("tok").as("v"))
+    val lmd = c12d.join(c1d, Seq("domain", "w1")).join(vd, "domain")
+      .select(col("domain"), col("gram"),
+        round(log2((col("c12").cast("double") + lit(addK)) /
+            (col("c1").cast("double") + lit(addK) * col("v").cast("double"))) *
+          lit(MicroScale), 0).cast("long").as("lpd_micro"))
+    val perDoc = o.join(lmg, "gram").join(lmd, Seq("domain", "gram"))
+      .groupBy("domain", "id").agg(count(lit(1)).as("nb"),
+        sum("lp_micro").as("sg"), sum("lpd_micro").as("sd"))
+    val perDom = perDoc.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"), sum("nb").as("bigram_mass"),
+      sum("sg").as("sgt"), sum("sd").as("sdt"))
+      .withColumn("excess_micro",
+        expr("greatest(sdt - sgt, CAST(0 AS BIGINT)) div bigram_mass"))
+    val tot = perDom.agg(sum("bigram_mass").as("mass_tot"))
+    val w = perDom.crossJoin(broadcast(tot))
+      .withColumn("base_share",
+        col("bigram_mass").cast("double") / col("mass_tot").cast("double"))
+      .withColumn("wrm",
+        round(col("base_share") *
+          exp(lit(eta) * col("excess_micro").cast("double") / lit(MicroScale)) *
+          lit(1e12), 0).cast("long"))
+    val wtot = w.agg(sum("wrm").as("w_tot"))
+    w.crossJoin(broadcast(wtot))
+      .select(col("domain"), col("n_docs"), col("bigram_mass"),
+        col("excess_micro"),
+        round(col("base_share"), 6).as("base_share"),
+        round(col("wrm").cast("double") / col("w_tot").cast("double"), 6)
+          .as("weight"))
+      .orderBy("domain")
+  }
+
   /** Score every document of `df` under the LM trained on `corpus`
     * (pass `df` twice for self-scoring): (id, n_bigrams, bits_per_token),
     * ascending fluency — high bits = improbable text. Documents with

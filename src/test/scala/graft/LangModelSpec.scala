@@ -41,4 +41,30 @@ class LangModelSpec extends SparkSpec {
       .orderBy("gram").as[(String, Long)].collect()
     assert(lm === Array(("a b", -263034L), ("b a", -263034L)))
   }
+
+  test("domainExcessWeights: weights normalize; distinct domain upweights over its base share") {
+    // domain x: internally repetitive + unlike y/z -> its specialist LM
+    // beats the generalist by a wide margin (high excess). y and z share
+    // a distribution, so their specialists add little (low excess).
+    val docs = Seq(
+      (1L, "x", "red red red red red blue"),
+      (2L, "x", "red red red red blue red"),
+      (3L, "y", "one two three four five six"),
+      (4L, "y", "two three four five six one"),
+      (5L, "z", "three four five six one two"),
+      (6L, "z", "four five six one two three"))
+      .toDF("doc_id", "source", "text")
+    val w = graft.text.LangModel
+      .domainExcessWeights(docs, col("doc_id"), col("text"), col("source"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(w.map(_._1).toSeq == Seq("x", "y", "z"))
+    // every domain present, weights a distribution (within rounding)
+    assert(math.abs(w.map(_._6).sum - 1.0) < 1e-4)
+    val byDom = w.map(r => r._1 -> r).toMap
+    // x's excess strictly above y's and z's, and its weight grows
+    // relative to its base share; equal-mass y/z stay (near) symmetric
+    assert(byDom("x")._4 > byDom("y")._4 && byDom("x")._4 > byDom("z")._4)
+    assert(byDom("x")._6 > byDom("x")._5)
+    assert(math.abs(byDom("y")._6 - byDom("z")._6) < 1e-3)
+  }
 }
