@@ -411,7 +411,143 @@ object CorpusQueries {
       |  CAST(sum(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_batches
       |FROM b""".stripMargin
 
+  // --------------------------------------------------------------- q200
+  // Stupid-backoff trigram scoring (Brants et al. 2007): the web-scale
+  // n-gram scorer — count ratios with a fixed 0.4 multiplier per
+  // back-off level, no discounting. Trained on the EVEN half of the
+  // corpus and scored over ALL docs, so every back-off branch
+  // (trigram hit / bigram / unigram / OOV-dropped) is genuinely
+  // exercised at the gate; the per-doc branch census is the
+  // train-coverage diagnostic. The double-ulp trap: alpha² must be
+  // computed as double·double in BOTH engines (DuckDB's 0.4*0.4 would
+  // be exact DECIMAL 0.16 — a different double than 0.4d*0.4d).
+  val q200_stupid_backoff: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.text.LangModel.stupidBackoffBits(
+      docs, docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q200_sql: String = {
+    val A = "CAST(0.4 AS DOUBLE)"
+    s"""WITH a AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |o0 AS (SELECT doc_id, tk,
+       |    UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS i FROM a),
+       |occ AS (SELECT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g3,
+       |    tk[i] || ' ' || tk[i+1] AS gctx,
+       |    tk[i+1] || ' ' || tk[i+2] AS g23,
+       |    tk[i+1] AS w2, tk[i+2] AS w3
+       |  FROM o0),
+       |t3 AS (SELECT g3, count(*) AS c123 FROM occ
+       |       WHERE doc_id % 2 = 0 GROUP BY 1),
+       |ob AS (SELECT tk[i] || ' ' || tk[i+1] AS g2 FROM (
+       |    SELECT doc_id, tk,
+       |      UNNEST(generate_series(1, greatest(len(tk) - 1, 0))) AS i
+       |    FROM a WHERE doc_id % 2 = 0)),
+       |t2 AS (SELECT g2, count(*) AS c2 FROM ob GROUP BY 1),
+       |ou AS (SELECT UNNEST(tk) AS tok FROM a WHERE doc_id % 2 = 0),
+       |t1 AS (SELECT tok, count(*) AS c1 FROM ou GROUP BY 1),
+       |nt AS (SELECT count(*) AS n_tot FROM ou),
+       |ty AS (SELECT DISTINCT g3, gctx, g23, w2, w3 FROM occ),
+       |sc AS MATERIALIZED (SELECT ty.g3,
+       |    CASE WHEN t3.c123 IS NOT NULL THEN 0
+       |         WHEN b23.c2 IS NOT NULL THEN 1
+       |         WHEN u3.c1 IS NOT NULL THEN 2 ELSE 3 END AS branch,
+       |    CAST(round(log2(CASE
+       |        WHEN t3.c123 IS NOT NULL
+       |          THEN CAST(t3.c123 AS DOUBLE) / CAST(ctx.c2 AS DOUBLE)
+       |        WHEN b23.c2 IS NOT NULL
+       |          THEN $A * CAST(b23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+       |        WHEN u3.c1 IS NOT NULL
+       |          THEN $A * $A * CAST(u3.c1 AS DOUBLE)
+       |               / CAST(nt.n_tot AS DOUBLE)
+       |        END) * 1000000.0, 0) AS BIGINT) AS lp_micro
+       |  FROM ty LEFT JOIN t3 USING (g3)
+       |    LEFT JOIN t2 ctx ON ctx.g2 = ty.gctx
+       |    LEFT JOIN t2 b23 ON b23.g2 = ty.g23
+       |    LEFT JOIN t1 u2 ON u2.tok = ty.w2
+       |    LEFT JOIN t1 u3 ON u3.tok = ty.w3
+       |    CROSS JOIN nt)
+       |SELECT o.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(CASE WHEN branch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+       |  CAST(sum(CASE WHEN branch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+       |  CAST(sum(CASE WHEN branch = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+       |  CAST(sum(CASE WHEN branch = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CASE WHEN count(*) > sum(CASE WHEN branch = 3 THEN 1 ELSE 0 END) THEN
+       |    round(-CAST(sum(CASE WHEN branch <> 3 THEN lp_micro END) AS DOUBLE)
+       |      / (CAST(count(*) - sum(CASE WHEN branch = 3 THEN 1 ELSE 0 END)
+       |              AS DOUBLE) * 1000000.0), 6) END AS bits_per_token
+       |FROM occ o JOIN sc USING (g3)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q202
+  // Padding-waste audit for length-bucketed batching: fixed B-doc
+  // batches padded to the batch max — the SFT/dataloader shape (the
+  // fixed-COUNT complement of q164's fixed-TOKEN-budget packing).
+  // Compares arrival-order batching against length-sorted batching in
+  // one output: the waste delta IS the business case for the sort.
+  // Both rankings come from the range-bucketed distributed running
+  // total (rank = running sum of 1) — no single-partition window; the
+  // waste ratio is an exact integer div.
+  val PadBatchDocs = 16
+
+  val q202_padding_waste: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      graft.operators.Operators.withRunningTotal(d, lit(1L), order)
+        .withColumn("batch_id",
+          ((col("__run") - 1) / PadBatchDocs).cast("long"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
+          max("n_tok").as("mx"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("tok").as("total_tokens"),
+          sum(col("mx") * col("n_docs")).as("padded_slots"),
+          sum(col("mx") * col("n_docs") - col("tok")).as("waste_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_slots"), col("waste_tokens"))
+        .withColumn("waste_micro",
+          expr("waste_tokens * 1000000 div padded_slots"))
+    strategy("arrival", Seq(col("doc_id")))
+      .unionByName(strategy("length_sorted", Seq(col("n_tok"), col("doc_id"))))
+      .orderBy("strategy")
+  }
+
+  val q202_sql: String = {
+    val B = PadBatchDocs
+    def leg(name: String, order: String) =
+      s"""SELECT '$name' AS strategy,
+         |  CAST(count(*) AS BIGINT) AS n_batches,
+         |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(mx * nd) AS BIGINT) AS padded_slots,
+         |  CAST(sum(mx * nd - tok) AS BIGINT) AS waste_tokens,
+         |  CAST(sum(mx * nd - tok) AS BIGINT) * 1000000
+         |    // CAST(sum(mx * nd) AS BIGINT) AS waste_micro
+         |FROM (SELECT b, count(*) AS nd, sum(n) AS tok, max(n) AS mx
+         |      FROM (SELECT n, (row_number() OVER (ORDER BY $order) - 1) // $B AS b
+         |            FROM t) GROUP BY 1)""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+       |  FROM documents)
+       |${leg("arrival", "doc_id")}
+       |UNION ALL
+       |${leg("length_sorted", "n, doc_id")}
+       |ORDER BY strategy""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q202_padding_waste" -> q202_padding_waste,
+    "q200_stupid_backoff" -> q200_stupid_backoff,
     "q45_vocab" -> q45_vocab,
     "q46_bigrams" -> q46_bigrams,
     "q47_tfidf" -> q47_tfidf,
@@ -427,6 +563,8 @@ object CorpusQueries {
     "q164_packing_efficiency" -> q164_packing_efficiency)
 
   val oracle: Map[String, String] = Map(
+    "q202_padding_waste" -> q202_sql,
+    "q200_stupid_backoff" -> q200_sql,
     "q45_vocab" -> q45_sql,
     "q46_bigrams" -> q46_sql,
     "q47_tfidf" -> q47_sql,

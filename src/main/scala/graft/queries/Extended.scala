@@ -988,7 +988,48 @@ object Extended {
       |  CAST(min(v) AS DOUBLE) AS min_val, CAST(max(v) AS DOUBLE) AS max_val
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q201
+  // Incremental rollup maintenance (materialized-view merge): the
+  // daily-aggregate table is maintained by merging the stored rollup
+  // with the new batch's partial rollup — count/sum/min/max all merge
+  // by re-aggregation, so history is NEVER rescanned. The oracle
+  // recomputes the rollup from ALL events in one shot; hash equality
+  // proves merge ≡ recompute — the algebraic property that makes the
+  // 100 TB deployment O(batch), not O(history), per ingest. (The same
+  // discipline ships for sketches: the q43/q147 HLL and count-min
+  // rollups merge the same way.) Values micronize to BIGINT before any
+  // sum, so the merged aggregate is order-free exact.
+  val q201_rollup_merge: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        (col("event_id") % 13 === 0).as("is_delta"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+    def partial(df: DataFrame) = df.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("vm").as("s"),
+        min("vm").as("mn"), max("vm").as("mx"))
+    val stored = partial(ev.filter(!col("is_delta"))) // the maintained table
+    val batch = partial(ev.filter(col("is_delta")))   // the new ingest
+    stored.unionByName(batch)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n_events"), sum("s").as("sum_value_micro"),
+        min("mn").as("min_value_micro"), max("mx").as("max_value_micro"))
+      .orderBy("event_type", "day")
+  }
+
+  val q201_sql: String =
+    """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_micro,
+      |  CAST(min(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS min_value_micro,
+      |  CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS max_value_micro
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q201_rollup_merge" -> q201_rollup_merge,
     "q158_key_skew" -> q158_key_skew,
     "q170_skew_aware_join" -> q170_skew_aware_join,
     "q165_equidepth_hist" -> q165_equidepth_hist,
@@ -1027,6 +1068,7 @@ object Extended {
     "q67_json_extract" -> q67_json_extract)
 
   val oracle: Map[String, String] = Map(
+    "q201_rollup_merge" -> q201_sql,
     "q158_key_skew" -> q158_sql,
     "q170_skew_aware_join" -> q170_sql,
     "q165_equidepth_hist" -> q165_sql,

@@ -75,6 +75,107 @@ object LangModel {
           lit(MicroScale), 0).cast("long").as("lp_micro"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — THE web-scale n-gram
+    * scorer: no discounting, no normalization, just relative
+    * frequencies with a fixed 0.4 back-off multiplier per level:
+    *
+    *   S(w₃|w₁w₂) = f(w₁w₂w₃)/f(w₁w₂)         if the trigram was seen
+    *              = 0.4 · f(w₂w₃)/f(w₂)        else if the bigram was
+    *              = 0.4² · f(w₃)/N             else if the unigram was
+    *              = (occurrence dropped)        else (OOV, counted)
+    *
+    * Scores are NOT probabilities (they don't sum to 1) — which is
+    * exactly why the method scales: every level is a pure count
+    * ratio, so the "training" is three map-side-combined groupBys and
+    * scoring is occurrence-stream joins against vocabulary-bounded
+    * tables. Per-type log₂ scores are micronized to BIGINT before the
+    * per-document sum (the q146 determinism discipline); the per-doc
+    * back-off census (direct/bigram/unigram/dropped) is the
+    * train-coverage diagnostic.
+    *
+    * Returns one row per document of `df` with ≥1 trigram:
+    * (id, n_trigrams, n_direct, n_bo2, n_bo1, n_dropped,
+    * bits_per_token — null when every occurrence dropped). */
+  def stupidBackoffBits(df: DataFrame, corpus: DataFrame, id: Column,
+                        text: Column, alpha: Double = 0.4): DataFrame = {
+    def toks(t: Column) = split(lower(trim(t)), "\\s+")
+    def grams(src: DataFrame, i: Column, t: Column): DataFrame = {
+      src.select(i.as("id"), toks(t).as("tk"))
+        .select(col("id"), explode(
+          transform(sequence(lit(1), greatest(size(col("tk")) - 2, lit(0))), j =>
+            struct(
+              concat_ws(" ", element_at(col("tk"), j),
+                element_at(col("tk"), j + 1),
+                element_at(col("tk"), j + 2)).as("g3"),
+              concat_ws(" ", element_at(col("tk"), j),
+                element_at(col("tk"), j + 1)).as("gctx"),
+              concat_ws(" ", element_at(col("tk"), j + 1),
+                element_at(col("tk"), j + 2)).as("g23"),
+              element_at(col("tk"), j + 1).as("w2"),
+              element_at(col("tk"), j + 2).as("w3")))).as("g"))
+        .select(col("id"), col("g.g3").as("g3"), col("g.gctx").as("gctx"),
+          col("g.g23").as("g23"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    }
+    val train = corpus.select(id.as("id"), text.as("text"))
+    val t3 = grams(train, col("id"), col("text"))
+      .groupBy("g3").agg(count(lit(1)).as("c123"))
+    val t2 = train.select(toks(col("text")).as("tk"))
+      .select(explode(
+        zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2"))
+    val t1 = train.select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val nTot = train.select(explode(toks(col("text"))).as("tok"))
+      .agg(count(lit(1)).as("n_tot"))
+    val occ = grams(df.select(id.as("id"), text.as("text")),
+      col("id"), col("text"))
+    // one score row per trigram TYPE appearing in the scoring stream
+    val types = occ.select("g3", "gctx", "g23", "w2", "w3").distinct()
+      .join(t3, Seq("g3"), "left")
+      .join(t2.select(col("g2").as("gctx"), col("c2").as("cctx")),
+        Seq("gctx"), "left")
+      .join(t2.select(col("g2").as("g23"), col("c2").as("c23")),
+        Seq("g23"), "left")
+      .join(t1.select(col("tok").as("w2"), col("c1").as("cw2")),
+        Seq("w2"), "left")
+      .join(t1.select(col("tok").as("w3"), col("c1").as("cw3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    val s =
+      when(col("c123").isNotNull,
+        col("c123").cast("double") / col("cctx").cast("double"))
+        .when(col("c23").isNotNull,
+          lit(alpha) * col("c23").cast("double") / col("cw2").cast("double"))
+        .when(col("cw3").isNotNull,
+          lit(alpha * alpha) * col("cw3").cast("double") /
+            col("n_tot").cast("double"))
+    val branch =
+      when(col("c123").isNotNull, lit(0))
+        .when(col("c23").isNotNull, lit(1))
+        .when(col("cw3").isNotNull, lit(2))
+        .otherwise(lit(3))
+    val scored = types.select(col("g3"), branch.as("branch"),
+      round(log2(s) * lit(MicroScale), 0).cast("long").as("lp_micro"))
+    occ.join(scored, "g3")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("branch") === 0, 1L).otherwise(0L)).as("n_direct"),
+        sum(when(col("branch") === 1, 1L).otherwise(0L)).as("n_bo2"),
+        sum(when(col("branch") === 2, 1L).otherwise(0L)).as("n_bo1"),
+        sum(when(col("branch") === 3, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("branch") =!= 3, col("lp_micro"))).as("__s"))
+      .select(col("id"), col("n_trigrams"), col("n_direct"), col("n_bo2"),
+        col("n_bo1"), col("n_dropped"),
+        when(col("n_trigrams") > col("n_dropped"),
+          round(-col("__s").cast("double") /
+            ((col("n_trigrams") - col("n_dropped")).cast("double") *
+              lit(MicroScale)), 6)).as("bits_per_token"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
     * distilled to a deterministic one-step multiplicative-weights

@@ -42,6 +42,33 @@ class LangModelSpec extends SparkSpec {
     assert(lm === Array(("a b", -263034L), ("b a", -263034L)))
   }
 
+  test("stupidBackoffBits: every back-off branch hand-checked") {
+    // train: trigrams {a b c: 2, b c a: 1, c a b: 1}; bigrams
+    // {a b: 2, b c: 2, c a: 1}; unigrams {a: 2, b: 2, c: 2}, N = 6
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d"), // "a b c" direct (2/2 -> lp 0); "b c d" dropped
+      (2L, "b c a b"), // direct 1/2 (lp -1e6) + direct 1/1 (lp 0)
+      (3L, "a a b"),   // trigram miss, bigram "a b" hit: 0.4*2/2 = 0.4
+      (4L, "a c b"))   // trigram+bigram miss, unigram b: 0.4^2 * 2/6
+      .toDF("doc_id", "text")
+    val got = graft.text.LangModel
+      .stupidBackoffBits(score, train, col("doc_id"), col("text"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // (n_trigrams, n_direct, n_bo2, n_bo1, n_dropped)
+    assert(got.map(r => (r._2, r._3, r._4, r._5, r._6)).toSeq == Seq(
+      (2L, 1L, 0L, 0L, 1L), (2L, 2L, 0L, 0L, 0L),
+      (1L, 0L, 1L, 0L, 0L), (1L, 0L, 0L, 1L, 0L)))
+    assert(got(0)._7 == 0.0) // the one scored trigram has S = 1
+    assert(got(1)._7 == 0.5) // mean of (1, -1e6) micro-bits
+    assert(got(2)._7 == 1.321928) // -log2(0.4)
+    val expU = -math.round(math.log(0.4 * 0.4 * 2.0 / 6.0) /
+      math.log(2.0) * 1e6) / 1e6
+    assert(math.abs(got(3)._7 - expU) < 1e-6)
+  }
+
   test("domainExcessWeights: weights normalize; distinct domain upweights over its base share") {
     // domain x: internally repetitive + unlike y/z -> its specialist LM
     // beats the generalist by a wide margin (high excess). y and z share
