@@ -120,6 +120,19 @@ object GraftExtensions {
           literalStringSet("token_set_count.dict", args(1)),
           literalBoolean("token_set_count.lowercase", args(2)))
       }),
+    (FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(str, form) - Unicode normalization (NFC/NFD/NFKC/NFKD), isNormalized fast path"),
+      (args: Seq[Expression]) => {
+        requireArgs("unicode_normalize", 2, args)
+        val form = args(1) match {
+          case l: Literal if l.dataType == StringType =>
+            l.eval().asInstanceOf[UTF8String].toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize.form: expected a literal string, got ${other.sql}")
+        }
+        UnicodeNormalize(args(0), form)
+      }),
     // the media header parsers are Column-composed expression trees
     // (substr/conv/aggregate-fold over BinaryType), not native kernels;
     // the builder splices the same tree the DataFrame API would build

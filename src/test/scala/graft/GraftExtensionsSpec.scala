@@ -43,6 +43,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("unicode_normalize from SQL: NFC composes, bad form rejected") {
+    val r = spark.sql(
+      "SELECT unicode_normalize('café', 'NFC') AS c," +
+        " length(unicode_normalize('café', 'NFC')) AS n").head()
+    assert(r.getString(0) == "caf\u00e9" && r.getInt(1) == 4)
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'BOGUS')").head()
+    }
+  }
+
   test("media header parsers from SQL match the Column API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -322,6 +322,54 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dedup_stream")
   }
 
+  test("streaming MinHash-LSH near-dup: in-horizon near-clones pair, unrelated text never does") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat watches from the warm windowsill nearby"
+    val pairs = graft.streaming.StreamNearDup.candidatePairs(
+      mem.toDF().toDF("ts", "doc_id", "text"),
+      "doc_id", "ts", "text", delay = "2 minutes", horizon = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("near_dup_stream")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // doc 2 is doc 1 with one word changed (near-clone, in horizon);
+    // doc 3 is unrelated text; doc 4 pushes the watermark forward so
+    // the join emits (append mode waits for watermark past ts+horizon)
+    mem.addData(
+      (t(0), 1L, base),
+      (t(3), 2L, base.replace("warm", "cold")),
+      (t(4), 3L, "completely different words about spark query engines " +
+        "and distributed columnar execution at scale"))
+    q.processAllAvailable()
+    mem.addData((t(40), 4L, "watermark pusher")) // 10:40 → wm 10:38
+    q.processAllAvailable()
+    val got = spark.table("near_dup_stream")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L))) // the near-clone pair, >= 1 shared band
+    assert(got.forall { case (x, y) => Set(x, y).subsetOf(Set(1L, 2L)) },
+      s"unrelated doc paired: $got") // doc 3 shares no band with anyone
+    // batch-path agreement: the same constants find the same pair
+    val batch = graft.dedup.Dedup.minhashCandidates(
+      spark.createDataFrame(Seq(
+        (1L, base), (2L, base.replace("warm", "cold")))).toDF("id", "text"),
+      col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 2L)))
+    // state actually evicts: the time-range bound gives the join a
+    // state-value watermark (the id-ordering conjunct must NOT break
+    // its extraction, or band-key state would grow with the stream)
+    mem.addData((t(55), 5L, "another watermark pusher"))
+    q.processAllAvailable()
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "stream-stream join state was never cleaned up")
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS near_dup_stream")
+  }
+
   test("streaming session windows (event-time gap sessionization)") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
