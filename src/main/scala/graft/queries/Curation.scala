@@ -1116,6 +1116,83 @@ object Curation {
          |        GROUP BY 1, 2),
          |""".stripMargin + pqRerankSql
 
+  // --------------------------------------------------------------- q204
+  // Chat-transcript validation census (the SFT-data structural gate):
+  // parse "role: content | ..." transcripts, check starts-with-user /
+  // strict-alternation / ends-with-assistant / known-roles / no-empty-
+  // turns, and account the assistant-token fraction — the share of
+  // tokens that receive loss under completion-only masking. The
+  // corpus has no conversations, so each doc renders into one of four
+  // deterministic shapes (two well-formed, a role-repeat, and an
+  // assistant-first) — every validator branch fires at the gate.
+  val q204_chat_census: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val tk = split(trim(col("text")), "\\s+")
+    def chunk(i: Int) = array_join(slice(tk, 3 * i + 1, 3), " ")
+    val tr = when(col("doc_id") % 4 === 0,
+      concat(lit("user: "), chunk(0), lit(" | assistant: "), chunk(1)))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("user: "), chunk(0), lit(" | assistant: "), chunk(1),
+          lit(" | user: "), chunk(2), lit(" | assistant: "), chunk(3)))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("user: "), chunk(0), lit(" | user: "), chunk(1),
+          lit(" | assistant: "), chunk(2)))
+      .otherwise(
+        concat(lit("assistant: "), chunk(0), lit(" | user: "), chunk(1)))
+    graft.text.Chat
+      .turnCensus(docs.select(col("doc_id"), tr.as("tr")),
+        col("doc_id"), col("tr"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q204_sql: String =
+    """WITH t0 AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      |c AS (SELECT doc_id,
+      |    array_to_string(list_slice(tk, 1, 3), ' ') AS c0,
+      |    array_to_string(list_slice(tk, 4, 6), ' ') AS c1,
+      |    array_to_string(list_slice(tk, 7, 9), ' ') AS c2,
+      |    array_to_string(list_slice(tk, 10, 12), ' ') AS c3
+      |  FROM t0),
+      |tr AS (SELECT doc_id, CASE doc_id % 4
+      |    WHEN 0 THEN 'user: ' || c0 || ' | assistant: ' || c1
+      |    WHEN 1 THEN 'user: ' || c0 || ' | assistant: ' || c1
+      |                || ' | user: ' || c2 || ' | assistant: ' || c3
+      |    WHEN 2 THEN 'user: ' || c0 || ' | user: ' || c1
+      |                || ' | assistant: ' || c2
+      |    ELSE 'assistant: ' || c0 || ' | user: ' || c1 END AS t FROM c),
+      |p AS (SELECT doc_id,
+      |    list_transform(string_split(t, ' | '),
+      |      s -> split_part(s, ': ', 1)) AS r,
+      |    list_transform(string_split(t, ' | '),
+      |      s -> split_part(s, ': ', 2)) AS cc
+      |  FROM tr),
+      |f AS (SELECT doc_id,
+      |    CAST(len(r) AS BIGINT) AS n_turns,
+      |    r[1] = 'user' AS starts_user,
+      |    len(list_filter(r, x -> x NOT IN ('user', 'assistant'))) = 0
+      |      AS roles_ok,
+      |    len(list_filter(generate_series(1, len(r) - 1),
+      |      i -> r[i] = r[i + 1])) = 0 AS alternates,
+      |    r[len(r)] = 'assistant' AS ends_assistant,
+      |    len(list_filter(cc, x -> length(x) = 0)) = 0 AS contents_ok,
+      |    CAST(list_sum(list_transform(generate_series(1, len(r)),
+      |      i -> CASE WHEN r[i] = 'assistant'
+      |                THEN len(regexp_split_to_array(cc[i], '\s+'))
+      |                ELSE 0 END)) AS BIGINT) AS n_assistant_tokens,
+      |    CAST(list_sum(list_transform(cc,
+      |      x -> len(regexp_split_to_array(x, '\s+')))) AS BIGINT)
+      |      AS n_total_tokens
+      |  FROM p)
+      |SELECT doc_id, n_turns, starts_user, roles_ok, alternates,
+      |  ends_assistant, contents_ok, n_assistant_tokens, n_total_tokens,
+      |  n_assistant_tokens * 1000000 // greatest(n_total_tokens, 1)
+      |    AS assistant_frac_micro,
+      |  n_turns >= 2 AND starts_user AND roles_ok AND alternates
+      |    AND ends_assistant AND contents_ok AS valid
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q199
   // MMR diversity-aware selection (Carbonell & Goldstein 1998): greedy
   // top-k where each round's pick maximizes quality minus
@@ -1187,6 +1264,7 @@ object Curation {
 
   val all: Map[String, Q] = Map(
     "q199_mmr_select" -> q199_mmr_select,
+    "q204_chat_census" -> q204_chat_census,
     "q188_rrf_fusion" -> q188_rrf_fusion,
     "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
@@ -1213,6 +1291,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q199_mmr_select" -> q199_sql,
+    "q204_chat_census" -> q204_sql,
     "q188_rrf_fusion" -> q188_sql,
     "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,

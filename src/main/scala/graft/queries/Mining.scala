@@ -388,9 +388,12 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val q185_sql: String = {
-    // q81's 8 unrolled min-label rounds over the uncapped q92 pairs
-    // (AS MATERIALIZED: each step reads the previous level twice)
+  /** Shared CTE chain ending in `r` = (doc_id, component): q81's 8
+    * unrolled min-label rounds over the uncapped q92 pairs, every doc
+    * labeled (singletons get their own id). AS MATERIALIZED: each step
+    * reads the previous level twice. q185 buckets it into splits; q203
+    * weights docs by component size. */
+  private def componentCtes: String = {
     val steps = (1 to 8).map { k =>
       s"""l$k AS MATERIALIZED (SELECT n.id, least(n.l, coalesce(min(lu.l), n.l)) AS l
          |  FROM l${k - 1} n
@@ -398,15 +401,19 @@ object Mining {
          |  LEFT JOIN l${k - 1} lu ON lu.id = a.u
          |  GROUP BY n.id, n.l)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS MATERIALIZED (${TextSim.q92_sql}),
+    s"""pairs AS MATERIALIZED (${TextSim.q92_sql}),
        |adj AS MATERIALIZED (SELECT id_a AS v, id_b AS u FROM pairs
        |        UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS l FROM adj),
        |$steps,
        |comp AS (SELECT id, l AS component FROM l8),
        |r AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-       |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-       |b AS (SELECT doc_id, component,
+       |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)""".stripMargin
+  }
+
+  val q185_sql: String =
+    "WITH " + componentCtes + ",\n" +
+      s"""b AS (SELECT doc_id, component,
        |        CAST('0x' || substr(md5(concat_ws('|', component, '42')), 1, 8)
        |          AS BIGINT) % 1000000 AS bucket
        |      FROM r)
@@ -415,7 +422,39 @@ object Mining {
        |  CASE WHEN bucket < ${(SplitHoldoutFrac * 1000000).toLong}
        |       THEN 'holdout' ELSE 'train' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q203
+  // Duplicate-aware loss weighting: every document's sampling/loss
+  // weight is 1/|its duplicate component| — the corrective that makes
+  // a corpus with duplicates train as if deduplicated WITHOUT dropping
+  // any copy (the soft alternative to canonical-keep: repeated content
+  // contributes one document's worth of gradient, spread across its
+  // copies). Same uncapped banding + 8-round propagation as q185;
+  // weights are exact integer micro-units (1e6 div size), so Σweight
+  // over a component is ~1e6 and the corpus' effective size replays
+  // exactly.
+  val q203_dedup_weights: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs, col("doc_id"),
+      col("text"), shingleHasher = graft.dedup.Dedup.shingleHashes32Md5)
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, iters = 8)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight_micro",
+        expr("CAST(1000000 AS BIGINT) div cluster_size"))
+      .orderBy("doc_id")
   }
+
+  val q203_sql: String =
+    "WITH " + componentCtes + "\n" +
+      """SELECT doc_id, component,
+      |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+      |  1000000 // CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+      |    AS weight_micro
+      |FROM r ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q190
   // Per-source dataset report card — the "datasheet" table a corpus
@@ -628,6 +667,72 @@ object Mining {
        |  round(base_share, 6) AS base_share,
        |  round(CAST(wrm AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS weight
        |FROM w CROSS JOIN wt ORDER BY domain""".stripMargin
+
+  // --------------------------------------------------------------- q205
+  // Preference-pair mining from duplicate clusters: within every
+  // near-dup component, the best-quality member becomes `chosen` and
+  // the worst becomes `rejected` — near-duplicate content is the
+  // closest thing a raw corpus has to "same prompt, different
+  // quality", which is exactly the contrast a DPO/reward-model pair
+  // needs. Quality = distinct-token ratio in micro-units (the q199
+  // signal); ties resolve on doc id (min for chosen, max for
+  // rejected), so equal-quality clusters still emit a deterministic
+  // pair with margin 0 for the consumer to threshold. Components come
+  // from the same uncapped banding + 8-round propagation as
+  // q185/q203; everything after the component join is window-per-
+  // component, bounded by cluster size.
+  val q205_preference_pairs: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs, col("doc_id"),
+      col("text"), shingleHasher = graft.dedup.Dedup.shingleHashes32Md5)
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, iters = 8)
+    val tk = split(trim(col("text")), "\\s+")
+    val m = docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_tok"),
+      size(array_distinct(tk)).cast("long").as("n_distinct"))
+      .withColumn("q_micro", expr("(n_distinct * 1000000) div n_tok"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+    val byComp = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+    val best = m.withColumn("rn", row_number().over(
+      byComp.orderBy(col("q_micro").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("chosen_id"),
+        col("q_micro").as("chosen_q"))
+    val worst = m.withColumn("rn", row_number().over(
+      byComp.orderBy(col("q_micro").asc, col("doc_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("rejected_id"),
+        col("q_micro").as("rejected_q"))
+    best.join(worst, "component")
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("component"), col("chosen_id"), col("rejected_id"),
+        col("chosen_q"), col("rejected_q"),
+        (col("chosen_q") - col("rejected_q")).as("margin_micro"))
+      .orderBy("component")
+  }
+
+  val q205_sql: String =
+    "WITH " + componentCtes + ",\n" +
+      """q AS (SELECT doc_id,
+      |    (CAST(len(list_distinct(tk)) AS BIGINT) * 1000000)
+      |      // CAST(len(tk) AS BIGINT) AS q_micro
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |        FROM documents)),
+      |m AS (SELECT c.id AS doc_id, c.component, q.q_micro
+      |      FROM comp c JOIN q ON q.doc_id = c.id),
+      |b AS (SELECT component, doc_id AS chosen_id, q_micro AS chosen_q,
+      |        row_number() OVER (PARTITION BY component
+      |          ORDER BY q_micro DESC, doc_id ASC) AS rn FROM m),
+      |w AS (SELECT component, doc_id AS rejected_id, q_micro AS rejected_q,
+      |        row_number() OVER (PARTITION BY component
+      |          ORDER BY q_micro ASC, doc_id DESC) AS rn FROM m)
+      |SELECT b.component, b.chosen_id, w.rejected_id,
+      |  b.chosen_q, w.rejected_q,
+      |  b.chosen_q - w.rejected_q AS margin_micro
+      |FROM b JOIN w ON b.component = w.component AND b.rn = 1 AND w.rn = 1
+      |WHERE b.chosen_id <> w.rejected_id
+      |ORDER BY b.component""".stripMargin
 
   // --------------------------------------------------------------- q126
   // Rolling count-anomaly census: per event-type hourly counts
@@ -1321,6 +1426,8 @@ object Mining {
     "q190_source_report_card" -> q190_source_report_card,
     "q192_waterfill_mixture" -> q192_waterfill_mixture,
     "q197_doremi_weights" -> q197_doremi_weights,
+    "q203_dedup_weights" -> q203_dedup_weights,
+    "q205_preference_pairs" -> q205_preference_pairs,
     "q169_quality_canonical_full" -> q169_quality_canonical_full,
     "q126_count_anomalies" -> q126_count_anomalies,
     "q127_pmi_collocations" -> q127_pmi_collocations,
@@ -1354,6 +1461,8 @@ object Mining {
     "q190_source_report_card" -> q190_sql,
     "q192_waterfill_mixture" -> q192_sql,
     "q197_doremi_weights" -> q197_sql,
+    "q203_dedup_weights" -> q203_sql,
+    "q205_preference_pairs" -> q205_sql,
     "q169_quality_canonical_full" -> q169_sql,
     "q126_count_anomalies" -> q126_sql,
     "q127_pmi_collocations" -> q127_sql,

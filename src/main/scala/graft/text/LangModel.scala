@@ -214,17 +214,29 @@ object LangModel {
           (a, b) => concat_ws(" ", a, b))).as("gram"))
       .select(col("id"), col("domain"), col("gram"),
         split(col("gram"), " ", 2).getItem(0).as("w1"))
-    val lmg = bigramLm(docs, col("id"), col("text"), addK)
+    def lpMicro(c12: Column, c1: Column, v: Column): Column =
+      round(log2((c12.cast("double") + lit(addK)) /
+          (c1.cast("double") + lit(addK) * v.cast("double"))) *
+        lit(MicroScale), 0).cast("long")
+    // the GENERALIST counts are the domain counts re-aggregated — the
+    // corpus is scanned/exploded exactly once for each of the bigram
+    // and token streams, and both LMs fall out of the same partials
+    // (distinct-token V does not sum across domains, so it gets its
+    // own aggregate over the shared token stream)
     val c12d = o.groupBy("domain", "gram", "w1").agg(count(lit(1)).as("c12"))
     val c1d = o.groupBy("domain", "w1").agg(count(lit(1)).as("c1"))
-    val vd = docs.select(col("domain"),
+    val tokStream = docs.select(col("domain"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .groupBy("domain").agg(countDistinct("tok").as("v"))
+    val vd = tokStream.groupBy("domain").agg(countDistinct("tok").as("v"))
+    val vg = tokStream.agg(countDistinct("tok").as("v"))
+    val c12g = c12d.groupBy("gram", "w1").agg(sum("c12").as("c12"))
+    val c1g = c1d.groupBy("w1").agg(sum("c1").as("c1"))
+    val lmg = c12g.join(c1g, "w1").crossJoin(broadcast(vg))
+      .select(col("gram"),
+        lpMicro(col("c12"), col("c1"), col("v")).as("lp_micro"))
     val lmd = c12d.join(c1d, Seq("domain", "w1")).join(vd, "domain")
       .select(col("domain"), col("gram"),
-        round(log2((col("c12").cast("double") + lit(addK)) /
-            (col("c1").cast("double") + lit(addK) * col("v").cast("double"))) *
-          lit(MicroScale), 0).cast("long").as("lpd_micro"))
+        lpMicro(col("c12"), col("c1"), col("v")).as("lpd_micro"))
     val perDoc = o.join(lmg, "gram").join(lmd, Seq("domain", "gram"))
       .groupBy("domain", "id").agg(count(lit(1)).as("nb"),
         sum("lp_micro").as("sg"), sum("lpd_micro").as("sd"))
