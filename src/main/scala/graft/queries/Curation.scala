@@ -588,17 +588,21 @@ object Curation {
     * the IVF chain (whose names it would otherwise shadow): expects a
     * CTE `m(vec_id, mv)` and ends at `pcf` (codebook) and `pwf`
     * (per-(vec, sub) codes). */
-  private[queries] def pqTrainCtes: String = {
+  private[queries] def pqTrainCtes: String = pqTrainCtesOn("m")
+
+  /** [[pqTrainCtes]] with the training-input CTE name as a parameter —
+    * q206 trains the very same chain over the residual table `rm`. */
+  private[queries] def pqTrainCtesOn(tbl: String): String = {
     val sd = PqDim / PqM
     def lloyd(k: Int, prev: String) =
       s"""pa$k AS (SELECT e.vec_id, c.sub, c.code,
          |    row_number() OVER (PARTITION BY e.vec_id, c.sub
          |      ORDER BY ${pqSdist("e", "c.sub", "c.cv")}, c.code) AS rn
-         |  FROM m e CROSS JOIN $prev c),
+         |  FROM $tbl e CROSS JOIN $prev c),
          |pw$k AS (SELECT vec_id, sub, code FROM pa$k WHERE rn = 1),
          |pt$k AS (SELECT w.sub, w.code, g.j,
          |          sum(e.mv[w.sub * $sd + g.j]) AS sm, count(*) AS n
-         |        FROM pw$k w JOIN m e USING (vec_id)
+         |        FROM pw$k w JOIN $tbl e USING (vec_id)
          |        CROSS JOIN (SELECT UNNEST(generate_series(1, $sd)) AS j) g
          |        GROUP BY 1, 2, 3),
          |pu$k AS (SELECT sub, code, list(CAST(sm // n AS BIGINT) ORDER BY j) AS cv
@@ -609,7 +613,7 @@ object Curation {
     val rounds = (1 to PqIters).map(k => lloyd(k, s"pc${k - 1}")).mkString(",\n")
     s"""ph AS (SELECT vec_id, mv,
        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
-       |  FROM m),
+       |  FROM $tbl),
        |pseeds AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, mv
        |          FROM ph QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= $PqKsub),
        |psubs AS (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS sub),
@@ -622,7 +626,7 @@ object Curation {
        |paf AS (SELECT e.vec_id, c.sub, c.code,
        |    row_number() OVER (PARTITION BY e.vec_id, c.sub
        |      ORDER BY ${pqSdist("e", "c.sub", "c.cv")}, c.code) AS rn
-       |  FROM m e CROSS JOIN pcf c),
+       |  FROM $tbl e CROSS JOIN pcf c),
        |pwf AS (SELECT vec_id, sub, code FROM paf WHERE rn = 1)""".stripMargin
   }
 
@@ -1078,9 +1082,9 @@ object Curation {
   // exact BIGINT re-rank closes the gap. The oracle composes BOTH
   // training replays (name-prefixed so the chains don't shadow each
   // other) plus routing, the cell-restricted ADC, and the re-rank.
-  // Codes are over raw vectors (not residuals): the integer-micro
-  // discipline both replays depend on would break at the double-valued
-  // residual subtraction.
+  // Codes here are over raw vectors (the flat-code variant); q206 is
+  // the residual-encoded twin (the FAISS default), integer-exact via
+  // micro-floored cell centroids.
   val IvfPqNprobe = 3
 
   val q182_ivfpq_ann: Q = (s, dir) => {
@@ -1113,6 +1117,63 @@ object Curation {
          |        FROM cand ca JOIN pwf w ON w.vec_id = ca.neighbor_id
          |        JOIN lut l ON l.query_id = ca.query_id
          |                  AND l.sub = w.sub AND l.code = w.code
+         |        GROUP BY 1, 2),
+         |""".stripMargin + pqRerankSql
+
+  // --------------------------------------------------------------- q206
+  // RESIDUAL IVF-PQ (the default FAISS IndexIVFPQ encoding): PQ
+  // codebooks learned over v - c(v) instead of raw vectors — residuals
+  // concentrate near zero, so the same 8x16 codebook quantizes a much
+  // tighter distribution. The integer-micro discipline survives by
+  // flooring the cell centroid itself to micro units (sum div n), so
+  // residuals are exact BIGINT differences and BOTH trainers replay.
+  // Query-side consequence: the ADC LUT is per (query, probed cell) —
+  // built from q - c(cell) — instead of per query; exact re-rank stays
+  // on raw vectors. Retires q182's "residuals belong to the float
+  // path" limitation.
+  val q206_ivfpq_residual: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    graft.similarity.IvfPq
+      .residualAdcTopK(e, idx, e.filter(col("vec_id") < 20),
+        m = PqM, ksub = PqKsub, iters = PqIters,
+        k = PqK, rerank = PqRerank, nprobe = IvfPqNprobe)
+      .orderBy("query_id", "rank")
+  }
+
+  val q206_sql: String =
+    "WITH " + graft.queries.TextSim.ivfCtes + ",\n" + pqMCte + ",\n" +
+      s"""cmd AS (SELECT co.cell, g.d,
+         |    CAST(sum(e.mv[g.d]) // count(*) AS BIGINT) AS cm
+         |  FROM corpus co JOIN m e ON e.vec_id = co.vec_id
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, $PqDim)) AS d) g
+         |  GROUP BY 1, 2),
+         |cml AS (SELECT cell, list(cm ORDER BY d) AS cmv FROM cmd GROUP BY 1),
+         |rm AS MATERIALIZED (SELECT co.vec_id, co.cell,
+         |    list_transform(generate_series(1, $PqDim),
+         |      d -> e.mv[d] - cl.cmv[d]) AS mv
+         |  FROM corpus co JOIN m e ON e.vec_id = co.vec_id
+         |  JOIN cml cl ON cl.cell = co.cell),
+         |""".stripMargin + pqTrainCtesOn("rm") + ",\n" +
+      s"""probes AS (SELECT e.vec_id AS query_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${graft.queries.TextSim.ivfNd} DESC, c.cell DESC) AS pr
+         |  FROM embeddings e CROSS JOIN cf c WHERE e.vec_id < 20),
+         |qrm AS (SELECT p.query_id, p.cell,
+         |    list_transform(generate_series(1, $PqDim),
+         |      d -> q.mv[d] - cl.cmv[d]) AS mv
+         |  FROM probes p JOIN m q ON q.vec_id = p.query_id
+         |  JOIN cml cl ON cl.cell = p.cell
+         |  WHERE p.pr <= $IvfPqNprobe),
+         |lut AS (SELECT q.query_id, q.cell, c.sub, c.code,
+         |          ${pqSdist("q", "c.sub", "c.cv")} AS ld
+         |        FROM qrm q CROSS JOIN pcf c),
+         |adc AS (SELECT l.query_id, w.vec_id AS neighbor_id,
+         |          CAST(sum(l.ld) AS BIGINT) AS adist
+         |        FROM pwf w JOIN rm r ON r.vec_id = w.vec_id
+         |        JOIN lut l ON l.cell = r.cell
+         |                  AND l.sub = w.sub AND l.code = w.code
+         |        WHERE w.vec_id <> l.query_id
          |        GROUP BY 1, 2),
          |""".stripMargin + pqRerankSql
 
@@ -1265,6 +1326,7 @@ object Curation {
   val all: Map[String, Q] = Map(
     "q199_mmr_select" -> q199_mmr_select,
     "q204_chat_census" -> q204_chat_census,
+    "q206_ivfpq_residual" -> q206_ivfpq_residual,
     "q188_rrf_fusion" -> q188_rrf_fusion,
     "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
@@ -1292,6 +1354,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q199_mmr_select" -> q199_sql,
     "q204_chat_census" -> q204_sql,
+    "q206_ivfpq_residual" -> q206_sql,
     "q188_rrf_fusion" -> q188_sql,
     "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,

@@ -9,11 +9,10 @@ import org.apache.spark.sql.functions._
   * shortlist closes the accuracy gap. Composes the two checked
   * trainers ([[Ivf.trainChecked]], [[Pq.trainChecked]]) unchanged.
   *
-  * Codes are over RAW vectors, not residuals: the integer-micro
-  * discipline that makes both trainers oracle-replayable would break
-  * at the double-valued residual subtraction (checked centroids are
-  * micro-sum / n doubles). FAISS ships this variant too; residual
-  * encoding belongs to the float fast path with [[Ivf.train]].
+  * [[adcTopK]] codes RAW vectors (the FAISS flat-code variant);
+  * [[residualAdcTopK]] codes residuals v − c(v) — the FAISS default —
+  * keeping integer-micro exactness by flooring the cell centroid
+  * itself to micro units ([[centroidsMicro]]).
   *
   * 100 TB shape: the corpus scan reads (cell, 8 codes) per row —
   * nothing else; probes and LUTs are query-batch-sized broadcasts;
@@ -50,5 +49,74 @@ object IvfPq {
           .as("adist"))
     Pq.rerankTail(approx, corpus, q.select("query_id", "qmv"), k, rerank,
       idCol, vecCol)
+  }
+
+  /** Per-cell micro-unit centroid table (cell, cmv: array<bigint>) of
+    * the index's FINAL assignment: cmv[d] = Σ v_micro[d] div n — the
+    * exact-integer centroid the residual encoding subtracts. The
+    * truncating `div` matches the trainers' discipline, and the ≤ 1
+    * micro-unit flooring error is what buys back oracle replayability
+    * that double-valued centroids would forfeit. nlist × dim longs —
+    * a broadcast model. */
+  def centroidsMicro(index: Ivf.Index, vecCol: String = "embedding")
+  : DataFrame =
+    index.assigned
+      .select(col("cell"),
+        posexplode(Sq.micronize(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum("x").as("sm"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          expr("sm div n").as("cm")))),
+        s => s.getField("cm")).as("cmv"))
+
+  /** RESIDUAL IVF-PQ (Jégou et al. 2011, the default FAISS
+    * `IndexIVFPQ` encoding): PQ codes are learned over r = v − c(v)
+    * (each vector minus its cell centroid) instead of raw vectors —
+    * residuals concentrate near zero, so the same ksub codebook spends
+    * its centroids on a much tighter distribution and the ADC
+    * approximation sharpens. The integer-micro discipline survives by
+    * flooring the centroid itself to micro units ([[centroidsMicro]]):
+    * residuals are exact BIGINT differences, the PQ trainer runs
+    * unchanged on them, and the whole index replays in the oracle.
+    *
+    * The query-side cost of residual encoding: the ADC LUT depends on
+    * the PROBED CELL (it is built from q − c(cell)), so each query
+    * carries nprobe LUTs instead of one — still a query-batch-sized
+    * broadcast. Exact re-rank runs on RAW vectors, as always.
+    */
+  def residualAdcTopK(corpus: DataFrame, index: Ivf.Index,
+                      queries: DataFrame, m: Int, ksub: Int, iters: Int,
+                      k: Int, rerank: Int, nprobe: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cm = centroidsMicro(index, vecCol)
+    val rv = index.assigned
+      .select(col(idCol).as("id"), col("cell"),
+        Sq.micronize(col(vecCol)).as("mv0"))
+      .join(broadcast(cm), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("mv0"), col("cmv"), (a, b) => a - b).as("mv"))
+    val rcents = Pq.trainCheckedMicro(rv.select("id", "mv"), m, ksub, iters)
+    val codes = rv.select(col("id").as("neighbor_id"), col("cell"),
+      Pq.codesExpr(col("mv"), rcents).as("codes"))
+    val probes = Ivf.probeRanks(index, queries, idCol, vecCol)
+      .filter(col("pr") <= nprobe).select("query_id", "cell")
+    val qm = queries.select(col(idCol).as("query_id"),
+      Sq.micronize(col(vecCol)).as("qmv"))
+    val qres = probes
+      .join(broadcast(qm), "query_id")
+      .join(broadcast(cm), "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qmv"), col("cmv"), (a, b) => a - b).as("qrv"))
+      .withColumn("lut", Pq.lutExpr(col("qrv"), rcents))
+      .select("query_id", "cell", "lut")
+    val approx = codes.join(broadcast(qres), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expressions.PqExpressions.pq_adc(col("codes"), col("lut"))
+          .as("adist"))
+    Pq.rerankTail(approx, corpus, qm, k, rerank, idCol, vecCol)
   }
 }

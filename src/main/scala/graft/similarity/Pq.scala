@@ -91,9 +91,19 @@ object Pq {
     * centroid. Returns `cents(sub)(code)(j)` in micro-units. */
   def trainChecked(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding")
+  : Array[Array[Array[Long]]] =
+    trainCheckedMicro(
+      corpus.select(col(idCol).as("id"), Sq.micronize(col(vecCol)).as("mv")),
+      m, ksub, iters)
+
+  /** [[trainChecked]] over an ALREADY-micronized vector table
+    * (id, mv: array<bigint>) — the entry point residual encoding
+    * ([[IvfPq.residualAdcTopK]]) uses, where the micro vectors are
+    * exact integer residuals rather than `round(x·10⁶)` of a float
+    * column. Identical seeding, update rule, and truncating division. */
+  def trainCheckedMicro(mvDf: DataFrame, m: Int, ksub: Int, iters: Int)
   : Array[Array[Array[Long]]] = {
-    val mv = corpus
-      .select(col(idCol).as("id"), Sq.micronize(col(vecCol)).as("mv"))
+    val mv = mvDf.select(col("id"), col("mv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seeds = mv

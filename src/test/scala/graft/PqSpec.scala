@@ -130,6 +130,55 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual PQ: exact-integer residuals reconstruct; distortion below raw-vector codes") {
+    import graft.similarity.{Ivf, IvfPq}
+    val idx = Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val cm = IvfPq.centroidsMicro(idx)
+    // residual table: exact BIGINT differences (v_micro - cmv)
+    val rv = idx.assigned
+      .select(col("vec_id").as("id"), col("cell"),
+        graft.similarity.Sq.micronize(col("embedding")).as("mv0"))
+      .join(broadcast(cm), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("mv0"), col("cmv"), (a, b) => a - b).as("mv"))
+    // centroid + residual reconstructs the micro vector exactly
+    val bad = rv.join(broadcast(cm), rv("cell") === cm("cell"))
+      .join(e.select(col("vec_id").as("id"),
+        graft.similarity.Sq.micronize(col("embedding")).as("mv0")), "id")
+      .filter(expr(
+        "exists(zip_with(zip_with(mv, cmv, (r, c) -> r + c), mv0," +
+          " (s, v) -> s <> v), x -> x)"))
+      .count()
+    assert(bad === 0L, "residual + centroid failed to reconstruct")
+    // quantization distortion: sum over vectors of the squared error
+    // of the codebook reconstruction. Residual codes get nlist*dim
+    // extra parameters (the cell centroids), so their distortion must
+    // come in strictly below raw-vector codes on the same budget.
+    val rawCents = cents
+    val resCents = Pq.trainCheckedMicro(rv.select("id", "mv"),
+      m = 8, ksub = 16, iters = 2)
+    def distortion(mvDf: org.apache.spark.sql.DataFrame,
+                   cs: Array[Array[Array[Long]]]): Long = {
+      // decode: flatten each code's centroid back into a 64-dim micro
+      // vector, then the exact integer squared error against mv
+      val lit3d = typedLit(cs.map(_.map(_.toSeq).toSeq).toSeq)
+      mvDf.select(col("mv"), Pq.codesExpr(col("mv"), cs).as("codes"))
+        .select(aggregate(
+          zip_with(col("mv"),
+            flatten(transform(col("codes"), (c, s) =>
+              element_at(element_at(lit3d, s + 1), c.cast("int") + 1))),
+            (v, r) => (v - r) * (v - r)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+        .agg(sum("d")).head().getLong(0)
+    }
+    val mvRaw = e.select(col("vec_id").as("id"),
+      graft.similarity.Sq.micronize(col("embedding")).as("mv"))
+    val dRaw = distortion(mvRaw, rawCents)
+    val dRes = distortion(rv.select("id", "mv"), resCents)
+    assert(dRes < dRaw,
+      s"residual distortion $dRes not below raw $dRaw")
+  }
+
   test("codes-only scan: the ADC stage reads no embedding column") {
     val q0 = e.filter(col("vec_id") === 0L)
     val plan = Pq.adcTopK(e, cents, q0, k = 3, rerank = 9)
