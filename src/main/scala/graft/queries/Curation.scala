@@ -1177,6 +1177,38 @@ object Curation {
          |        GROUP BY 1, 2),
          |""".stripMargin + pqRerankSql
 
+  // --------------------------------------------------------------- q207
+  // Binary (sign-bit) quantization ANN: 1 bit per dimension, Hamming
+  // shortlist, exact re-rank — the cheapest tier of the quantization
+  // family (SQ q107 = 8 bits/dim, PQ q172 ~1 bit/dim learned, this =
+  // 1 bit/dim free). Two 32-bit halves per vector keep every packed
+  // term exact under ANSI arithmetic (bit 63 of one word would need
+  // 2^63). Same output contract and rerank tail as the PQ paths, so
+  // the tiers are directly comparable.
+  val q207_binary_ann: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    graft.similarity.BinaryQ
+      .topK(e, e.filter(col("vec_id") < 20), k = PqK, rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  val q207_sql: String = {
+    def halfSql(tbl: String, h: Int) =
+      s"CAST(list_sum(list_transform(generate_series(1, 32), d -> " +
+        s"CASE WHEN $tbl.mv[d + ${32 * h}] > 0 " +
+        s"THEN CAST(power(2, d - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    "WITH " + pqMCte + ",\n" +
+      s"""bc AS (SELECT vec_id, ${halfSql("m", 0)} AS lo,
+         |          ${halfSql("m", 1)} AS hi
+         |        FROM m),
+         |qc AS (SELECT * FROM bc WHERE vec_id < 20),
+         |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CAST(bit_count(xor(q.lo, c.lo))
+         |             + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS adist
+         |        FROM qc q JOIN bc c ON c.vec_id <> q.vec_id),
+         |""".stripMargin + pqRerankSql
+  }
+
   // --------------------------------------------------------------- q204
   // Chat-transcript validation census (the SFT-data structural gate):
   // parse "role: content | ..." transcripts, check starts-with-user /
@@ -1327,6 +1359,7 @@ object Curation {
     "q199_mmr_select" -> q199_mmr_select,
     "q204_chat_census" -> q204_chat_census,
     "q206_ivfpq_residual" -> q206_ivfpq_residual,
+    "q207_binary_ann" -> q207_binary_ann,
     "q188_rrf_fusion" -> q188_rrf_fusion,
     "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
@@ -1355,6 +1388,7 @@ object Curation {
     "q199_mmr_select" -> q199_sql,
     "q204_chat_census" -> q204_sql,
     "q206_ivfpq_residual" -> q206_sql,
+    "q207_binary_ann" -> q207_sql,
     "q188_rrf_fusion" -> q188_sql,
     "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,
