@@ -118,11 +118,12 @@ object Curation {
       .orderBy("query_id", "rank")
   }
 
-  val q107_sql: String =
-    s"""WITH m AS (SELECT vec_id, list_transform(embedding,
-       |             x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
-       |           FROM embeddings),
-       |p AS (SELECT vec_id, UNNEST(generate_series(1, $SqDim)) AS pos, mv FROM m),
+  /** DuckDB replay of the SQ codebook fit + full-corpus encoding:
+    * expects a CTE `m(vec_id, mv)`, ends at `cents` (flattened grid)
+    * and `codes` (per-vector codes). Shared by q107 and the q208
+    * tier report. */
+  private[queries] val sqCodebookCtes: String =
+    s"""p AS (SELECT vec_id, UNNEST(generate_series(1, $SqDim)) AS pos, mv FROM m),
        |flat AS (SELECT vec_id, pos, mv[pos] AS v FROM p),
        |r AS (SELECT pos, min(v) AS mn, max(v) AS mx, max(v) - min(v) + 1 AS w
        |      FROM flat GROUP BY pos),
@@ -138,8 +139,14 @@ object Curation {
        |cents AS (SELECT list(CAST(cent AS BIGINT) ORDER BY pos, code) AS cents
        |          FROM grid),
        |codes AS (SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY pos) AS codes
-       |          FROM cd GROUP BY vec_id),
-       |adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, q.mv AS qmv,
+       |          FROM cd GROUP BY vec_id)""".stripMargin
+
+  val q107_sql: String =
+    s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+       |           FROM embeddings),
+       |""".stripMargin + sqCodebookCtes + ",\n" +
+      s"""adc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, q.mv AS qmv,
        |          CAST(list_sum(list_transform(generate_series(1, $SqDim), d ->
        |            (q.mv[d] - cs.cents[(d - 1) * $SqBins + x.codes[d] + 1])
        |            * (q.mv[d] - cs.cents[(d - 1) * $SqBins + x.codes[d] + 1])))
@@ -1209,6 +1216,121 @@ object Curation {
          |""".stripMargin + pqRerankSql
   }
 
+  // --------------------------------------------------------------- q208
+  // ANN quantization-tier acceptance report: for each cheap tier
+  // (binary sign-bit, SQ 16-bin, PQ 8x16), does the EXACT nearest
+  // neighbor survive into the tier's rerank shortlist? The re-rank can
+  // only fix what the shortlist contains, so top1-in-shortlist recall
+  // isolates quantizer quality from rerank polish — this one table is
+  // what picks the tier for a deployment (recall vs bytes/vector).
+  // Membership in the k=rerank output IS shortlist membership, so
+  // every tier reuses its production path unchanged.
+  val q208_ann_tier_report: Q = (s, dir) => {
+    import graft.similarity.{BinaryQ, Pq, Sq}
+    val e = Tables.load(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 20)
+    val qm = qs.select(col("vec_id").as("query_id"),
+      Sq.micronize(col("embedding")).as("qmv"))
+    val store = e.select(col("vec_id").as("neighbor_id"),
+      Sq.micronize(col("embedding")).as("mv"))
+    val exact = store.crossJoin(broadcast(qm))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("edist"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("edist").asc, col("neighbor_id").asc)
+    val truth = exact.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1).select(col("query_id"), col("neighbor_id").as("top1"))
+    def tier(name: String, bytesPerVec: Int, sl: org.apache.spark.sql.DataFrame) = {
+      val hits = truth.join(
+        sl.select(col("query_id"), col("neighbor_id").as("top1")),
+        Seq("query_id", "top1"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      truth.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(lit(name).as("tier"), lit(bytesPerVec).as("bytes_per_vec"),
+          col("n_queries"), col("n_hit"),
+          expr("n_hit * 1000000 div n_queries").as("recall_micro"))
+    }
+    val binSl = BinaryQ.topK(e, qs, k = PqRerank, rerank = PqRerank)
+    val sqCb = Sq.fit(e, SqBins)
+    val sqSl = Sq.adcTopK(Sq.encode(e, sqCb, SqBins), sqCb, e, qs,
+      k = SqRerank, rerank = SqRerank, dim = SqDim, bins = SqBins)
+    val pqSl = Pq.adcTopK(e, Pq.trainChecked(e, PqM, PqKsub, PqIters), qs,
+      k = PqRerank, rerank = PqRerank)
+    tier("binary_1bit", 8, binSl)
+      .unionByName(tier("sq_16bin", 32, sqSl))
+      .unionByName(tier("pq_8x16", 8, pqSl))
+      .orderBy("tier")
+  }
+
+  val q208_sql: String = {
+    def halfSql(tbl: String, h: Int) =
+      s"CAST(list_sum(list_transform(generate_series(1, 32), d -> " +
+        s"CASE WHEN $tbl.mv[d + ${32 * h}] > 0 " +
+        s"THEN CAST(power(2, d - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    def edist(q: String, c: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $SqDim), d -> " +
+        s"($q.mv[d] - $c.mv[d]) * ($q.mv[d] - $c.mv[d]))) AS BIGINT)"
+    "WITH " + pqMCte + ",\n" + sqCodebookCtes + ",\n" + pqTrainCtes + ",\n" +
+      s"""qs AS (SELECT vec_id AS query_id, mv FROM m WHERE vec_id < 20),
+         |tr AS (SELECT query_id, neighbor_id AS top1 FROM (
+         |    SELECT q.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${edist("q", "c")}, c.vec_id) AS rn
+         |    FROM qs q JOIN m c ON c.vec_id <> q.query_id) WHERE rn = 1),
+         |bc AS (SELECT vec_id, ${halfSql("m", 0)} AS lo, ${halfSql("m", 1)} AS hi
+         |       FROM m),
+         |bsl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY bit_count(xor(qb.lo, c.lo)) + bit_count(xor(qb.hi, c.hi)),
+         |                 c.vec_id) AS rn
+         |    FROM qs q JOIN bc qb ON qb.vec_id = q.query_id
+         |    JOIN bc c ON c.vec_id <> q.query_id) WHERE rn <= $PqRerank),
+         |ssl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, x.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CAST(list_sum(list_transform(generate_series(1, $SqDim), d ->
+         |          (q.mv[d] - cs.cents[(d - 1) * $SqBins + x.codes[d] + 1])
+         |          * (q.mv[d] - cs.cents[(d - 1) * $SqBins + x.codes[d] + 1])))
+         |          AS BIGINT), x.vec_id) AS rn
+         |    FROM qs q, codes x, cents cs
+         |    WHERE x.vec_id <> q.query_id) WHERE rn <= $SqRerank),
+         |plut AS (SELECT q.query_id, c.sub, c.code,
+         |           ${pqSdist("q", "c.sub", "c.cv")} AS ld
+         |         FROM qs q CROSS JOIN pcf c),
+         |padc AS (SELECT l.query_id, w.vec_id AS neighbor_id,
+         |           CAST(sum(l.ld) AS BIGINT) AS adist
+         |         FROM pwf w JOIN plut l ON l.sub = w.sub AND l.code = w.code
+         |         WHERE w.vec_id <> l.query_id GROUP BY 1, 2),
+         |psl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adist, neighbor_id) AS rn
+         |    FROM padc) WHERE rn <= $PqRerank),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM tr),
+         |rb AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM tr JOIN bsl ON bsl.query_id = tr.query_id
+         |                       AND bsl.neighbor_id = tr.top1),
+         |rs AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM tr JOIN ssl ON ssl.query_id = tr.query_id
+         |                       AND ssl.neighbor_id = tr.top1),
+         |rp AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM tr JOIN psl ON psl.query_id = tr.query_id
+         |                       AND psl.neighbor_id = tr.top1)
+         |SELECT 'binary_1bit' AS tier, 8 AS bytes_per_vec, n_queries, n_hit,
+         |  n_hit * 1000000 // n_queries AS recall_micro FROM nq, rb
+         |UNION ALL
+         |SELECT 'pq_8x16', 8, n_queries, n_hit,
+         |  n_hit * 1000000 // n_queries FROM nq, rp
+         |UNION ALL
+         |SELECT 'sq_16bin', 32, n_queries, n_hit,
+         |  n_hit * 1000000 // n_queries FROM nq, rs
+         |ORDER BY tier""".stripMargin
+  }
+
   // --------------------------------------------------------------- q204
   // Chat-transcript validation census (the SFT-data structural gate):
   // parse "role: content | ..." transcripts, check starts-with-user /
@@ -1360,6 +1482,7 @@ object Curation {
     "q204_chat_census" -> q204_chat_census,
     "q206_ivfpq_residual" -> q206_ivfpq_residual,
     "q207_binary_ann" -> q207_binary_ann,
+    "q208_ann_tier_report" -> q208_ann_tier_report,
     "q188_rrf_fusion" -> q188_rrf_fusion,
     "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
@@ -1389,6 +1512,7 @@ object Curation {
     "q204_chat_census" -> q204_sql,
     "q206_ivfpq_residual" -> q206_sql,
     "q207_binary_ann" -> q207_sql,
+    "q208_ann_tier_report" -> q208_sql,
     "q188_rrf_fusion" -> q188_sql,
     "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,
