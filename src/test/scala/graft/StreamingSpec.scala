@@ -343,13 +343,22 @@ class StreamingSpec extends SparkSpec {
       (t(4), 3L, "completely different words about spark query engines " +
         "and distributed columnar execution at scale"))
     q.processAllAvailable()
-    mem.addData((t(40), 4L, "watermark pusher")) // 10:40 → wm 10:38
+    // doc 5: near-clone of doc 1 arriving in a LATER batch but still
+    // inside the 10-minute horizon — must pair across batches; doc 6:
+    // near-clone arriving far beyond the horizon — must NOT pair
+    mem.addData((t(8), 5L, base.replace("cat", "dog")))
+    q.processAllAvailable()
+    mem.addData((t(40), 6L, base.replace("fox", "hare"))) // wm → 10:38
     q.processAllAvailable()
     val got = spark.table("near_dup_stream")
       .select("id_a", "id_b").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L))) // the near-clone pair, >= 1 shared band
-    assert(got.forall { case (x, y) => Set(x, y).subsetOf(Set(1L, 2L)) },
+    assert(got.contains((1L, 5L)) && got.contains((2L, 5L)),
+      s"cross-batch in-horizon pair missing: $got")
+    assert(!got.exists { case (x, y) => x == 6L || y == 6L },
+      s"beyond-horizon doc paired: $got")
+    assert(got.forall { case (x, y) => Set(x, y).subsetOf(Set(1L, 2L, 5L)) },
       s"unrelated doc paired: $got") // doc 3 shares no band with anyone
     // batch-path agreement: the same constants find the same pair
     val batch = graft.dedup.Dedup.minhashCandidates(
@@ -361,7 +370,7 @@ class StreamingSpec extends SparkSpec {
     // state actually evicts: the time-range bound gives the join a
     // state-value watermark (the id-ordering conjunct must NOT break
     // its extraction, or band-key state would grow with the stream)
-    mem.addData((t(55), 5L, "another watermark pusher"))
+    mem.addData((t(55), 7L, "another watermark pusher"))
     q.processAllAvailable()
     val removed = q.recentProgress
       .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
