@@ -1331,6 +1331,63 @@ object Curation {
          |ORDER BY tier""".stripMargin
   }
 
+  // --------------------------------------------------------------- q209
+  // Incremental exact top-k maintenance: when a batch of new vectors
+  // lands, the stored per-query top-k lists update by re-ranking
+  // (old top-k UNION query x batch scores) — provably equal to a full
+  // recompute (the true top-k of the union is contained in it), at
+  // O(batch + queries*k) cost instead of O(corpus). The similarity-
+  // search sibling of q201's rollup merge; the oracle recomputes over
+  // the FULL corpus in one shot and hash equality proves
+  // maintenance = recompute. Exact integer micro distances throughout.
+  val IncK = 5
+
+  val q209_incremental_topk: Q = (s, dir) => {
+    import graft.similarity.Sq
+    val e = Tables.load(s, dir, "embeddings")
+    val qm = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        Sq.micronize(col("embedding")).as("qmv"))
+    def scores(part: org.apache.spark.sql.DataFrame) =
+      part.select(col("vec_id").as("neighbor_id"),
+        Sq.micronize(col("embedding")).as("mv"))
+        .crossJoin(broadcast(qm))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("edist"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("edist").asc, col("neighbor_id").asc)
+    // the maintained state: top-k over the STORED corpus only
+    val stored = scores(e.filter(col("vec_id") % 7 =!= 0))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= IncK)
+      .select("query_id", "neighbor_id", "edist")
+    // the ingest: batch-sized scoring, then merge + re-rank
+    val batch = scores(e.filter(col("vec_id") % 7 === 0))
+    stored.unionByName(batch)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= IncK)
+      .select("query_id", "rank", "neighbor_id", "edist")
+      .orderBy("query_id", "rank")
+  }
+
+  val q209_sql: String =
+    s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, mv FROM m WHERE vec_id < 20),
+       |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |        CAST(list_sum(list_transform(generate_series(1, $SqDim), k ->
+       |          (q.mv[k] - c.mv[k]) * (q.mv[k] - c.mv[k]))) AS BIGINT)
+       |          AS edist
+       |      FROM qs q JOIN m c ON c.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, edist FROM (
+       |  SELECT query_id, neighbor_id, edist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY edist, neighbor_id) AS BIGINT) AS rank
+       |  FROM d) WHERE rank <= $IncK
+       |ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- q204
   // Chat-transcript validation census (the SFT-data structural gate):
   // parse "role: content | ..." transcripts, check starts-with-user /
@@ -1483,6 +1540,7 @@ object Curation {
     "q206_ivfpq_residual" -> q206_ivfpq_residual,
     "q207_binary_ann" -> q207_binary_ann,
     "q208_ann_tier_report" -> q208_ann_tier_report,
+    "q209_incremental_topk" -> q209_incremental_topk,
     "q188_rrf_fusion" -> q188_rrf_fusion,
     "q184_boilerplate" -> q184_boilerplate,
     "q182_ivfpq_ann" -> q182_ivfpq_ann,
@@ -1513,6 +1571,7 @@ object Curation {
     "q206_ivfpq_residual" -> q206_sql,
     "q207_binary_ann" -> q207_sql,
     "q208_ann_tier_report" -> q208_sql,
+    "q209_incremental_topk" -> q209_sql,
     "q188_rrf_fusion" -> q188_sql,
     "q184_boilerplate" -> q184_sql,
     "q182_ivfpq_ann" -> q182_sql,
