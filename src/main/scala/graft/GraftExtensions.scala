@@ -126,7 +126,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArgs("unicode_normalize", 2, args)
         val form = args(1) match {
-          case l: Literal if l.dataType == StringType =>
+          // the null guard keeps CAST(NULL AS STRING) literals on the
+          // error path instead of NPE-ing on the UTF8String conversion
+          case l: Literal if l.dataType == StringType && l.eval() != null =>
             l.eval().asInstanceOf[UTF8String].toString
           case other => throw new IllegalArgumentException(
             s"unicode_normalize.form: expected a literal string, got ${other.sql}")

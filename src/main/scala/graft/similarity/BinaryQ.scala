@@ -34,7 +34,14 @@ object BinaryQ {
   /** Binary code table: (idCol, lo, hi) for 64-dim vectors. */
   def codes(df: DataFrame, idCol: String = "vec_id",
             vecCol: String = "embedding"): DataFrame =
-    df.select(col(idCol), Sq.micronize(col(vecCol)).as("mv"))
+    df.select(col(idCol),
+        // half() hardcodes two 32-bit halves; a dim != 64 corpus would
+        // silently sign-encode the out-of-range tail as 0 via null
+        // element_at, so fail loudly instead of emitting wrong codes
+        when(size(col(vecCol)) === 64, Sq.micronize(col(vecCol)))
+          .otherwise(raise_error(concat(
+            lit("BinaryQ.codes: expected 64-dim embedding, got dim="),
+            size(col(vecCol)).cast("string")))).as("mv"))
       .select(col(idCol), half(col("mv"), 0).as("lo"),
         half(col("mv"), 1).as("hi"))
 

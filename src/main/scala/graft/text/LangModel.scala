@@ -103,7 +103,13 @@ object LangModel {
     def grams(src: DataFrame, i: Column, t: Column): DataFrame = {
       src.select(i.as("id"), toks(t).as("tk"))
         .select(col("id"), explode(
-          transform(sequence(lit(1), greatest(size(col("tk")) - 2, lit(0))), j =>
+          // guard: sequence(1, 0) would default to step -1 and yield
+          // [1, 0] (element_at(tk, 0) throws), so short docs (<3
+          // tokens) must map to an empty index list explicitly —
+          // matching the oracle's generate_series(1, 0) = [].
+          transform(
+            when(size(col("tk")) >= 3, sequence(lit(1), size(col("tk")) - 2))
+              .otherwise(array().cast("array<int>")), j =>
             struct(
               concat_ws(" ", element_at(col("tk"), j),
                 element_at(col("tk"), j + 1),

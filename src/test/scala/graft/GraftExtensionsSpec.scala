@@ -51,6 +51,13 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT unicode_normalize('x', 'BOGUS')").head()
     }
+    // a NULL string literal for the form must hit the same loud error
+    // path (expected-a-literal-string), not NPE in the builder
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', CAST(NULL AS STRING))").head()
+    }
+    assert(e.getMessage.contains("literal string") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal string")))
   }
 
   test("media header parsers from SQL match the Column API") {

@@ -69,6 +69,23 @@ class LangModelSpec extends SparkSpec {
     assert(math.abs(got(3)._7 - expU) < 1e-6)
   }
 
+  test("stupidBackoffBits: docs with <3 tokens drop out, no index error") {
+    // sequence(1, 0) in Spark steps -1 and yields [1, 0] — the guard
+    // must map short docs to zero trigrams (oracle generate_series is
+    // empty), not throw on element_at(tk, 0) or emit bogus 2-grams.
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a"), (2L, "a b"), (3L, ""), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.text.LangModel
+      .stupidBackoffBits(score, train, col("doc_id"), col("text"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    // only the 3-token doc has a trigram row
+    assert(got.map(_._1).toSeq == Seq(4L))
+    assert(got(0)._2 == 1L && got(0)._3 == 1L)
+  }
+
   test("domainExcessWeights: weights normalize; distinct domain upweights over its base share") {
     // domain x: internally repetitive + unlike y/z -> its specialist LM
     // beats the generalist by a wide margin (high excess). y and z share

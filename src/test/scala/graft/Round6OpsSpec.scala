@@ -248,4 +248,16 @@ class Round6OpsSpec extends SparkSpec {
     val lex = (1L to 20L).map(i => (0L, i, i)).toDF("query_id", "doc_id", "rank")
     assert(Fusion.rrf(Seq(lex), topK = 5).count() === 5)
   }
+
+  test("BinaryQ.codes: non-64-dim corpus fails loudly, never zero-pads") {
+    val ok = Seq((0L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(graft.similarity.BinaryQ.codes(ok).count() === 1)
+    val bad = Seq((0L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.similarity.BinaryQ.codes(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("expected 64-dim")))
+  }
 }
