@@ -552,7 +552,7 @@ object Curation {
   // Product-quantized ANN (FAISS IVF-PQ's compression stage, Jégou et
   // al. 2011): 8 subspaces × 8 dims, a 16-entry k-means codebook per
   // subspace (md5-seeded, 2 integer-micro-unit Lloyd rounds, integer-mean
-  // updates), ADC scan via per-query 8×16 lookup tables (m lookups per
+  // updates), ADC scan via per-query 8×256 lookup tables (m lookups per
   // candidate), exact re-rank of the 3k shortlist. Codebook fit,
   // encoding, LUTs, both distance passes and the ranking are
   // BIGINT-exact — the oracle replays the trainer and the two-stage
@@ -561,8 +561,8 @@ object Curation {
   // distortion at the same code budget, and the corpus scan reads
   // NOTHING but 8 small codes per row.
   val PqM = 8
-  val PqKsub = 16
-  val PqIters = 2
+  val PqKsub = 256
+  val PqIters = 4
   val PqK = 3
   val PqRerank = 9
   val PqDim = 64
@@ -601,13 +601,19 @@ object Curation {
     * q206 trains the very same chain over the residual table `rm`. */
   private[queries] def pqTrainCtesOn(tbl: String): String = {
     val sd = PqDim / PqM
+    // argmin via one packed-key aggregate (min(d·ksub + code), the
+    // exact key the native PqCodes expression uses — d ≤ 2.6·10¹⁴ so
+    // the key fits BIGINT) instead of a row_number window: at ksub=256
+    // the per-round candidate table is n·m·256 rows, and a GROUP BY
+    // min() replay is several times cheaper than window-sorting it.
+    def argmin(out: String, src: String) =
+      s"""$out AS (SELECT e.vec_id, c.sub,
+         |    CAST(min(${pqSdist("e", "c.sub", "c.cv")} * $PqKsub + c.code)
+         |         % $PqKsub AS BIGINT) AS code
+         |  FROM $tbl e CROSS JOIN $src c GROUP BY 1, 2)""".stripMargin
     def lloyd(k: Int, prev: String) =
-      s"""pa$k AS (SELECT e.vec_id, c.sub, c.code,
-         |    row_number() OVER (PARTITION BY e.vec_id, c.sub
-         |      ORDER BY ${pqSdist("e", "c.sub", "c.cv")}, c.code) AS rn
-         |  FROM $tbl e CROSS JOIN $prev c),
-         |pw$k AS (SELECT vec_id, sub, code FROM pa$k WHERE rn = 1),
-         |pt$k AS (SELECT w.sub, w.code, g.j,
+      argmin(s"pw$k", prev) + ",\n" +
+      s"""pt$k AS (SELECT w.sub, w.code, g.j,
          |          sum(e.mv[w.sub * $sd + g.j]) AS sm, count(*) AS n
          |        FROM pw$k w JOIN $tbl e USING (vec_id)
          |        CROSS JOIN (SELECT UNNEST(generate_series(1, $sd)) AS j) g
@@ -630,11 +636,7 @@ object Curation {
        |       FROM psubs s CROSS JOIN pseeds sd),
        |$rounds,
        |pcf AS (SELECT * FROM pc$PqIters),
-       |paf AS (SELECT e.vec_id, c.sub, c.code,
-       |    row_number() OVER (PARTITION BY e.vec_id, c.sub
-       |      ORDER BY ${pqSdist("e", "c.sub", "c.cv")}, c.code) AS rn
-       |  FROM $tbl e CROSS JOIN pcf c),
-       |pwf AS (SELECT vec_id, sub, code FROM paf WHERE rn = 1)""".stripMargin
+       |${argmin("pwf", "pcf")}""".stripMargin
   }
 
   /** Shortlist + exact re-rank remainder shared by q172/q182: expects
@@ -1130,7 +1132,7 @@ object Curation {
   // --------------------------------------------------------------- q206
   // RESIDUAL IVF-PQ (the default FAISS IndexIVFPQ encoding): PQ
   // codebooks learned over v - c(v) instead of raw vectors — residuals
-  // concentrate near zero, so the same 8x16 codebook quantizes a much
+  // concentrate near zero, so the same 8x256 codebook quantizes a much
   // tighter distribution. The integer-micro discipline survives by
   // flooring the cell centroid itself to micro units (sum div n), so
   // residuals are exact BIGINT differences and BOTH trainers replay.
@@ -1218,7 +1220,7 @@ object Curation {
 
   // --------------------------------------------------------------- q208
   // ANN quantization-tier acceptance report: for each cheap tier
-  // (binary sign-bit, SQ 16-bin, PQ 8x16), does the EXACT nearest
+  // (binary sign-bit, SQ 16-bin, PQ 8x256), does the EXACT nearest
   // neighbor survive into the tier's rerank shortlist? The re-rank can
   // only fix what the shortlist contains, so top1-in-shortlist recall
   // isolates quantizer quality from rerank polish — this one table is
@@ -1261,7 +1263,7 @@ object Curation {
       k = PqRerank, rerank = PqRerank)
     tier("binary_1bit", 8, binSl)
       .unionByName(tier("sq_16bin", 32, sqSl))
-      .unionByName(tier("pq_8x16", 8, pqSl))
+      .unionByName(tier("pq_8x256", 8, pqSl))
       .orderBy("tier")
   }
 
@@ -1323,7 +1325,7 @@ object Curation {
          |SELECT 'binary_1bit' AS tier, 8 AS bytes_per_vec, n_queries, n_hit,
          |  n_hit * 1000000 // n_queries AS recall_micro FROM nq, rb
          |UNION ALL
-         |SELECT 'pq_8x16', 8, n_queries, n_hit,
+         |SELECT 'pq_8x256', 8, n_queries, n_hit,
          |  n_hit * 1000000 // n_queries FROM nq, rp
          |UNION ALL
          |SELECT 'sq_16bin', 32, n_queries, n_hit,
@@ -1340,6 +1342,16 @@ object Curation {
   // search sibling of q201's rollup merge; the oracle recomputes over
   // the FULL corpus in one shot and hash equality proves
   // maintenance = recompute. Exact integer micro distances throughout.
+  //
+  // Both rank passes run through the bounded-heap TopKByScore
+  // aggregate (q73's operator), NOT a row_number window: map-side
+  // partial combine ships at most k entries per query per task into
+  // the shuffle, where the window formulation would shuffle and sort
+  // every (query, candidate) score — the difference between shuffling
+  // the answer and shuffling the corpus when the maintained state is
+  // production-sized. score = −edist as DOUBLE is exact: micro
+  // distances cap at dim·(2·10⁶)² ≈ 2.6·10¹⁴ < 2⁵³, and the heap's
+  // (score DESC, id ASC) order is precisely (edist ASC, id ASC).
   val IncK = 5
 
   val q209_incremental_topk: Q = (s, dir) => {
@@ -1356,18 +1368,22 @@ object Curation {
         .select(col("query_id"), col("neighbor_id"),
           expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("edist"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("edist").asc, col("neighbor_id").asc)
+    def topk(cand: org.apache.spark.sql.DataFrame) = cand
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.top_k_ids(
+        negate(col("edist")).cast("double"), col("neighbor_id"), IncK).as("top"))
     // the maintained state: top-k over the STORED corpus only
-    val stored = scores(e.filter(col("vec_id") % 7 =!= 0))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= IncK)
-      .select("query_id", "neighbor_id", "edist")
+    val stored = topk(scores(e.filter(col("vec_id") % 7 =!= 0)))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        negate(col("e.score")).cast("long").as("edist"))
     // the ingest: batch-sized scoring, then merge + re-rank
     val batch = scores(e.filter(col("vec_id") % 7 === 0))
-    stored.unionByName(batch)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= IncK)
-      .select("query_id", "rank", "neighbor_id", "edist")
+    topk(stored.unionByName(batch))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"),
+        negate(col("e.score")).cast("long").as("edist"))
       .orderBy("query_id", "rank")
   }
 
