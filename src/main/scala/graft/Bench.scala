@@ -1,6 +1,58 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
+
+/** Accumulates executor task metrics across the whole session; Bench
+  * snapshots the counters around each query, so the "minimal shuffle"
+  * plan-reading in BENCH_NOTES is backed by measured bytes, not
+  * inspection. Task-end granularity (not stage-end) so retried or
+  * partially-failed stages still account what actually ran.
+  */
+private final class BenchMetricsListener extends SparkListener {
+  val shuffleRead = new AtomicLong
+  val shuffleWrite = new AtomicLong
+  val memSpill = new AtomicLong
+  val diskSpill = new AtomicLong
+  val peakExecMem = new AtomicLong
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      memSpill.addAndGet(m.memoryBytesSpilled)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+      // max-merge, not add: the largest single-task unified-memory
+      // footprint seen — the number that predicts executor sizing
+      var done = false
+      while (!done) {
+        val cur = peakExecMem.get()
+        done = m.peakExecutionMemory <= cur ||
+          peakExecMem.compareAndSet(cur, m.peakExecutionMemory)
+      }
+    }
+  }
+
+  def snapshot(): (Long, Long, Long, Long) =
+    (shuffleRead.get(), shuffleWrite.get(), memSpill.get(), diskSpill.get())
+
+  /** Listener-bus events arrive asynchronously; poll until the counters
+    * hold still so per-query deltas don't bleed into the next query. */
+  def quiesce(): Unit = {
+    var prev = (snapshot(), peakExecMem.get())
+    var stable = 0
+    var waited = 0
+    while (stable < 2 && waited < 3000) {
+      Thread.sleep(50)
+      waited += 50
+      val cur = (snapshot(), peakExecMem.get())
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    }
+  }
+}
 
 /** Driver-run benchmark: every SparkEntry query timed on
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
@@ -67,18 +119,34 @@ object Bench {
     // warm). The driver leaves it unset → cold, comparable across
     // rounds; BENCH_NOTES quotes warm numbers from this switch.
     val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    val metrics = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Unit =
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       if (warm) once()
+      metrics.quiesce()
+      val before = metrics.snapshot()
       val t0 = System.nanoTime()
       once()
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      metrics.quiesce()
+      val after = metrics.snapshot()
+      def mb(b: Long, a: Long) =
+        math.round((a - b) / 1048576.0 * 100.0) / 100.0
+      name -> (sec, mb(before._1, after._1), mb(before._2, after._2),
+        mb(before._3, after._3), mb(before._4, after._4))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the shuffle/spill evidence rides in a SEPARATE key so the
+    // driver's queries->seconds contract is untouched
+    val qm = results.map { case (k, (sec, sr, sw, ms, ds)) =>
+      s"""\"$k\":{"sec":$sec,"shuffle_read_mb":$sr,""" +
+        s""""shuffle_write_mb":$sw,"mem_spill_mb":$ms,"disk_spill_mb":$ds}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val loadEnd = loadAvg()
     val tsEnd = System.currentTimeMillis()
     // driver heap ceiling (build.sbt -Xmx, SPARK_DRIVER_MEM): recorded
@@ -90,8 +158,12 @@ object Bench {
       s""""loadavg_end":$loadEnd,"ts_start_ms":$tsStart,"ts_end_ms":$tsEnd,""" +
       s""""contended":${loadStart > 2.0},"retried":$retried,"mem_mb":$memMb,""" +
       s""""mode":"${if (warm) "warm" else "cold"}"}"""
+    val peakMb =
+      math.round(metrics.peakExecMem.get() / 1048576.0 * 100.0) / 100.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_metrics":$qm,"peak_task_exec_mem_mb":$peakMb,""" +
+        s""""sf":"$sfDir",$env}"""
     println(json)
     // durable copy: the driver captures stdout with a bounded tail, which
     // truncated round 2's artifact — the file survives regardless
