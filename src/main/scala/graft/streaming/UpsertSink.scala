@@ -296,6 +296,32 @@ object UpsertSink {
       spark.read.parquet(p.toString)
     }
 
+    /** Committed version numbers in ascending order — the time-travel
+      * index a reader picks from. */
+    def listVersions(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String): Seq[Long] = {
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      committedVersions(fs, root).map(_._1)
+    }
+
+    /** Time travel: read the table AS OF committed version `version`.
+      * Committed versions are immutable, so this needs no coordination
+      * with writers — vN−1 stays byte-stable while vN (or any later
+      * version) commits. Throws when `version` was never committed (or
+      * has been vacuumed). */
+    def readVersion(spark: org.apache.spark.sql.SparkSession,
+                    tablePath: String, version: Long): DataFrame = {
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dst = new Path(root, dirName(version))
+      if (!fs.exists(new Path(dst, "_SUCCESS")))
+        throw new java.io.FileNotFoundException(
+          s"version ${dirName(version)} of $tablePath is not committed " +
+            "(never existed, crashed mid-write, or vacuumed)")
+      spark.read.parquet(dst.toString)
+    }
+
     /** Merge a batch into the table: new batch rows win on key conflict
       * (within-batch duplicates resolved deterministically by highest
       * `orderCol` first), everything else carries over from the current
@@ -330,10 +356,16 @@ object UpsertSink {
         val basis = committedVersions(fs, root).lastOption
         val next = basis.map(_._1 + 1).getOrElse(1L)
         if (tryClaim(fs, root, next, writerId)) {
+          // allowMissingColumns = schema evolution on merge: a batch
+          // that ADDS a column null-fills it for carried-over rows; a
+          // batch missing a stored column null-fills it for its own
+          // rows while carried-over rows keep their data. Key columns
+          // always exist on both sides (the anti-join requires them).
           val merged = basis match {
             case Some((_, cur)) =>
               spark.read.parquet(cur.toString)
-                .join(newRows, keyCols, "left_anti").unionByName(newRows)
+                .join(newRows, keyCols, "left_anti")
+                .unionByName(newRows, allowMissingColumns = true)
             case None => newRows
           }
           // Overwrite also clears any partial directory a crashed
@@ -378,18 +410,32 @@ object UpsertSink {
 
     /** Trim old committed versions, keeping the `keepLast` most recent
       * (plus the pointer); also clears crashed uncommitted leftovers
-      * older than the newest committed version. */
+      * older than the newest committed version.
+      *
+      * `retainMs` adds a retention horizon on top: a version (committed
+      * or crashed leftover) is only removable once its directory is
+      * older than the horizon, so time-travel readers within the
+      * retention window never lose their snapshot — the committed tail
+      * (`keepLast` newest, always ≥ 1) is untouchable regardless of
+      * age. `nowMs` is injectable for deterministic tests. */
     def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-               keepLast: Int = 2): Unit = {
+               keepLast: Int = 2, retainMs: Option[Long] = None,
+               nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
       require(keepLast >= 1, "must keep at least the current version")
       val root = new Path(tablePath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def expired(p: Path): Boolean = retainMs.forall { r =>
+        try nowMs() - fs.getFileStatus(p).getModificationTime > r
+        catch { case _: java.io.IOException => false }
+      }
       val committed = committedVersions(fs, root)
-      committed.dropRight(keepLast).foreach { case (_, p) => fs.delete(p, true) }
+      committed.dropRight(keepLast)
+        .filter { case (_, p) => expired(p) }
+        .foreach { case (_, p) => fs.delete(p, true) }
       committed.lastOption.foreach { case (latest, _) =>
         allVersions(fs, root)
           .filter { case (v, p) =>
-            v < latest && !fs.exists(new Path(p, "_SUCCESS")) }
+            v < latest && !fs.exists(new Path(p, "_SUCCESS")) && expired(p) }
           .foreach { case (_, p) => fs.delete(p, true) }
         // claims below the newest committed version have served their
         // purpose (their version is immutable history now)

@@ -79,6 +79,87 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertSink.ParquetMergeSink.read(spark, path).count() === 3)
   }
 
+  test("time travel: readVersion pins vN-1 while vN commits; vacuumed/uncommitted throw") {
+    val dir = Files.createTempDirectory("graft_tt").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    UpsertSink.ParquetMergeSink.merge(Seq(("a", 1.0)).toDF("k", "v"), path, Seq("k"))
+    UpsertSink.ParquetMergeSink.merge(Seq(("b", 2.0)).toDF("k", "v"), path, Seq("k"))
+    assert(UpsertSink.ParquetMergeSink.listVersions(spark, path) === Seq(1L, 2L))
+    // pin v1, then commit v3 — the pinned snapshot must be unchanged
+    val v1 = UpsertSink.ParquetMergeSink.readVersion(spark, path, 1L)
+    UpsertSink.ParquetMergeSink.merge(Seq(("a", 9.0)).toDF("k", "v"), path, Seq("k"))
+    assert(v1.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      === Map("a" -> 1.0))
+    assert(UpsertSink.ParquetMergeSink.readVersion(spark, path, 3L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      === Map("a" -> 9.0, "b" -> 2.0))
+    intercept[java.io.FileNotFoundException] {
+      UpsertSink.ParquetMergeSink.readVersion(spark, path, 4L)
+    }
+    UpsertSink.ParquetMergeSink.vacuum(spark, path, keepLast = 1)
+    intercept[java.io.FileNotFoundException] {
+      UpsertSink.ParquetMergeSink.readVersion(spark, path, 1L)
+    }
+  }
+
+  test("vacuum retention horizon: young history survives, expired goes, tail untouchable") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_vac").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 3).foreach(i =>
+      UpsertSink.ParquetMergeSink.merge(
+        Seq((s"k$i", i.toDouble)).toDF("k", "v"), path, Seq("k")))
+    // all three versions are brand new: a 1-hour horizon removes nothing
+    UpsertSink.ParquetMergeSink.vacuum(spark, path, keepLast = 1,
+      retainMs = Some(3600L * 1000))
+    assert(UpsertSink.ParquetMergeSink.listVersions(spark, path) === Seq(1L, 2L, 3L))
+    // pretend time passed the horizon: everything outside the keepLast
+    // tail is now expired and goes; the committed tail stays regardless
+    UpsertSink.ParquetMergeSink.vacuum(spark, path, keepLast = 1,
+      retainMs = Some(3600L * 1000),
+      nowMs = () => System.currentTimeMillis() + 2 * 3600L * 1000)
+    assert(UpsertSink.ParquetMergeSink.listVersions(spark, path) === Seq(3L))
+    assert(UpsertSink.ParquetMergeSink.read(spark, path).count() === 3)
+    // an uncommitted leftover below latest: kept inside the horizon,
+    // swept once expired
+    val crashed = new Path(path, "v00000002")
+    Seq(("z", -1.0)).toDF("k", "v").write.parquet(crashed.toString)
+    fs.delete(new Path(crashed, "_SUCCESS"), false)
+    UpsertSink.ParquetMergeSink.vacuum(spark, path, keepLast = 1,
+      retainMs = Some(3600L * 1000))
+    assert(fs.exists(crashed), "in-horizon leftover must survive")
+    UpsertSink.ParquetMergeSink.vacuum(spark, path, keepLast = 1,
+      retainMs = Some(3600L * 1000),
+      nowMs = () => System.currentTimeMillis() + 2 * 3600L * 1000)
+    assert(!fs.exists(crashed), "expired leftover must be swept")
+  }
+
+  test("schema evolution on merge: added column null-fills old rows, dropped column keeps data") {
+    val dir = Files.createTempDirectory("graft_evo").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    UpsertSink.ParquetMergeSink.merge(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), path, Seq("k"))
+    // batch ADDS column w: carried-over row 'b' null-fills it
+    UpsertSink.ParquetMergeSink.merge(
+      Seq(("a", 10.0, "x")).toDF("k", "v", "w"), path, Seq("k"))
+    val evolved = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), Option(r.getAs[String]("w")))).toMap
+    assert(evolved === Map("a" -> (10.0, Some("x")), "b" -> (2.0, None)))
+    // batch MISSING column v: its own new row null-fills v, while the
+    // carried-over rows keep their stored v and w
+    UpsertSink.ParquetMergeSink.merge(
+      Seq(("c", "y")).toDF("k", "w"), path, Seq("k"))
+    val after = UpsertSink.ParquetMergeSink.read(spark, path)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getAs[java.lang.Double]("v")), Option(r.getAs[String]("w")))).toMap
+    assert(after === Map(
+      "a" -> (Some(10.0: java.lang.Double), Some("x")),
+      "b" -> (Some(2.0: java.lang.Double), None),
+      "c" -> (None, Some("y"))))
+  }
+
   test("versioned merge: a STALE pointer hint cannot roll the table back") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("graft_stale").toFile
