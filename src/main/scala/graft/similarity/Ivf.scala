@@ -68,6 +68,15 @@ object Ivf {
     graft.expressions.VectorExpressions.nearest_cell(vec, centroids,
       centroids.map(_.map(x => x * x).sum))
 
+  /** Assign vectors to their nearest STORED centroid — the maintenance
+    * path between retrains: a streaming ingest batch-assigns new
+    * vectors against the shipped index without touching the trainer
+    * ([[graft.streaming.AnnIngest]]). Same native expression, same
+    * tie-break, as every training round. */
+  def assign(df: DataFrame, centroids: Array[Array[Double]],
+             vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", cellExpr(col(vecCol), centroids))
+
   /** All cells ranked by centroid proximity to `vec`: array of
     * struct(s, cell) sorted s DESC then cell DESC — the probe order.
     * (Descending cell on ties matches the SQL twin's ORDER BY.) */
