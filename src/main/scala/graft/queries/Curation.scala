@@ -577,7 +577,7 @@ object Curation {
 
   /** Micronized-embedding CTE shared by the PQ replays. */
   private[queries] val pqMCte: String =
-    """m AS (SELECT vec_id, list_transform(embedding,
+    """m AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
       |  FROM embeddings)""".stripMargin
 
@@ -607,7 +607,7 @@ object Curation {
     // the per-round candidate table is n·m·256 rows, and a GROUP BY
     // min() replay is several times cheaper than window-sorting it.
     def argmin(out: String, src: String) =
-      s"""$out AS (SELECT e.vec_id, c.sub,
+      s"""$out AS MATERIALIZED (SELECT e.vec_id, c.sub,
          |    CAST(min(${pqSdist("e", "c.sub", "c.cv")} * $PqKsub + c.code)
          |         % $PqKsub AS BIGINT) AS code
          |  FROM $tbl e CROSS JOIN $src c GROUP BY 1, 2)""".stripMargin
@@ -620,7 +620,7 @@ object Curation {
          |        GROUP BY 1, 2, 3),
          |pu$k AS (SELECT sub, code, list(CAST(sm // n AS BIGINT) ORDER BY j) AS cv
          |        FROM pt$k GROUP BY 1, 2),
-         |pc$k AS (SELECT c.sub, c.code, coalesce(u.cv, c.cv) AS cv
+         |pc$k AS MATERIALIZED (SELECT c.sub, c.code, coalesce(u.cv, c.cv) AS cv
          |        FROM $prev c LEFT JOIN pu$k u
          |          ON u.sub = c.sub AND u.code = c.code)""".stripMargin
     val rounds = (1 to PqIters).map(k => lloyd(k, s"pc${k - 1}")).mkString(",\n")
@@ -630,12 +630,12 @@ object Curation {
        |pseeds AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, mv
        |          FROM ph QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= $PqKsub),
        |psubs AS (SELECT UNNEST(generate_series(0, ${PqM - 1})) AS sub),
-       |pc0 AS (SELECT s.sub, sd.code,
+       |pc0 AS MATERIALIZED (SELECT s.sub, sd.code,
        |         list_transform(generate_series(1, $sd),
        |           j -> sd.mv[s.sub * $sd + j]) AS cv
        |       FROM psubs s CROSS JOIN pseeds sd),
        |$rounds,
-       |pcf AS (SELECT * FROM pc$PqIters),
+       |pcf AS MATERIALIZED (SELECT * FROM pc$PqIters),
        |${argmin("pwf", "pcf")}""".stripMargin
   }
 

@@ -666,13 +666,13 @@ object TextSim {
     s"""WITH nlq AS (SELECT greatest(4, least(count(*) // 8,
        |    CAST(floor(4 * sqrt(count(*))) AS BIGINT))) AS nl FROM embeddings),
        |${ivfCtesN(s"($nlSql)", IvfAutoIters)},
-       |samp AS (SELECT vec_id, embedding FROM embeddings
+       |samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'tune'), 1, 8)
        |           AS BIGINT), vec_id
        |  LIMIT $IvfTuneSample),
-       |ts AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id, $cosineSql AS sim
-       |  FROM samp sq JOIN embeddings qe ON qe.vec_id = sq.vec_id
-       |       JOIN embeddings ce ON ce.vec_id <> sq.vec_id),
+       |ts AS (SELECT sq.vec_id AS query_id, ce.vec_id AS neighbor_id,
+       |       ${cosineSqlOn("sq", "ce")} AS sim
+       |  FROM samp sq JOIN embeddings ce ON ce.vec_id <> sq.vec_id),
        |tk AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
@@ -708,9 +708,10 @@ object TextSim {
        |    FROM scored) WHERE rank <= 3),
        |nsc AS (SELECT query_id, count(*) AS n_scanned FROM cand GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM embeddings),
+       |q20 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 20),
        |bs AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id, $cosineSql AS sim
-       |  FROM embeddings qe JOIN embeddings ce
-       |    ON qe.vec_id < 20 AND qe.vec_id <> ce.vec_id),
+       |  FROM q20 qe JOIN embeddings ce ON qe.vec_id <> ce.vec_id),
        |bk AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
@@ -1066,11 +1067,17 @@ object TextSim {
       s"SELECT vec_id, $b AS band, $key AS bh FROM bits"
     }.mkString("\n  UNION ALL ")
 
-  private val cosineSql: String =
-    """round(list_sum(list_transform(generate_series(1, len(qe.embedding)),
-      |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
-      |    / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * x)))
-      |       * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * x)))), 6)""".stripMargin
+  /** Cosine over `$a.embedding` / `$b.embedding` with caller-chosen
+    * aliases — q163's tuner computes it against a MATERIALIZED sample
+    * CTE rather than a re-join of `embeddings`, so the planner can
+    * never rotate the join into embeddings×embeddings. */
+  private def cosineSqlOn(a: String, b: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, len($a.embedding)),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * x)))), 6)""".stripMargin
+
+  private val cosineSql: String = cosineSqlOn("qe", "ce")
 
   val q35_sql: String =
     s"""WITH bits AS (SELECT vec_id, [${srpBitsList(16)}] AS bits FROM embeddings),
@@ -1306,37 +1313,50 @@ object TextSim {
     * a scalar subquery (the auto-sized q163 computes it from count).
     * q78 appends probe routing + rank; q105 the within-cell dedup. */
   private[queries] def ivfCtesN(nlistSql: String, iters: Int): String = {
+    // the assignment windows sort n·nlist candidate rows per round —
+    // they must carry ONLY (vec_id, cell, rn), never the 64-float
+    // embedding payload (at generated sf0.3 with auto-nlist that's
+    // 1.9M rows × ~0.5 KB ≈ a GB per round materialized through the
+    // sort; slim rows are ~45 MB). The embedding re-joins by vec_id
+    // AFTER the rn = 1 cut, so each update/final CTE touches n rows.
     def assign(k: Int, prev: String) =
-      s"""a$k AS (SELECT e.vec_id, e.embedding, c.cell,
+      s"""a$k AS (SELECT e.vec_id, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY $ivfNd DESC, c.cell ASC) AS rn
          |  FROM embeddings e CROSS JOIN $prev c)""".stripMargin
+    // every c$k is referenced TWICE (next round's assign + the
+    // carry-forward LEFT JOIN) and DuckDB inlines plain CTEs per
+    // reference - left unmaterialized the replay executes 2^iters
+    // copies of the whole Lloyd chain (the >55 GB q163 blowup at
+    // generated sf0.3). The materialized frames are model-sized:
+    // nlist centroid lists.
     def update(k: Int, prev: String) =
-      s"""s$k AS (SELECT cell, UNNEST(generate_series(1, 64)) AS pos, embedding
-         |        FROM a$k WHERE rn = 1),
+      s"""s$k AS (SELECT a.cell, UNNEST(generate_series(1, 64)) AS pos, e.embedding
+         |        FROM a$k a JOIN embeddings e USING (vec_id) WHERE a.rn = 1),
          |t$k AS (SELECT cell, pos,
          |          sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sm,
          |          count(*) AS n
          |        FROM s$k GROUP BY cell, pos),
          |m$k AS (SELECT cell, list(CAST(sm AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS cv
          |        FROM t$k GROUP BY cell),
-         |c$k AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         |c$k AS MATERIALIZED (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
          |        FROM $prev p LEFT JOIN m$k m ON p.cell = m.cell)""".stripMargin
     val iterations = (1 to iters).map(k => s"${assign(k, s"c${k - 1}")},\n${update(k, s"c${k - 1}")}")
       .mkString(",\n")
     s"""h AS (SELECT vec_id, embedding,
        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS hh
        |  FROM embeddings),
-       |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell,
+       |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
        |       FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= ($nlistSql)),
        |$iterations,
-       |cf AS (SELECT * FROM c$iters),
-       |af AS (SELECT e.vec_id, e.embedding, c.cell,
+       |cf AS MATERIALIZED (SELECT * FROM c$iters),
+       |af AS (SELECT e.vec_id, c.cell,
        |  row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY $ivfNd DESC, c.cell ASC) AS rn
        |  FROM embeddings e CROSS JOIN cf c),
-       |corpus AS (SELECT vec_id, embedding, cell FROM af WHERE rn = 1)""".stripMargin
+       |corpus AS MATERIALIZED (SELECT a.vec_id, e.embedding, a.cell
+       |  FROM af a JOIN embeddings e USING (vec_id) WHERE a.rn = 1)""".stripMargin
   }
 
   /** The fixed nlist=8, iters=3 instance shared by q78/q105/q153. */
