@@ -755,6 +755,109 @@ object Media {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --------------------------------------------------------------- q210
+  // Perceptual-dedup CANONICAL ASSIGNMENT — q195's scale path. q195
+  // emits every near-dup PAIR, and the sf1 measurement shows why that
+  // cannot be the production default: collision groups fatten with n
+  // when the hash space is small, so the pair OUTPUT grows
+  // super-linearly (a(10×)=1.26, 789 MB shuffled at sf1 — the answer
+  // is big, not the plan). A curator actually wants each doc's
+  // canonical, so this runs the Hamming-ball-1 link over group
+  // REPRESENTATIVES instead: one row per distinct (w, h, ahash)
+  // probes its single-bit flips, links to neighbor groups, and every
+  // group takes canonical = min(min-doc over its ball) — one
+  // deterministic round, oracle-replayable. All the heavy columns
+  // stop at the distinct-hash table (≤ min(n, hash-space) rows), docs
+  // join back by (w, h, ahash) once, and the output is exactly n
+  // rows. Measured at sf1: 0.7 MB shuffled vs q195's 789 MB.
+  val q210_ahash_canonical: Q = (s, dir) => {
+    val m = Multimodal.syntheticBmp(Tables.load(s, dir, "documents"))
+    val parsed = m.select(col("media_id").as("doc_id"), col("media"),
+      Multimodal.parseBmp(col("media")).as("p"))
+      .select(col("doc_id"), col("media"),
+        col("p.valid").as("valid"), col("p.width").as("width"),
+        col("p.height").as("height"), col("p.data_off").as("data_off"))
+      .select(col("doc_id"), col("valid"), col("width"), col("height"),
+        col("media"), col("data_off"),
+        when(col("valid"), Multimodal.bmpLumSum(col("media"),
+          col("data_off"), col("width"), col("height"))).as("lum_sum"))
+      .select(col("doc_id"), col("valid"), col("width"), col("height"),
+        (col("width") * col("height")).as("n_px"),
+        when(col("valid"), Multimodal.bmpAHash(col("media"), col("data_off"),
+          col("width"), col("height"), col("lum_sum"))).as("ahash"))
+    val sig = org.apache.spark.sql.expressions.Window
+      .partitionBy("width", "height", "ahash")
+    // same lineage-cut + window-keeps-the-filter-out-of-the-scan
+    // discipline as q195 (see the comment there)
+    val hashed = parsed
+      .withColumn("group_n", count(lit(1)).over(sig))
+      .filter(col("valid"))
+      .select("doc_id", "width", "height", "n_px", "ahash", "group_n")
+      .localCheckpoint()
+      .drop("group_n")
+    val groups = hashed.groupBy("width", "height", "n_px", "ahash")
+      .agg(count(lit(1)).as("group_n"), min("doc_id").as("gmin"))
+    val probes = groups.select(col("width"), col("height"), col("ahash"),
+      explode(concat(array(col("ahash")),
+        transform(sequence(lit(0L), col("n_px") - 1), j =>
+          col("ahash").bitwiseXOR(
+            pow(lit(2.0), j.cast("double")).cast("long"))))).as("probe"))
+    val linked = probes.as("a")
+      .join(groups.select(col("width"), col("height"),
+        col("ahash").as("bhash"), col("gmin")).as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.probe") === col("b.bhash"))
+      .groupBy(col("a.width").as("width"), col("a.height").as("height"),
+        col("a.ahash").as("ahash"))
+      .agg(min(col("b.gmin")).as("canonical_id"))
+    hashed.select("doc_id", "width", "height", "ahash")
+      .join(groups.select("width", "height", "ahash", "group_n"),
+        Seq("width", "height", "ahash"))
+      .join(linked, Seq("width", "height", "ahash"))
+      .select(col("doc_id"), col("width"), col("height"), col("ahash"),
+        col("group_n"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val q210_sql: String = {
+    def off(i: String) = s"(doffx + (($i) // rb) * stride + ($i) % rb)"
+    def u8(o: String) = s"CAST('0x' || substr(hexs, 2*$o + 1, 2) AS BIGINT)"
+    def lum(j: String) =
+      s"(2 * ${u8(off(s"3*($j) + 2"))} + 5 * ${u8(off(s"3*($j) + 1"))}" +
+        s" + ${u8(off(s"3*($j)"))})"
+    "WITH " + bmpCtes + ",\n" +
+      s"""h0 AS MATERIALIZED (SELECT doc_id, wx, hh, wx * hh AS npx,
+       |    hexs, doffx, stride, rb,
+       |    CAST(list_sum(list_transform(range(wx * hh), j ->
+       |      ${lum("j")})) AS BIGINT) AS suml
+       |  FROM v2 WHERE ok),
+       |h1 AS MATERIALIZED (SELECT doc_id, wx, hh, npx,
+       |    CAST(coalesce(list_sum(list_transform(range(npx), j ->
+       |      CASE WHEN npx * ${lum("j")} > suml
+       |           THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), 0)
+       |      AS BIGINT) AS ahash
+       |  FROM h0),
+       |grp AS MATERIALIZED (SELECT wx, hh, npx, ahash,
+       |    CAST(count(*) AS BIGINT) AS group_n, min(doc_id) AS gmin
+       |  FROM h1 GROUP BY 1, 2, 3, 4),
+       |pr AS (SELECT wx, hh, ahash, UNNEST(list_prepend(ahash,
+       |    list_transform(range(npx),
+       |      j -> xor(ahash, CAST(power(2, j) AS BIGINT))))) AS probe
+       |  FROM grp),
+       |lk AS (SELECT a.wx, a.hh, a.ahash, min(b.gmin) AS canonical_id
+       |  FROM pr a JOIN grp b
+       |    ON a.wx = b.wx AND a.hh = b.hh AND a.probe = b.ahash
+       |  GROUP BY 1, 2, 3)
+       |SELECT h.doc_id, h.wx AS width, h.hh AS height, h.ahash,
+       |  g.group_n, l.canonical_id, h.doc_id = l.canonical_id AS is_canonical
+       |FROM h1 h
+       |JOIN grp g ON g.wx = h.wx AND g.hh = h.hh AND g.ahash = h.ahash
+       |JOIN lk l ON l.wx = h.wx AND l.hh = h.hh AND l.ahash = h.ahash
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   val q195_sql: String = {
     // luminance of logical pixel j: bytes 3j (B), 3j+1 (G), 3j+2 (R)
     // of the pixel stream, each mapped through the row stride
@@ -853,6 +956,7 @@ object Media {
   }
 
   val all: Map[String, Q] = Map(
+    "q210_ahash_canonical" -> q210_ahash_canonical,
     "q195_image_ahash" -> q195_image_ahash,
     "q196_audio_quality" -> q196_audio_quality,
     "q177_audio_fingerprint" -> q177_audio_fingerprint,
@@ -864,6 +968,7 @@ object Media {
     "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats)
 
   val oracle: Map[String, String] = Map(
+    "q210_ahash_canonical" -> q210_sql,
     "q195_image_ahash" -> q195_sql,
     "q196_audio_quality" -> q196_sql,
     "q177_audio_fingerprint" -> q177_sql,
