@@ -20,6 +20,35 @@ class PlanAuditSpec extends SparkSpec {
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("q209 incremental top-k: both rank passes are bounded-heap aggregates, no window") {
+    val df = graft.queries.Curation
+      .q209_incremental_topk(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass — the map-side combine that caps shuffle at k/group
+    assert(plan.contains("top_k_ids"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"),
+      "q209 must not window-sort corpus-sized partitions")
+  }
+
+  test("q210 canonical assignment: n-row output, canonical <= doc, ball-consistent") {
+    val df = graft.queries.Media
+      .q210_ahash_canonical(spark, TestSpark.sf0001)
+    val rows = df.collect()
+    // one row per valid doc, never a pair list
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(0), "canonical must be a min")
+      assert(r.getBoolean(6) === (r.getLong(0) === r.getLong(5)))
+    }
+    // exact duplicates (same w, h, ahash) share one canonical
+    val byGroup = rows.groupBy(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    byGroup.values.foreach { g =>
+      assert(g.map(_.getLong(5)).distinct.length === 1)
+    }
+  }
+
   test("q158 key-skew census: top-10 plans as TakeOrderedAndProject; invariants hold") {
     val df = graft.queries.Extended.q158_key_skew(spark, TestSpark.sf0001)
     val plan = df.queryExecution.executedPlan.toString
