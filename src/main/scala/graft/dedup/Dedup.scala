@@ -477,6 +477,76 @@ object Dedup {
     * the optional lazy document-frequency cut — shared by every
     * token-keyed sim-join so the posting-list guard composes
     * uniformly. */
+  /** Prefix-filtered EXACT Jaccard set-similarity join (the AllPairs /
+    * PPJoin candidate scheme — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08). Unlike the df-cut (a lossy stop-token trade that reports
+    * a LOWER BOUND), the prefix filter is exact-complete: order every
+    * document's items by ascending global document frequency (rarest
+    * first, ties on the item value) and index only the first
+    * `sz - floor(t·sz) + 1` items. Any pair with Jaccard ≥ t must share
+    * at least one indexed prefix item — J ≥ t implies
+    * |A∩B| ≥ t·|A∪B| ≥ t·|A|, so skipping more than `sz - ceil(t·sz)`
+    * items of A cannot leave enough overlap. The required-overlap bound
+    * uses integer FLOOR in micro-units (longer prefix than strictly
+    * needed), so the 6-dp rounding of the final Jaccard check can never
+    * drop a true pair.
+    *
+    * 100 TB shape: the candidate self-join's shuffle key is the PREFIX
+    * item — by construction each doc contributes only its RAREST items,
+    * so the hottest posting lists (the exact rows the df-cut has to
+    * throw away) never enter the join, yet the result is provably equal
+    * to the all-pairs inverted-index join. Verification touches only
+    * candidate pairs: one join back to the per-doc item arrays and an
+    * `array_intersect` per pair, O(|A|+|B|) each. The per-doc
+    * rarest-first ranking window partitions on doc id (bounded by doc
+    * size, never corpus-sized). Returns (id_a, id_b, jaccard) —
+    * identical to [[jaccardSimJoinOn]] with no df-cut. */
+  def prefixFilterJaccardJoinOn(df: DataFrame, id: Column, items: Column,
+                                threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .filter(col("sz") > 0)
+    val prefix = rarestFirstPrefix(toks, tMicro)
+    // Candidate pairs: prefix-item equi-join + the (conservative,
+    // micro-unit-exact) length filter min ≥ (t − ε)·max.
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) * lit(1000000L) >=
+            lit(tMicro - 1L) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification on candidates only.
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("__ta"),
+        col("sz").as("__sa")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("__tb"),
+        col("sz").as("__sb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("__i").cast("double") / (col("__sa") + col("__sb") - col("__i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The prefix index for [[prefixFilterJaccardJoinOn]]: per doc, items
+    * ranked rarest-first (global df ascending, ties on value), keeping
+    * rank ≤ sz - floor(t·sz) + 1. Package-visible so specs can assert
+    * the pruning ratio directly. Input: (id, toks, sz). */
+  private[graft] def rarestFirstPrefix(toks: DataFrame, tMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("__df"), col("tok"))
+    inv.join(dfreq, "tok")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= col("sz") - expr(s"($tMicro * sz) div 1000000") + 1)
+      .select(col("id"), col("sz"), col("tok"))
+  }
+
   private def invertedIndex(toks: DataFrame,
                             maxDocFrequency: Double): DataFrame = {
     val invAll = toks.select(col("id"), explode(col("toks")).as("tok"))

@@ -419,6 +419,43 @@ object TextSim {
 
   val q96_sql: String = jaccardDfcutSql("")
 
+  // --------------------------------------------------------------- q211
+  // Prefix-filtered EXACT Jaccard sim-join (AllPairs/PPJoin candidate
+  // scheme), UNCAPPED: rarest-first ordering indexes only the first
+  // sz - floor(t·sz) + 1 shingles per doc, so the candidate self-join
+  // never touches the hot posting lists — yet the result is provably
+  // identical to the plain all-pairs inverted-index join (the oracle
+  // below IS that plain join). The exact-complete counterpart of q96's
+  // lossy df-cut: same feasibility at scale, no lower-bound trade.
+  private val PrefixJoinThreshold = 0.8
+
+  val q211_prefix_jaccard: Q = (s, dir) =>
+    Dedup.prefixFilterJaccardJoinOn(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = PrefixJoinThreshold)
+      .orderBy("id_a", "id_b")
+
+  // Oracle: the PLAIN uncapped inverted-index Jaccard join — the prefix
+  // filter must reproduce it exactly (completeness is the whole claim).
+  val q211_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $PrefixJoinThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q94
   // SimHash near-dups WITH the hot-bucket occupancy cap — the skew
   // guard hash-checked cross-engine: buckets holding more than `cap`
@@ -1519,6 +1556,7 @@ object TextSim {
     "q94_simhash_capped" -> q94_simhash_capped,
     "q95_simhash_full" -> q95_simhash_full,
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
+    "q211_prefix_jaccard" -> q211_prefix_jaccard,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q149_lsh_recall" -> q149_lsh_recall,
     "q153_ivf_balance" -> q153_ivf_balance,
@@ -1565,6 +1603,7 @@ object TextSim {
     "q94_simhash_capped" -> q94_sql,
     "q95_simhash_full" -> q95_sql,
     "q96_jaccard_dfcut_full" -> q96_sql,
+    "q211_prefix_jaccard" -> q211_sql,
     "q92_minhash_bands_full" -> q92_sql,
     "q149_lsh_recall" -> q149_sql,
     "q153_ivf_balance" -> q153_sql,

@@ -275,4 +275,44 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
   }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("prefix-filter jaccard join ≡ plain inverted-index join (crafted)") {
+    val items = TextAnalysis.tokens(col("text"))
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      val plain = pairsOf(Dedup.jaccardSimJoinOn(docs, col("doc_id"), items, t))
+      val pf = pairsOf(Dedup.prefixFilterJaccardJoinOn(docs, col("doc_id"), items, t))
+      assert(pf === plain, s"threshold $t")
+    }
+  }
+
+  test("prefix-filter jaccard join ≡ plain join on real shingles (sf0.001)") {
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val plain = pairsOf(Dedup.jaccardSimJoinOn(real, col("doc_id"), items, 0.8))
+    val pf = pairsOf(Dedup.prefixFilterJaccardJoinOn(real, col("doc_id"), items, 0.8))
+    assert(pf === plain)
+    assert(pf.nonEmpty) // the synthetic corpus has near-dup pairs ≥ 0.8
+  }
+
+  test("prefix-filter at threshold 1.0 keeps exactly the identical-set pairs") {
+    val items = TextAnalysis.tokens(col("text"))
+    val pf = pairsOf(Dedup.prefixFilterJaccardJoinOn(docs, col("doc_id"), items, 1.0))
+    assert(pf === Map((0L, 1L) -> 1.0))
+  }
+
+  test("prefix index is a strict subset of the full inverted index") {
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val toks = real.select(col("doc_id").as("id"), array_distinct(items).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .filter(col("sz") > 0)
+    val full = toks.select(explode(col("toks"))).count()
+    val prefix = Dedup.rarestFirstPrefix(toks, 800000L).count()
+    // t=0.8 keeps sz - floor(0.8·sz) + 1 ≈ 20% of postings per doc
+    assert(prefix < full * 3 / 10, s"prefix $prefix vs full $full")
+    assert(prefix > 0)
+  }
 }
