@@ -53,9 +53,14 @@ object Pca {
     * fixed `Iters` matvecs, integer arithmetic throughout. */
   def topComponent(spark: SparkSession, df: DataFrame, vecCol: Column): DataFrame = {
     // one data-sized pass: exact milli-unit Gram matrix + column sums
-    val m = df.select(
-      transform(vecCol, x => round(x.cast("double") * lit(MilliScale), 0).cast("long"))
-        .as("m"))
+    // the milli cast is guarded (null, never ANSI-throw) for the same
+    // reason as Sq.micronize: InferFiltersFromGenerate + codegen subexpr
+    // elimination can evaluate it before the finiteVec filter conjunct
+    val m = df.filter(graft.similarity.Similarity.finiteVec(vecCol)).select(
+      transform(vecCol, x => {
+        val d = x.cast("double")
+        when(abs(d) < 9.0e15, round(d * lit(MilliScale), 0).cast("long"))
+      }).as("m"))
     val ex = m.select(col("m"), posexplode(col("m")).as(Seq("i", "xi")))
     val gram = ex
       .select(col("i"), col("xi"), posexplode(col("m")).as(Seq("j", "xj")))

@@ -166,8 +166,13 @@ object Operators {
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(col("__ord") >= b, 1).otherwise(0)).reduce(_ + _)
     val bucketed = keyed.withColumn("__bkt", bucketCol)
+    // a bucket whose values are ALL null sums to null — treat it as 0,
+    // matching the window sum below (which skips nulls), so null-valued
+    // rows contribute nothing instead of NPE-ing the offset table
     val totals = bucketed.groupBy("__bkt").agg(sum("__val").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
       .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
     val spark = df.sparkSession

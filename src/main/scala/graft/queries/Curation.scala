@@ -1357,6 +1357,7 @@ object Curation {
   val q209_incremental_topk: Q = (s, dir) => {
     import graft.similarity.Sq
     val e = Tables.load(s, dir, "embeddings")
+      .filter(graft.similarity.Similarity.finiteVec(col("embedding")))
     val qm = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"),
         Sq.micronize(col("embedding")).as("qmv"))

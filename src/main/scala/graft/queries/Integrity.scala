@@ -73,6 +73,36 @@ object Integrity {
       |  min(nrm6) AS min_norm, max(nrm6) AS max_norm
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  // Vector-validity acceptance census: per label, how many embeddings
+  // each finiteVec exclusion reason hits (null array / null component /
+  // NaN / ±Inf) and how many are usable. This is the observable twin of
+  // the hygiene filter every vector operator applies at entry
+  // (Similarity.finiteVec): n_vecs − n_usable IS the number of rows
+  // train/encode/search silently skip, so the exclusion never hides.
+  // On the driver corpora every reason column is 0 and n_usable =
+  // n_vecs — the census proves the filters are no-ops on clean data.
+  val q213_embed_validity: Q = (s, dir) =>
+    Similarity.vectorValidityCensus(
+      Tables.load(s, dir, "embeddings"), col("label"), col("embedding"))
+      .withColumnRenamed("grp", "label")
+      .orderBy(asc_nulls_first("label"))
+
+  val q213_sql: String =
+    """WITH v AS (SELECT label,
+      |    (embedding IS NULL) AS nv,
+      |    coalesce(len(list_filter(embedding, x -> x IS NULL)) > 0, FALSE) AS nc,
+      |    coalesce(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0, FALSE) AS nn,
+      |    coalesce(len(list_filter(embedding, x -> isinf(CAST(x AS DOUBLE)))) > 0, FALSE) AS ni
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(count(*) FILTER (WHERE nv) AS BIGINT) AS n_null_vec,
+      |  CAST(count(*) FILTER (WHERE nc) AS BIGINT) AS n_null_comp,
+      |  CAST(count(*) FILTER (WHERE nn) AS BIGINT) AS n_nan,
+      |  CAST(count(*) FILTER (WHERE ni) AS BIGINT) AS n_inf,
+      |  CAST(count(*) FILTER (WHERE NOT (nv OR nc OR nn OR ni)) AS BIGINT) AS n_usable
+      |FROM v GROUP BY label ORDER BY label NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- q141
   // Deterministic per-source spot-check draw: exactly 5 docs per
   // source, chosen by smallest md5 key bucket — reproducible across
@@ -195,12 +225,14 @@ object Integrity {
     "q140_embed_health" -> q140_embed_health,
     "q141_group_sample" -> q141_group_sample,
     "q142_nn_label_agreement" -> q142_nn_label_agreement,
-    "q143_top_component" -> q143_top_component)
+    "q143_top_component" -> q143_top_component,
+    "q213_embed_validity" -> q213_embed_validity)
 
   val oracle: Map[String, String] = Map(
     "q139_split_leakage" -> q139_sql,
     "q140_embed_health" -> q140_sql,
     "q141_group_sample" -> q141_sql,
     "q142_nn_label_agreement" -> q142_sql,
-    "q143_top_component" -> q143_sql)
+    "q143_top_component" -> q143_sql,
+    "q213_embed_validity" -> q213_sql)
 }

@@ -34,7 +34,8 @@ object BinaryQ {
   /** Binary code table: (idCol, lo, hi) for 64-dim vectors. */
   def codes(df: DataFrame, idCol: String = "vec_id",
             vecCol: String = "embedding"): DataFrame =
-    df.select(col(idCol),
+    df.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol),
         // half() hardcodes two 32-bit halves; a dim != 64 corpus would
         // silently sign-encode the out-of-range tail as 0 via null
         // element_at, so fail loudly instead of emitting wrong codes
@@ -56,8 +57,9 @@ object BinaryQ {
     val q = codes(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"),
         col("lo").as("qlo"), col("hi").as("qhi"))
-    val qm = queries.select(col(idCol).as("query_id"),
-      Sq.micronize(col(vecCol)).as("qmv"))
+    val qm = queries.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        Sq.micronize(col(vecCol)).as("qmv"))
     val approx = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -75,7 +75,8 @@ object Ivf {
     * tie-break, as every training round. */
   def assign(df: DataFrame, centroids: Array[Array[Double]],
              vecCol: String = "embedding"): DataFrame =
-    df.withColumn("cell", cellExpr(col(vecCol), centroids))
+    df.filter(Similarity.finiteVec(col(vecCol)))
+      .withColumn("cell", cellExpr(col(vecCol), centroids))
 
   /** All cells ranked by centroid proximity to `vec`: array of
     * struct(s, cell) sorted s DESC then cell DESC — the probe order.
@@ -95,7 +96,8 @@ object Ivf {
     // training makes 1 + iters passes over the vectors — cache the
     // narrow (id, vec) projection for the duration (unpersisted below;
     // the returned lazy `assigned` plan reads the source, not the cache)
-    val vecs = corpus.select(col(idCol), col(vecCol))
+    val vecs = corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic seeded init: nlist vectors with smallest hashed id
@@ -127,8 +129,7 @@ object Ivf {
     }
 
     vecs.unpersist(blocking = false)
-    Index(centroids,
-      corpus.withColumn("cell", cellExpr(col(vecCol), centroids)))
+    Index(centroids, assign(corpus, centroids, vecCol))
   }
 
   /** Cross-engine-checkable trainer: same Lloyd's structure as [[train]]
@@ -143,7 +144,8 @@ object Ivf {
     * irrelevant for a coarse quantizer's routing quality. */
   def trainChecked(corpus: DataFrame, nlist: Int, iters: Int = 3,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
-    val vecs = corpus.select(col(idCol), col(vecCol))
+    val vecs = corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var centroids: Array[Array[Double]] = vecs
@@ -176,8 +178,7 @@ object Ivf {
     }
 
     vecs.unpersist(blocking = false)
-    Index(centroids,
-      corpus.withColumn("cell", cellExpr(col(vecCol), centroids)))
+    Index(centroids, assign(corpus, centroids, vecCol))
   }
 
   /** Candidate pairs at probe depth `nprobe`: each query joined to
@@ -187,7 +188,7 @@ object Ivf {
     * probe cost. */
   def candidates(index: Index, queries: DataFrame, nprobe: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probes = queries
+    val probes = queries.filter(Similarity.finiteVec(col(vecCol)))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         slice(rankedCells(col(vecCol), index.centroids), 1, nprobe).as("cs"))
       .select(col("query_id"), col("qv"), explode(col("cs")).as("c"))
@@ -218,7 +219,7 @@ object Ivf {
     * [[candidates]]' routing decision. */
   def probeRanks(index: Index, queries: DataFrame,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    queries
+    queries.filter(Similarity.finiteVec(col(vecCol)))
       .select(col(idCol).as("query_id"),
         posexplode(rankedCells(col(vecCol), index.centroids)).as(Seq("pos", "c")))
       .select(col("query_id"), col("c.cell").as("cell"),

@@ -35,8 +35,9 @@ object IvfPq {
     val encoded = Pq.encode(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .join(cells, "neighbor_id")
-    val q = queries.select(col(idCol).as("query_id"),
-      Sq.micronize(col(vecCol)).as("qmv"))
+    val q = queries.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        Sq.micronize(col(vecCol)).as("qmv"))
       .withColumn("lut", Pq.lutExpr(col("qmv"), cents))
     val probes = Ivf.probeRanks(index, queries, idCol, vecCol)
       .filter(col("pr") <= nprobe).select("query_id", "cell")
@@ -103,8 +104,9 @@ object IvfPq {
       Pq.codesExpr(col("mv"), rcents).as("codes"))
     val probes = Ivf.probeRanks(index, queries, idCol, vecCol)
       .filter(col("pr") <= nprobe).select("query_id", "cell")
-    val qm = queries.select(col(idCol).as("query_id"),
-      Sq.micronize(col(vecCol)).as("qmv"))
+    val qm = queries.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        Sq.micronize(col(vecCol)).as("qmv"))
     val qres = probes
       .join(broadcast(qm), "query_id")
       .join(broadcast(cm), "cell")

@@ -93,7 +93,8 @@ object Pq {
                    idCol: String = "vec_id", vecCol: String = "embedding")
   : Array[Array[Array[Long]]] =
     trainCheckedMicro(
-      corpus.select(col(idCol).as("id"), Sq.micronize(col(vecCol)).as("mv")),
+      corpus.filter(Similarity.finiteVec(col(vecCol)))
+        .select(col(idCol).as("id"), Sq.micronize(col(vecCol)).as("mv")),
       m, ksub, iters)
 
   /** [[trainChecked]] over an ALREADY-micronized vector table
@@ -160,8 +161,9 @@ object Pq {
     * projection is the ONLY thing a PQ scan materializes. */
   def encode(corpus: DataFrame, cents: Array[Array[Array[Long]]],
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol),
-      codesExpr(Sq.micronize(col(vecCol)), cents).as("codes"))
+    corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol),
+        codesExpr(Sq.micronize(col(vecCol)), cents).as("codes"))
 
   /** Two-stage ANN: ADC scan over the codes (per-query LUT, m lookups
     * per candidate) → `rerank`-deep shortlist per query → exact
@@ -176,8 +178,9 @@ object Pq {
     val m = cents.length
     val encoded = encode(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-      Sq.micronize(col(vecCol)).as("qmv"))
+    val q = queries.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        Sq.micronize(col(vecCol)).as("qmv"))
       .withColumn("lut", lutExpr(col("qmv"), cents))
     val scanned = encoded
       .crossJoin(broadcast(q.select(col("query_id"), col("lut"))))
@@ -201,8 +204,9 @@ object Pq {
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-    val store = corpus.select(col(idCol).as("neighbor_id"),
-      Sq.micronize(col(vecCol)).as("mv"))
+    val store = corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        Sq.micronize(col(vecCol)).as("mv"))
     val exact = store
       .join(broadcast(shortlist.join(q, "query_id")), Seq("neighbor_id"))
       .withColumn("edist",

@@ -33,6 +33,44 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(graft.expressions.VectorExpressions.vector_dot(a, a))
 
+  /** Usable-embedding predicate shared by every vector operator: the
+    * array is non-null and every component is non-null and finite.
+    * Train/encode/search entry points FILTER on this, so a crawl row
+    * with a missing or NaN/Inf embedding is excluded from vector math
+    * instead of poisoning it — NaN compares false with everything
+    * (silently distorting argmins and top-k order) and ANSI
+    * micronization of a non-finite value throws CAST_OVERFLOW. The
+    * predicate is a scan-fused columnar expression; census ops (e.g.
+    * [[embeddingHealth]], q213) intentionally see the raw rows so the
+    * exclusions stay observable. */
+  def finiteVec(c: Column): Column =
+    c.isNotNull && !exists(c, x =>
+      x.isNull || isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+
+  /** The acceptance census behind [[finiteVec]]: per group, how many
+    * vectors each exclusion reason hits (null array, null component,
+    * NaN, ±Inf — a vector can count toward several) and how many are
+    * usable. Run it alongside any vector pipeline so the entry
+    * filters' silent exclusions become an observable number — the
+    * difference `n_vecs - n_usable` is exactly the rows every
+    * train/encode/search operator will skip. One narrow projection +
+    * one map-side-combined aggregate; nothing vector-sized shuffles. */
+  def vectorValidityCensus(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    def cnt(flag: Column) = sum(flag.cast("long")).cast("long")
+    val nullComp = coalesce(exists(vec, x => x.isNull), lit(false))
+    val hasNan = coalesce(exists(vec, x => isnan(x.cast("double"))), lit(false))
+    val hasInf = coalesce(exists(vec,
+      x => abs(x.cast("double")) === lit(Double.PositiveInfinity)), lit(false))
+    df.select(group.as("grp"), vec.isNull.as("nv"), nullComp.as("nc"),
+        hasNan.as("nn"), hasInf.as("ni"), finiteVec(vec).as("ok"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        cnt(col("nv")).as("n_null_vec"), cnt(col("nc")).as("n_null_comp"),
+        cnt(col("nn")).as("n_nan"), cnt(col("ni")).as("n_inf"),
+        cnt(col("ok")).as("n_usable"))
+  }
+
   /** Encoder-health census per group: vector count, dimension bounds,
     * zero-vector count, and L2-norm statistics — the cheap audit that
     * catches a broken embedding job (all-zero outputs, truncated
@@ -90,7 +128,7 @@ object Similarity {
     * #labels·dim rows. */
   def centroidCosineMatrix(df: DataFrame, labelCol: Column,
                            vec: Column): DataFrame = {
-    val comp = df.select(labelCol.as("label"),
+    val comp = df.filter(finiteVec(vec)).select(labelCol.as("label"),
       posexplode(vec).as(Seq("pos", "x")))
       .select(col("label"), col("pos"),
         round(col("x").cast("double") * 1e3).cast("long").as("mv"))
@@ -116,8 +154,10 @@ object Similarity {
     * once with no shuffle before the per-query top-k window. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -150,7 +190,8 @@ object Similarity {
   def labelZscoreOutliers(df: DataFrame, topK: Int, idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           labelCol: String = "label"): DataFrame = {
-    val xm = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+    val xm = df.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("vec_id"), col("label"), col("pos"),
         round(col("x").cast("double") * lit(1e6)).cast("long").as("xm"))
@@ -182,10 +223,12 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col(labelCol).as("qlabel"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("neighbor_label"))
+    val q = queries.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel"))
+    val c = corpus.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neighbor_label"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id") &&
         col("neighbor_label") =!= col("qlabel"))
@@ -212,8 +255,10 @@ object Similarity {
   def truncationOverlap(corpus: DataFrame, queries: DataFrame, k: Int,
                         truncDim: Int, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -282,20 +327,22 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               planes: Int = 16, bands: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpusF = corpus.filter(finiteVec(col(vecCol)))
+    val queriesF = queries.filter(finiteVec(col(vecCol)))
     def keyed(df: DataFrame, id: String, v: String) = df
       .select(col(idCol).as(id), col(vecCol).as(v),
         explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
       .select(col(id), col(v), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val c = keyed(corpus, "neighbor_id", "cv")
-    val q = keyed(queries, "query_id", "qv")
+    val c = keyed(corpusF, "neighbor_id", "cv")
+    val q = keyed(queriesF, "query_id", "qv")
     // candidate dedup on IDS ONLY — never shuffle the float arrays —
     // then join the vectors back for the exact-cosine verify.
     val cand = c.drop("cv").join(q.drop("qv"), Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = queriesF.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpusF.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = cand
       .join(broadcast(qv), Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
@@ -313,9 +360,10 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, threshold: Double, dim: Int,
                         planes: Int = 24, bands: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dfF = df.filter(finiteVec(col(vecCol)))
     // band keys only — the self-join and candidate dedup shuffle just
     // (band, bh, id); vectors rejoin once for the exact verify.
-    val keyed = df
+    val keyed = dfF
       .select(col(idCol).as("id"),
         explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -324,8 +372,8 @@ object Similarity {
         col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val va = dfF.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = dfF.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     cand
       .join(va, Seq("id_a"))
       .join(vb, Seq("id_b"))
@@ -348,15 +396,17 @@ object Similarity {
                     planes: Int = 24, bands: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
+    val corpusF = corpus.filter(finiteVec(col(vecCol)))
+    val benchmarkF = benchmark.filter(finiteVec(col(vecCol)))
     def keyed(df: DataFrame, id: String) = df
       .select(col(idCol).as(id),
         explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = keyed(corpus, "vec_id")
-      .join(broadcast(keyed(benchmark, "bench_id")), Seq("band", "bh"))
+    val cand = keyed(corpusF, "vec_id")
+      .join(broadcast(keyed(benchmarkF, "bench_id")), Seq("band", "bh"))
       .select("vec_id", "bench_id").distinct()
-    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    val bv = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    val cv = corpusF.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val bv = benchmarkF.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
     val scored = cand
       .join(cv, Seq("vec_id"))
       .join(broadcast(bv), Seq("bench_id"))
@@ -366,7 +416,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("bench_id").asc)
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    corpus.select(col(idCol).as("vec_id"))
+    corpusF.select(col(idCol).as("vec_id"))
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bench_id"), col("sim"),
         coalesce(col("sim") >= threshold, lit(false)).as("contaminated"))
@@ -386,16 +436,17 @@ object Similarity {
   def semDedup(assigned: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding",
                cellCol: String = "cell"): DataFrame = {
-    val a = assigned.select(col(cellCol).as("cell"),
+    val assignedF = assigned.filter(finiteVec(col(vecCol)))
+    val a = assignedF.select(col(cellCol).as("cell"),
       col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = assigned.select(col(cellCol).as("cell"),
+    val b = assignedF.select(col(cellCol).as("cell"),
       col(idCol).as("id_b"), col(vecCol).as("vb"))
     val drops = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select(col("id_b").as("drop_id"))
       .distinct()
-    assigned
+    assignedF
       .join(drops, col(idCol) === col("drop_id"), "left")
       .select(col(idCol), col(cellCol), col("drop_id").isNull.as("kept"))
   }

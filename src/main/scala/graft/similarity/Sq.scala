@@ -29,9 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object Sq {
 
-  /** Exact micronization: `round(x·10⁶)` per element as BIGINT. */
+  /** Exact micronization: `round(x·10⁶)` per element as BIGINT. Total,
+    * not throwing: a non-finite or BIGINT-overflowing component maps to
+    * null instead of an ANSI CAST_OVERFLOW. The [[Similarity.finiteVec]]
+    * entry filters already exclude such rows from every operator, but
+    * the expression itself must not be able to throw: when a Generate
+    * sits above it, InferFiltersFromGenerate adds
+    * `size(transform(...)) > 0` filter conjuncts whose codegen
+    * SUBEXPRESSION ELIMINATION hoists the transform above the
+    * short-circuit AND — evaluating it on the very rows the preceding
+    * finiteVec conjunct was about to reject. (NaN/Inf compare false
+    * with everything, so the bound check excludes them too.) */
   def micronize(c: Column): Column =
-    transform(c, x => round(x.cast("double") * 1000000.0).cast("long"))
+    transform(c, x => {
+      val d = x.cast("double")
+      when(abs(d) < 9.0e12, round(d * 1000000.0).cast("long"))
+    })
 
   /** Learn the per-dimension codebook: a single row with
     * `mns[dim]`, `ws[dim]` (bin range width = mx−mn+1) and the dense
@@ -39,7 +52,8 @@ object Sq {
     * `cents[d·bins + c]` = mn_d + floor-avg of (v−mn_d) in bucket c
     * (empty buckets fall back to mn_d; no vector maps to them). */
   def fit(corpus: DataFrame, bins: Int, vecCol: String = "embedding"): DataFrame = {
-    val flat = corpus.select(posexplode(micronize(col(vecCol))).as(Seq("pos", "v")))
+    val flat = corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(posexplode(micronize(col(vecCol))).as(Seq("pos", "v")))
     val ranges = flat.groupBy("pos")
       .agg(min("v").as("mn"), max("v").as("mx"))
       .withColumn("w", col("mx") - col("mn") + lit(1L))
@@ -68,7 +82,8 @@ object Sq {
   /** Encode the corpus: (idCol, codes[dim]) — the compressed index. */
   def encode(corpus: DataFrame, codebook: DataFrame, bins: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol), micronize(col(vecCol)).as("mv"))
+    corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol), micronize(col(vecCol)).as("mv"))
       .crossJoin(broadcast(codebook.select("mns", "ws")))
       .select(col(idCol),
         expr(s"transform(mv, (x, d) -> ((x - mns[d]) * $bins) div ws[d])")
@@ -85,8 +100,9 @@ object Sq {
               queries: DataFrame, k: Int, rerank: Int, dim: Int, bins: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      micronize(col(vecCol)).as("qmv"))
+    val q = queries.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        micronize(col(vecCol)).as("qmv"))
     val sqDiff = s"(qmv[d] - cents[d * $bins + codes[d]])"
     val scanned = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(codebook.select("cents")))
@@ -101,8 +117,9 @@ object Sq {
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-    val store = corpus.select(col(idCol).as("neighbor_id"),
-      micronize(col(vecCol)).as("mv"))
+    val store = corpus.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        micronize(col(vecCol)).as("mv"))
     val exact = store.join(broadcast(shortlist), Seq("neighbor_id"))
       .withColumn("edist",
         expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +

@@ -34,8 +34,15 @@ object Decontam {
   private def gramHashes(df: DataFrame, id: Seq[Column], tokens: Column,
                          n: Int): DataFrame = {
     val tk = col("__graft_toks")
+    // guarded sequence: for docs shorter than n tokens, sequence(0, <0)
+    // steps BACKWARDS and the i+1 slice start hits 0 (a runtime error).
+    // The size >= n filter below is not protection enough — a Generate
+    // above this projection makes InferFiltersFromGenerate add
+    // size(grams) > 0 conjuncts whose codegen subexpression elimination
+    // evaluates `grams` before the short-circuiting size filter.
     val grams = transform(
-      sequence(lit(0), size(tk) - n),
+      when(size(tk) >= n, sequence(lit(0), size(tk) - n))
+        .otherwise(array().cast("array<int>")),
       i => array_join(slice(tk, i + 1, lit(n)), " "))
     df.select(id :+ tokens.as("__graft_toks"): _*)
       .filter(size(tk) >= n)
@@ -80,8 +87,12 @@ object Decontam {
       .distinct()
     val rhs = if (broadcastBench) broadcast(benchGrams) else benchGrams
     val tk = col("__graft_toks")
+    // guarded sequence — same InferFiltersFromGenerate/subexpr-hoist
+    // hazard as gramHashes above: the size >= n filter alone cannot
+    // keep this expression off short docs
     val gramArr = transform(
-      sequence(lit(0), size(tk) - n),
+      when(size(tk) >= n, sequence(lit(0), size(tk) - n))
+        .otherwise(array().cast("array<int>")),
       i => conv(substring(md5(array_join(slice(tk, i + 1, lit(n)), " ")), 1, 15),
         16, 10).cast("long"))
     docs.select(col(idCol), toks(col(textCol)).as("__graft_toks"))

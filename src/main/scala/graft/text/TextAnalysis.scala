@@ -39,15 +39,20 @@ object TextAnalysis {
     val nTok = size(toksCol)
     val stopHits = graft.expressions.TokenSetCount(toksCol, stopwords.toSet, lowercase = true)
     val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    // zero-denominator docs (empty/whitespace-only text) get null
+    // ratios instead of an ANSI DIVIDE_BY_ZERO — the gate treats null
+    // as failing, which is the right verdict for an empty document
     df.withColumn("__toks", tokens(text))
       .withColumns(Map(
         "n_chars" -> length(text),
         "n_tokens" -> nTok,
-        "avg_token_len" ->
+        "avg_token_len" -> when(nTok > 0,
           round(aggregate(toksCol, lit(0L), (acc, t) => acc + length(t)).cast("double")
-            / nTok, scale),
-        "stopword_ratio" -> round(stopHits.cast("double") / nTok, scale),
-        "punct_ratio" -> round(punct.cast("double") / length(text), scale)))
+            / nTok, scale)),
+        "stopword_ratio" -> when(nTok > 0,
+          round(stopHits.cast("double") / nTok, scale)),
+        "punct_ratio" -> when(length(text) > 0,
+          round(punct.cast("double") / length(text), scale))))
       .drop("__toks")
   }
 
