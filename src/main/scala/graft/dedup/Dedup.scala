@@ -547,6 +547,88 @@ object Dedup {
       .select(col("id"), col("sz"), col("tok"))
   }
 
+  /** Sample-calibrated LSH operating-point planner: choose (bands,
+    * rows) for the 64-hash MinHash banding from the corpus's OWN
+    * pair-similarity distribution instead of folklore defaults — the
+    * census-drives-the-plan discipline ([[Ivf.autoNlist]],
+    * `Ivf.tuneNprobe`, `skewJoinDecision`) applied to near-dup
+    * banding. A deterministic md5-ordered sample of `sampleSize` docs
+    * supplies candidate pairs (inverted-index join on shared items, so
+    * only pairs with Jaccard > 0 appear — zero-similarity pairs have
+    * zero collision probability and zero miss cost by definition); for
+    * every divisor split b×r = 64 the S-curve collision probability
+    * P(s) = 1 − (1 − s^r)^b prices the sample: expected false-positive
+    * cost = Σ_{s<t} P(s), expected miss cost = Σ_{s≥t} (1 − P(s)),
+    * chosen flags every cost-minimal split of cost = fp + fnWeight·fn
+    * (on a tie, take the flagged row with the fewest bands — cheapest
+    * join).
+    *
+    * Cross-engine exactness: every power is an explicit SQUARING CHAIN
+    * (r and b are powers of two), never `pow()` — repeated IEEE
+    * multiplication is bit-identical in both engines where a libm
+    * `pow` is only 1-ulp-correct; P micronizes to BIGINT before the
+    * order-free sums. 100 TB shape: the sample is 48 docs regardless
+    * of corpus size (one TakeOrdered), pairs are sample-bounded, and
+    * the 7-candidate grid is a 1-row aggregate — the planner costs
+    * less than one banding round of the join it tunes. */
+  def lshBandPlan(df: DataFrame, id: Column, items: Column,
+                  threshold: Double, sampleSize: Int = 48,
+                  fnWeight: Long = 3L, seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    val key = conv(substring(md5(concat(id.cast("string"), lit("|" + seed))),
+      1, 8), 16, 10).cast("long")
+    // two-phase sample: the corpus-wide pass carries only (id, key) —
+    // the distinct-item arrays are built AFTER the 48-row cut, behind
+    // the broadcast semi-join, so nothing array-sized rides the
+    // TakeOrdered (size(items) > 0 ⇔ the distinct array is non-empty)
+    val sampleIds = df.filter(size(items) > 0)
+      .select(id.as("__sid"), key.as("__k"))
+      .orderBy(col("__k"), col("__sid")).limit(sampleSize)
+      .select("__sid")
+    val sample = df.join(broadcast(sampleIds), id === col("__sid"))
+      .select(id.as("id"), array_distinct(items).as("toks"))
+    val w = sample.select(col("id"), explode(col("toks")).as("tok"))
+    val sz = sample.select(col("id"), size(col("toks")).cast("long").as("sz"))
+    val inter = w.alias("a")
+      .join(w.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+      .select(round(col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")), 6).as("s"))
+      .withColumn("sm", round(col("s") * 1e6).cast("long"))
+    def chain(c0: Column, e: Int): Column = {
+      var c = c0; var k = 1
+      while (k < e) { c = c * c; k *= 2 }
+      c
+    }
+    val grid = Seq(1, 2, 4, 8, 16, 32, 64).map(b => (b, 64 / b))
+    val sums = grid.flatMap { case (b, r) =>
+      val p = lit(1.0) - chain(lit(1.0) - chain(col("s"), r), b)
+      val pm = round(p * 1e6).cast("long")
+      Seq(
+        coalesce(sum(when(col("sm") < tMicro, pm).otherwise(0L)), lit(0L))
+          .as(s"fp_$b"),
+        coalesce(sum(when(col("sm") >= tMicro, lit(1000000L) - pm)
+          .otherwise(0L)), lit(0L)).as(s"fn_$b"))
+    }
+    val agg = pairs.agg(sums.head, sums.tail: _*)
+    val rows = agg.select(explode(array(grid.map { case (b, r) =>
+      struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col(s"fp_$b").as("fp_micro"), col(s"fn_$b").as("fn_micro"),
+        (col(s"fp_$b") + lit(fnWeight) * col(s"fn_$b")).as("cost_micro"))
+    }: _*)).as("c")).select("c.*")
+    val best = rows.agg(min("cost_micro").as("__mc"))
+    rows.crossJoin(broadcast(best))
+      .withColumn("chosen", col("cost_micro") === col("__mc"))
+      .drop("__mc")
+  }
+
   private def invertedIndex(toks: DataFrame,
                             maxDocFrequency: Double): DataFrame = {
     val invAll = toks.select(col("id"), explode(col("toks")).as("tok"))

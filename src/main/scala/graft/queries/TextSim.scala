@@ -456,6 +456,86 @@ object TextSim {
        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $PrefixJoinThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q212
+  // Sample-calibrated LSH band planner: the q149 audit MEASURES the
+  // fixed 16×4 operating point; this PLANS one — a deterministic
+  // 48-doc md5 sample prices every divisor split b×r = 64 against the
+  // corpus's own pair-similarity distribution (expected FP collisions
+  // below threshold vs weighted misses above it) and flags the
+  // cost-minimal banding. Every S-curve power is a squaring chain
+  // (never libm pow, which is only 1-ulp-correct), micronized to
+  // BIGINT before the order-free sums — the oracle replays the whole
+  // planner bit-for-bit.
+  private val PlanThreshold = 0.5
+  private val PlanFnWeight = 3L
+
+  val q212_lsh_plan: Q = (s, dir) =>
+    Dedup.lshBandPlan(Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = PlanThreshold, fnWeight = PlanFnWeight)
+      .orderBy("bands")
+
+  val q212_sql: String = {
+    val tMicro = math.round(PlanThreshold * 1e6)
+    // squaring-chain SQL via lateral column aliases — the exact
+    // doubling order of lshBandPlan's Column chain
+    def chainDefs(base: String, e: Int, prefix: String): (String, Seq[String]) = {
+      var defs = Seq(s"$base AS ${prefix}1")
+      var cur = s"${prefix}1"; var k = 1
+      while (k < e) {
+        val nxt = s"$prefix${k * 2}"
+        defs = defs :+ s"$cur * $cur AS $nxt"
+        cur = nxt; k *= 2
+      }
+      (cur, defs)
+    }
+    val grid = Seq(1, 2, 4, 8, 16, 32, 64).map(b => (b, 64 / b))
+    val perCand = grid.map { case (b, r) =>
+      val (sr, sDefs) = chainDefs("s", r, s"a${b}_")
+      val (qb, qDefs) = chainDefs(s"(1.0 - $sr)", b, s"q${b}_")
+      ((sDefs ++ qDefs).mkString(",\n    "),
+        s"CAST(round((1.0 - $qb) * 1000000) AS BIGINT) AS p_$b")
+    }
+    val aggCols = grid.map { case (b, _) =>
+      s"""CAST(coalesce(sum(CASE WHEN sm < $tMicro THEN p_$b ELSE 0 END), 0) AS BIGINT) AS fp_$b,
+         |  CAST(coalesce(sum(CASE WHEN sm >= $tMicro THEN 1000000 - p_$b ELSE 0 END), 0) AS BIGINT) AS fn_$b""".stripMargin
+    }.mkString(",\n  ")
+    val candSelects = grid.map { case (b, r) =>
+      s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, " +
+        s"fp_$b AS fp_micro, fn_$b AS fn_micro, " +
+        s"fp_$b + $PlanFnWeight * fn_$b AS cost_micro FROM agg"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |            FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(
+       |        generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs FROM d0),
+       |samp AS MATERIALIZED (SELECT doc_id, gs FROM g WHERE len(gs) > 0
+       |  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 8) AS BIGINT),
+       |           doc_id LIMIT 48),
+       |w AS (SELECT doc_id, UNNEST(gs) AS tok FROM samp),
+       |sz AS (SELECT doc_id, len(gs) AS sz FROM samp),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |p0 AS MATERIALIZED (SELECT
+       |    round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS s,
+       |    CAST(round(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) * 1000000) AS BIGINT) AS sm
+       |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
+       |chains AS (SELECT s, sm,
+       |    ${perCand.map(_._1).mkString(",\n    ")},
+       |    ${perCand.map(_._2).mkString(",\n    ")}
+       |  FROM p0),
+       |agg AS (SELECT
+       |  $aggCols
+       |  FROM chains),
+       |cands AS (
+       |  $candSelects)
+       |SELECT bands, rows_per_band, fp_micro, fn_micro, cost_micro,
+       |  cost_micro = (SELECT min(cost_micro) FROM cands) AS chosen
+       |FROM cands ORDER BY bands""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q94
   // SimHash near-dups WITH the hot-bucket occupancy cap — the skew
   // guard hash-checked cross-engine: buckets holding more than `cap`
@@ -1557,6 +1637,7 @@ object TextSim {
     "q95_simhash_full" -> q95_simhash_full,
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q211_prefix_jaccard" -> q211_prefix_jaccard,
+    "q212_lsh_plan" -> q212_lsh_plan,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q149_lsh_recall" -> q149_lsh_recall,
     "q153_ivf_balance" -> q153_ivf_balance,
@@ -1604,6 +1685,7 @@ object TextSim {
     "q95_simhash_full" -> q95_sql,
     "q96_jaccard_dfcut_full" -> q96_sql,
     "q211_prefix_jaccard" -> q211_sql,
+    "q212_lsh_plan" -> q212_sql,
     "q92_minhash_bands_full" -> q92_sql,
     "q149_lsh_recall" -> q149_sql,
     "q153_ivf_balance" -> q153_sql,

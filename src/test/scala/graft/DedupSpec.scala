@@ -303,6 +303,22 @@ class DedupSpec extends SparkSpec {
     assert(pf === Map((0L, 1L) -> 1.0))
   }
 
+  test("lsh band planner: divisor grid, monotone fp/fn, chosen = min cost") {
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val rows = Dedup.lshBandPlan(real, col("doc_id"), items, threshold = 0.5)
+      .orderBy("bands").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 64L), (2L, 32L), (4L, 16L), (8L, 8L), (16L, 4L), (32L, 2L), (64L, 1L)))
+    // more bands → more collisions: fp non-decreasing, fn non-increasing
+    val fp = rows.map(_.getLong(2)); val fn = rows.map(_.getLong(3))
+    fp.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    fn.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    val minCost = rows.map(_.getLong(4)).min
+    rows.foreach(r => assert(r.getBoolean(5) === (r.getLong(4) === minCost)))
+    assert(rows.count(_.getBoolean(5)) >= 1)
+  }
+
   test("prefix index is a strict subset of the full inverted index") {
     val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
