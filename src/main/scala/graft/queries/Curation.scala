@@ -714,13 +714,13 @@ object Curation {
   // corpus; every doc scores the exact integer Σ count·llr_micro over
   // its features (the one float op — ln — is micronized per BUCKET, so
   // document scores are order-independent BIGINTs); the top 20% by
-  // score are selected. The global-rank selection here is the
-  // demo-scale form; Dsir's scaladoc documents the approx-quantile
-  // threshold swap at real scale.
+  // score are selected. The exact global rank runs through the
+  // range-bucketed distributed running total — no single-partition
+  // window at any count; Dsir's scaladoc documents the cheaper
+  // approx-quantile threshold swap when exact rank isn't required.
   val DsirBuckets = 4096
 
   val q174_dsir_select: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(s, dir, "documents")
     val model = graft.text.Dsir.fit(
       docs, col("doc_id"), col("text"), col("lang") === "en", DsirBuckets)
@@ -728,12 +728,16 @@ object Curation {
       docs, col("doc_id"), col("text"), model, DsirBuckets)
     val named = docs.select(col("doc_id").as("id"), col("source"))
       .join(sc, "id")
-    val rk = row_number()
-      .over(Window.orderBy(col("score_micro").desc, col("id").asc))
-    val n = count(lit(1)).over(Window.partitionBy())
-    named
+    // global rank via the range-bucketed distributed running total
+    // (was the repo's one remaining single-partition window) — rank =
+    // running count of 1 over the same (score desc, id) total order;
+    // the corpus count broadcasts from a 1-row aggregate
+    val ranked = graft.operators.Operators.withRunningTotal(
+      named, lit(1L), Seq(negate(col("score_micro")), col("id")))
+    val tot = named.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
       .select(col("id").as("doc_id"), col("source"), col("score_micro"),
-        (rk <= (n / lit(5)).cast("int")).as("selected"))
+        (col("__run") <= (col("__n") / lit(5)).cast("int")).as("selected"))
       .orderBy("doc_id")
   }
 

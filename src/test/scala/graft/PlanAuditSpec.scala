@@ -20,6 +20,20 @@ class PlanAuditSpec extends SparkSpec {
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("no single-partition Window anywhere in the fleet") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
+          .collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition Window in: ${offenders.mkString(", ")}")
+  }
+
   test("q209 incremental top-k: both rank passes are bounded-heap aggregates, no window") {
     val df = graft.queries.Curation
       .q209_incremental_topk(spark, TestSpark.sf0001)
