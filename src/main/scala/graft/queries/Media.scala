@@ -828,17 +828,24 @@ object Media {
       s"(2 * ${u8(off(s"3*($j) + 2"))} + 5 * ${u8(off(s"3*($j) + 1"))}" +
         s" + ${u8(off(s"3*($j)"))})"
     "WITH " + bmpCtes + ",\n" +
-      s"""h0 AS MATERIALIZED (SELECT doc_id, wx, hh, wx * hh AS npx,
-       |    hexs, doffx, stride, rb,
-       |    CAST(list_sum(list_transform(range(wx * hh), j ->
-       |      ${lum("j")})) AS BIGINT) AS suml
+      // materialize the per-pixel luminance LISTS (≤ 64 BIGINTs/doc),
+      // not the BMP hex strings: the h0-with-hexs form held the whole
+      // synthetic image corpus in memory TWICE (suml pass + bit pass)
+      // and rode the oracle runner's 24 GB limit at sf0.3 — flaky OOM
+      // under ambient load. The bit pass walks lums with the
+      // INDEX-lambda form, never `lums[j+1]` — a list-extract inside a
+      // lambda over range() is its own DuckDB memory pathology (OOM at
+      // 8 GB where this form finishes in 17 s). (x, j) is 1-based, so
+      // power(2, j−1) ≡ the old power(2, j) bit — output bit-identical.
+      s"""l0 AS MATERIALIZED (SELECT doc_id, wx, hh, wx * hh AS npx,
+       |    list_transform(range(wx * hh), j -> ${lum("j")}) AS lums
        |  FROM v2 WHERE ok),
        |h1 AS MATERIALIZED (SELECT doc_id, wx, hh, npx,
-       |    CAST(coalesce(list_sum(list_transform(range(npx), j ->
-       |      CASE WHEN npx * ${lum("j")} > suml
-       |           THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), 0)
+       |    CAST(coalesce(list_sum(list_transform(lums, (x, j) ->
+       |      CASE WHEN npx * x > suml
+       |           THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)), 0)
        |      AS BIGINT) AS ahash
-       |  FROM h0),
+       |  FROM (SELECT *, CAST(list_sum(lums) AS BIGINT) AS suml FROM l0)),
        |grp AS MATERIALIZED (SELECT wx, hh, npx, ahash,
        |    CAST(count(*) AS BIGINT) AS group_n, min(doc_id) AS gmin
        |  FROM h1 GROUP BY 1, 2, 3, 4),
