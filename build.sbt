@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // constrained-heap runs (SPARK_DRIVER_MEM=2g at sf1) die with
+  // "Retried waiting for GCLocker too often" — G1 GCLocker starvation
+  // under 32 allocating threads + native parquet JNI critical regions,
+  // a spurious OOM (default retry count is 2), not heap exhaustion
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )
