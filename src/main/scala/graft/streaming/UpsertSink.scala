@@ -448,6 +448,59 @@ object UpsertSink {
       }
     }
 
+    /** Change data feed between two committed versions: the keyed diff
+      * `fromVersion` → `toVersion` as (keyCols…, value columns,
+      * change_type ∈ insert | update | delete). Inserts and updates
+      * carry the TO side's values, deletes the FROM side's; rows whose
+      * every value column is null-safe-equal are absent from the feed.
+      * Directional — swapping the arguments yields the rollback feed.
+      * Schemas are aligned by name with null-fill (the sink's
+      * schema-evolution rule), so a column added between the versions
+      * reports null-safe-equal for carried rows and never fabricates
+      * spurious updates.
+      *
+      * 100 TB shape: one keyed full-outer join of the two snapshots —
+      * the same shuffle class as the merge that produced them, nothing
+      * driver-sized. (The merge already KNOWS its batch; this is the
+      * reader-side reconstruction for when only snapshots exist —
+      * downstream incremental consumers, audit, replication.) */
+    def changesBetween(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String, fromVersion: Long, toVersion: Long,
+                       keyCols: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val a = readVersion(spark, tablePath, fromVersion)
+      val b = readVersion(spark, tablePath, toVersion)
+      // unified schema: TO side's columns first (target schema wins),
+      // then FROM-only columns; missing columns null-fill at the
+      // other side's dtype
+      val unified: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        b.schema.fields.map(f => f.name -> f.dataType).toSeq ++
+          a.schema.fields.collect {
+            case f if !b.columns.contains(f.name) => f.name -> f.dataType
+          }
+      require(keyCols.forall(k => unified.exists(_._1 == k)),
+        s"key columns $keyCols must exist in at least one version")
+      def aligned(df: DataFrame) = df.select(unified.map { case (n, t) =>
+        (if (df.columns.contains(n)) col(n) else lit(null).cast(t)).as(n)
+      }: _*)
+      val valCols = unified.map(_._1).filterNot(keyCols.contains)
+      val fa = aligned(a).select(keyCols.map(col) ++
+        valCols.map(c => col(c).as(s"__a_$c")) :+ lit(true).as("__in_a"): _*)
+      val fb = aligned(b).select(keyCols.map(col) ++
+        valCols.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+      val changed = valCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      fa.join(fb, keyCols, "full_outer")
+        .withColumn("change_type",
+          when(col("__in_a").isNull, "insert")
+            .when(col("__in_b").isNull, "delete")
+            .when(changed, "update"))
+        .filter(col("change_type").isNotNull)
+        .select(keyCols.map(col) ++ valCols.map(c =>
+          when(col("change_type") === "delete", col(s"__a_$c"))
+            .otherwise(col(s"__b_$c")).as(c)) :+ col("change_type"): _*)
+    }
+
     /** Hadoop FileSystem.rename reports most failures (missing parent,
       * existing destination, S3A partial copy, cross-FS moves) as
       * `false`, not an exception — callers must check the boolean before

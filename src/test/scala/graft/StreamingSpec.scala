@@ -102,6 +102,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("change feed: keyed diff between versions, schema evolution, rollback direction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdf").toFile
+    val path = s"${dir.getAbsolutePath}/t"
+    val S = UpsertSink.ParquetMergeSink
+    S.merge(Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "v"), path, Seq("k"))
+    S.merge(Seq(("b", 9.0), ("d", 4.0)).toDF("k", "v"), path, Seq("k"))
+    val fwd = S.changesBetween(spark, path, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    // untouched carried rows (a, c) must be absent from the feed
+    assert(fwd === Map("b" -> (9.0, "update"), "d" -> (4.0, "insert")))
+    // rollback direction: the same pair reversed
+    val back = S.changesBetween(spark, path, 2L, 1L, Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(back === Map("b" -> (2.0, "update"), "d" -> (4.0, "delete")))
+    // a version with an added column: carried rows null-fill and are
+    // NOT spurious updates; the evolved row reports its new value
+    S.merge(Seq(("a", 1.0, "x")).toDF("k", "v", "tag"), path, Seq("k"))
+    val ev = S.changesBetween(spark, path, 2L, 3L, Seq("k")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), Option(r.getString(2)), r.getString(3)))
+      .toMap
+    assert(ev === Map("a" -> (1.0, Some("x"), "update")))
+    // identical snapshots diff to an empty feed
+    assert(S.changesBetween(spark, path, 3L, 3L, Seq("k")).count() === 0L)
+  }
+
   test("vacuum retention horizon: young history survives, expired goes, tail untouchable") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("graft_vac").toFile
