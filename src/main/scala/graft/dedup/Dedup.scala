@@ -117,13 +117,18 @@ object Dedup {
     * keys. Two docs sharing any band key are candidates. The band hash
     * is a base-31 fold of the band's minhash slots — overflow-free for
     * rows ≤ 6 (values < 2^32; 31^5·2^32 < 2^57), engine-portable, and
-    * cheap. */
+    * cheap. Deeper bands (the q212 planner can choose 8 rows/band)
+    * mask the accumulator back to 32 bits per step — keeps every
+    * intermediate < 2^37 under ANSI in BOTH engines, identical
+    * collision semantics, and leaves the historical rows ≤ 6 hash
+    * untouched. */
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column = {
-    require(rows <= 6, "base-31 band fold overflows beyond 6 rows/band")
+    val fold: (Column, Column) => Column =
+      if (rows <= 6) (acc, x) => acc * 31 + x
+      else (acc, x) => (acc * 31 + x).bitwiseAND(lit(4294967295L))
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        aggregate(slice(sig, b * rows + 1, rows), lit(0L),
-          (acc, x) => acc * 31 + x).as("bh"))
+        aggregate(slice(sig, b * rows + 1, rows), lit(0L), fold).as("bh"))
     }: _*)
   }
 

@@ -259,15 +259,22 @@ object TextSim {
   /** Shared minhash-LSH candidate CTE chain (docs → shingle hashes →
     * signatures → band keys → candidate pairs), generated from the same
     * mixConstants as the Spark plan. `docFilter` scopes the corpus. */
-  private[queries] def minhashCandCtes(docFilter: String): String = {
+  private[queries] def minhashCandCtes(docFilter: String,
+                                       bands: Int = 16, rows: Int = 4): String = {
+    require(bands * rows == 64, s"bands x rows must cover 64 sigs")
     val mixes = Dedup.mixConstants(64, 42L)
     val sentinel = Seq.fill(64)("CAST(4294967295 AS BIGINT)").mkString(", ")
     val slots = mixes.map { case (a, b) =>
       s"list_min(list_transform(hs, x -> (x*$a + $b) & 4294967295))"
     }.mkString(",\n    ")
-    val bandRows = (0 until 16).map { b =>
+    // rows > 6 uses the 32-bit-masked fold (Dedup.lshBandKeys): the
+    // plain base-31 fold overflows INT64 under ANSI in both engines
+    val foldBody =
+      if (rows <= 6) "(acc, v) -> acc*31 + v"
+      else "(acc, v) -> (acc*31 + v) & 4294967295"
+    val bandRows = (0 until bands).map { b =>
       s"SELECT doc_id, $b AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"sig[${b * 4 + 1}:${b * 4 + 4}]), (acc, v) -> acc*31 + v) AS bh FROM sig"
+        s"sig[${b * rows + 1}:${b * rows + rows}]), $foldBody) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""d AS (SELECT doc_id, text FROM documents $docFilter),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d),
@@ -1061,6 +1068,69 @@ object TextSim {
         .as("candidate_precision"))
   }
 
+  // --------------------------------------------------------------- q214
+  // The planner's verdict, APPLIED and measured: q212 priced every
+  // b×r = 64 split on a sampled pair-similarity distribution and chose
+  // 8×8 over the folklore 16×4; this runs the SAME recall/precision
+  // audit as q149 at the PLANNED operating point on the full corpus.
+  // Plan → apply → measure, end to end: the steeper 8-row S-curve
+  // should concede little recall at the 0.5 margin while collapsing
+  // the below-threshold candidate mass the 16×4 banding pays to
+  // verify (q212's predicted fp 31µ → 0µ on the sample).
+  private val PlannedBands = 8
+
+  val q214_lsh_plan_applied: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val truth = Dedup.jaccardSimJoinOn(docs, col("doc_id"),
+        graft.text.TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
+        threshold = 0.5)
+      .select("id_a", "id_b")
+    val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+        bands = PlannedBands, shingleHasher = Dedup.shingleHashes32Md5)
+      .select("id_a", "id_b")
+    val m = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val j = truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    m.crossJoin(c).crossJoin(j).select(
+      col("n_true"), col("n_cand"), col("n_caught"),
+      when(col("n_true") > 0,
+        round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
+        .as("recall"),
+      when(col("n_cand") > 0,
+        round(col("n_caught").cast("double") / col("n_cand").cast("double"), 6))
+        .as("candidate_precision"))
+  }
+
+  val q214_sql: String =
+    s"""WITH ${minhashCandCtes("", bands = PlannedBands, rows = 64 / PlannedBands)},
+       |td AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |       FROM documents),
+       |tg AS (SELECT doc_id, list_transform(
+       |         generate_series(1, greatest(len(toks) - 2, 0)),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+       |       FROM td),
+       |tw AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM tg),
+       |tsz AS (SELECT doc_id, count(*) AS sz FROM tw GROUP BY doc_id),
+       |ti AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |       FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM ti
+       |          JOIN tsz sa ON id_a = sa.doc_id
+       |          JOIN tsz sb ON id_b = sb.doc_id
+       |          WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5),
+       |m AS (SELECT count(*) AS n_true FROM truth),
+       |c AS (SELECT count(*) AS n_cand FROM cand),
+       |j AS (SELECT count(*) AS n_caught FROM truth JOIN cand USING (id_a, id_b))
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CASE WHEN n_true > 0
+       |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall,
+       |  CASE WHEN n_cand > 0
+       |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END AS candidate_precision
+       |FROM m, c, j""".stripMargin
+
   val q149_sql: String =
     s"""WITH ${minhashCandCtes("")},
        |td AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -1638,6 +1708,7 @@ object TextSim {
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q211_prefix_jaccard" -> q211_prefix_jaccard,
     "q212_lsh_plan" -> q212_lsh_plan,
+    "q214_lsh_plan_applied" -> q214_lsh_plan_applied,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q149_lsh_recall" -> q149_lsh_recall,
     "q153_ivf_balance" -> q153_ivf_balance,
@@ -1686,6 +1757,7 @@ object TextSim {
     "q96_jaccard_dfcut_full" -> q96_sql,
     "q211_prefix_jaccard" -> q211_sql,
     "q212_lsh_plan" -> q212_sql,
+    "q214_lsh_plan_applied" -> q214_sql,
     "q92_minhash_bands_full" -> q92_sql,
     "q149_lsh_recall" -> q149_sql,
     "q153_ivf_balance" -> q153_sql,
