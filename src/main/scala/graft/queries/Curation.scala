@@ -726,8 +726,13 @@ object Curation {
       docs, col("doc_id"), col("text"), col("lang") === "en", DsirBuckets)
     val sc = graft.text.Dsir.scores(
       docs, col("doc_id"), col("text"), model, DsirBuckets)
+    // materialize the scored table ONCE: the running total makes three
+    // passes (quantile probe, bucket totals, windows) and the count a
+    // fourth — left lazy, each would replay the whole DSIR scoring
+    // lineage (measured warm at sf0.1: 4.9 s lazy vs 2.2 s here)
     val named = docs.select(col("doc_id").as("id"), col("source"))
       .join(sc, "id")
+      .localCheckpoint(true)
     // global rank via the range-bucketed distributed running total
     // (was the repo's one remaining single-partition window) — rank =
     // running count of 1 over the same (score desc, id) total order;
