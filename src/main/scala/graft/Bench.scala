@@ -133,13 +133,17 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       metrics.quiesce()
       val after = metrics.snapshot()
-      // between queries (outside the timed section): nudge the
-      // weak-reference ContextCleaner so dead broadcast/cache blocks
-      // from earlier queries actually leave the heap — in local mode
-      // they live on the DRIVER heap, and under a 2 GiB ceiling the
-      // 213-query inventory otherwise OOMs on accumulated state around
-      // query ~150 while every query passes solo
-      System.gc()
+      // between queries (outside the timed section), CONSTRAINED heaps
+      // only: nudge the weak-reference ContextCleaner so dead
+      // broadcast/cache blocks from earlier queries actually leave the
+      // heap — in local mode they live on the DRIVER heap, and under a
+      // 2 GiB ceiling the full inventory otherwise OOMs on accumulated
+      // state around query ~150 while every query passes solo. On a
+      // roomy heap the full GC is a net loss: it shrinks the committed
+      // heap and every following query pays re-expansion (measured
+      // ~18% uniform inflation on the 8 GiB sf0.1 run).
+      if (Runtime.getRuntime.maxMemory < 4L * 1024 * 1024 * 1024)
+        System.gc()
       def mb(b: Long, a: Long) =
         math.round((a - b) / 1048576.0 * 100.0) / 100.0
       name -> (sec, mb(before._1, after._1), mb(before._2, after._2),
