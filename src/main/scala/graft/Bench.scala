@@ -74,6 +74,41 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (system busy jiffies summed over all CPUs, this process's
+    * utime+stime jiffies). The difference of deltas is CPU burned by
+    * OTHER processes — the direct signal for a contended run. Loadavg
+    * can't serve: our own local[32] run drives it past any threshold
+    * (solo sf1 artifacts end at 5-10), while round 7's contended
+    * headline run STARTED clean at 1.1 — start-only and max(start,end)
+    * both misclassify. USER_HZ is fixed at 100 by the /proc ABI.
+    */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      val vals = stat.drop(1).map(_.toLong)
+      val busy = vals.zipWithIndex
+        .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      val self = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      // fields 14/15 (1-based) are utime/stime; comm (field 2) may
+      // contain spaces but is parenthesised — split after the ')'
+      val after = self.substring(self.lastIndexOf(')') + 2).split("\\s+")
+      (busy, after(11).toLong + after(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Average number of CPU cores burned by foreign processes over the
+    * interval; -1 where /proc is unavailable. */
+  private def foreignCores(before: (Long, Long), after: (Long, Long),
+      wallSec: Double): Double =
+    if (before._1 < 0 || after._1 < 0 || wallSec <= 0) -1.0
+    else {
+      val foreign = (after._1 - before._1) - (after._2 - before._2)
+      math.max(0.0, math.round(foreign / 100.0 / wallSec * 100.0) / 100.0)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -128,9 +163,11 @@ object Bench {
       if (warm) once()
       metrics.quiesce()
       val before = metrics.snapshot()
+      val cpuBefore = cpuJiffies()
       val t0 = System.nanoTime()
       once()
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpuAfter = cpuJiffies()
       metrics.quiesce()
       val after = metrics.snapshot()
       // between queries (outside the timed section), CONSTRAINED heaps
@@ -146,19 +183,48 @@ object Bench {
         System.gc()
       def mb(b: Long, a: Long) =
         math.round((a - b) / 1048576.0 * 100.0) / 100.0
+      // loadavg + foreign-CPU sampled PER QUERY: a competitor process
+      // that arrives mid-run is caught at the queries it inflated, not
+      // just at the artifact's endpoints (round 7's headline run went
+      // 1.1 -> 4.3 mid-run and self-reported clean under the start-only
+      // flag)
       name -> (sec, mb(before._1, after._1), mb(before._2, after._2),
-        mb(before._3, after._3), mb(before._4, after._4))
+        mb(before._3, after._3), mb(before._4, after._4), loadAvg(),
+        foreignCores(cpuBefore, cpuAfter, sec))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     // the shuffle/spill evidence rides in a SEPARATE key so the
     // driver's queries->seconds contract is untouched
-    val qm = results.map { case (k, (sec, sr, sw, ms, ds)) =>
+    val qm = results.map { case (k, (sec, sr, sw, ms, ds, la, fc)) =>
       s"""\"$k\":{"sec":$sec,"shuffle_read_mb":$sr,""" +
-        s""""shuffle_write_mb":$sw,"mem_spill_mb":$ms,"disk_spill_mb":$ds}"""
+        s""""shuffle_write_mb":$sw,"mem_spill_mb":$ms,"disk_spill_mb":$ds,""" +
+        s""""loadavg":$la,"foreign_cpu_cores":$fc}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val loadEnd = loadAvg()
+    // a run is contended if it STARTED loaded, or if foreign processes
+    // burned serious CPU alongside it. The run-level signal is the
+    // DURATION-WEIGHTED AVERAGE foreign cores (total foreign
+    // core-seconds / total query seconds): a competitor that inflates
+    // the artifact 1.6x (round 7's headline run: a second full sbt
+    // fleet, ~8+ cores sustained) dominates it, while the measured
+    // solo-run noise floor — kworker log flushes, parent-sbt GC,
+    // harness piping — tops out at ~1.2 cores for ONE sub-second query
+    // and ~0.05 on average, which a max-based flag misreads as
+    // contention. A >4-core single-query spike still flags on its own.
+    // Foreign CPU, not loadavg: our own local[32] load pushes
+    // end-of-run loadavg to 5-10 on clean solo sf1 runs.
+    val measured = results.collect {
+      case (_, (sec, _, _, _, _, _, fc)) if fc >= 0 => (sec, fc)
+    }
+    val foreignMax = measured.collect { case (sec, fc) if sec > 0.5 => fc }
+      .foldLeft(-1.0)(math.max)
+    val foreignAvg =
+      if (measured.isEmpty || measured.map(_._1).sum <= 0) -1.0
+      else math.round(measured.map { case (s, f) => s * f }.sum /
+        measured.map(_._1).sum * 100.0) / 100.0
+    val contended = loadStart > 2.0 || foreignAvg > 1.0 || foreignMax > 4.0
     val tsEnd = System.currentTimeMillis()
     // driver heap ceiling (build.sbt -Xmx, SPARK_DRIVER_MEM): recorded
     // so constrained-memory runs are self-identifying evidence — a
@@ -167,7 +233,9 @@ object Bench {
     val memMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val env = s""""env":{"cpus":$cpus,"loadavg_start":$loadStart,""" +
       s""""loadavg_end":$loadEnd,"ts_start_ms":$tsStart,"ts_end_ms":$tsEnd,""" +
-      s""""contended":${loadStart > 2.0},"retried":$retried,"mem_mb":$memMb,""" +
+      s""""contended":$contended,"foreign_cpu_cores_max":$foreignMax,""" +
+      s""""foreign_cpu_cores_avg":$foreignAvg,""" +
+      s""""retried":$retried,"mem_mb":$memMb,""" +
       s""""mode":"${if (warm) "warm" else "cold"}"}"""
     val peakMb =
       math.round(metrics.peakExecMem.get() / 1048576.0 * 100.0) / 100.0

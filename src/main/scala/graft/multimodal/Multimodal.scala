@@ -921,7 +921,11 @@ object Multimodal {
     aggregate(sequence(lit(0L), n - lit(1L)), lit(0L),
       (acc, j) => acc +
         when(n * bmpLum(media, dataOff, w, j) > lumSum,
-          pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L)))
+          // 1L << j, exact and total for j in [0, 62] — pow(2, j)
+          // .cast(long) would ANSI-overflow at the 64-bit aHash's top
+          // bit and goes through double on the way
+          call_function("shiftleft", lit(1L), j.cast("int")))
+          .otherwise(lit(0L)))
   }
 
   // ------------------------------------------------------------------

@@ -1199,10 +1199,12 @@ object Curation {
   // Binary (sign-bit) quantization ANN: 1 bit per dimension, Hamming
   // shortlist, exact re-rank — the cheapest tier of the quantization
   // family (SQ q107 = 8 bits/dim, PQ q172 ~1 bit/dim learned, this =
-  // 1 bit/dim free). Two 32-bit halves per vector keep every packed
-  // term exact under ANSI arithmetic (bit 63 of one word would need
-  // 2^63). Same output contract and rerank tail as the PQ paths, so
-  // the tiers are directly comparable.
+  // 1 bit/dim free). ⌈dim/32⌉ 32-bit words per vector keep every
+  // packed term exact under ANSI arithmetic (bit 63 of one 64-bit
+  // word would need 2^63); the word count derives from the vector
+  // length, so any dimensionality works (q215 checks a 48-dim
+  // corpus). Same output contract and rerank tail as the PQ paths,
+  // so the tiers are directly comparable.
   val q207_binary_ann: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
     graft.similarity.BinaryQ
@@ -1214,7 +1216,7 @@ object Curation {
     def halfSql(tbl: String, h: Int) =
       s"CAST(list_sum(list_transform(generate_series(1, 32), d -> " +
         s"CASE WHEN $tbl.mv[d + ${32 * h}] > 0 " +
-        s"THEN CAST(power(2, d - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+        s"THEN (1::BIGINT << CAST(d - 1 AS INT)) ELSE 0 END)) AS BIGINT)"
     "WITH " + pqMCte + ",\n" +
       s"""bc AS (SELECT vec_id, ${halfSql("m", 0)} AS lo,
          |          ${halfSql("m", 1)} AS hi
@@ -1225,6 +1227,59 @@ object Curation {
          |             + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS adist
          |        FROM qc q JOIN bc c ON c.vec_id <> q.vec_id),
          |""".stripMargin + pqRerankSql
+  }
+
+  // --------------------------------------------------------------- q215
+  // Binary-quantization ANN on a NON-64-dim corpus (the first 48
+  // coordinates of each embedding): proves BinaryQ's word packing is
+  // dimension-general, not a 64-dim special case — 48 dims pack into
+  // two words whose second carries only 16 live bits, and the Hamming
+  // fold, shortlist, and exact re-rank are the same production path
+  // q207 runs. An engine user's embeddings are whatever their encoder
+  // emits (384, 768, 1024 …); the packer must derive its shape from
+  // the data.
+  val q215_binary_anydim: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), slice(col("embedding"), 1, 48).as("embedding"))
+    graft.similarity.BinaryQ
+      .topK(e, e.filter(col("vec_id") < 20), k = PqK, rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  val q215_sql: String = {
+    // word h of the sign-bit code over the 48-dim slice; out-of-range
+    // list extracts are NULL -> CASE falls to 0, matching the packer's
+    // null-safe get
+    def wordSql(tbl: String, h: Int) =
+      s"CAST(list_sum(list_transform(generate_series(1, 32), d -> " +
+        s"CASE WHEN $tbl.mv[d + ${32 * h}] > 0 " +
+        s"THEN (1::BIGINT << CAST(d - 1 AS INT)) ELSE 0 END)) AS BIGINT)"
+    s"""WITH m AS MATERIALIZED (SELECT vec_id, list_transform(embedding[1:48],
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |bc AS (SELECT vec_id, ${wordSql("m", 0)} AS w0, ${wordSql("m", 1)} AS w1
+       |       FROM m),
+       |qc AS (SELECT * FROM bc WHERE vec_id < 20),
+       |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          CAST(bit_count(xor(q.w0, c.w0))
+       |             + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS adist
+       |        FROM qc q JOIN bc c ON c.vec_id <> q.vec_id),
+       |sl AS (SELECT query_id, neighbor_id, adist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adist, neighbor_id) AS arank
+       |       FROM adc),
+       |ex AS (SELECT s.query_id, s.neighbor_id, s.adist,
+       |         CAST(list_sum(list_transform(generate_series(1, 48), d ->
+       |           (q.mv[d] - c.mv[d]) * (q.mv[d] - c.mv[d]))) AS BIGINT) AS edist
+       |       FROM sl s JOIN m c ON c.vec_id = s.neighbor_id
+       |                 JOIN m q ON q.vec_id = s.query_id
+       |       WHERE s.arank <= $PqRerank),
+       |fin AS (SELECT query_id, neighbor_id, adist, edist,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY edist, neighbor_id) AS rank
+       |        FROM ex)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist, edist
+       |FROM fin WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin
   }
 
   // --------------------------------------------------------------- q208
@@ -1280,7 +1335,7 @@ object Curation {
     def halfSql(tbl: String, h: Int) =
       s"CAST(list_sum(list_transform(generate_series(1, 32), d -> " +
         s"CASE WHEN $tbl.mv[d + ${32 * h}] > 0 " +
-        s"THEN CAST(power(2, d - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+        s"THEN (1::BIGINT << CAST(d - 1 AS INT)) ELSE 0 END)) AS BIGINT)"
     def edist(q: String, c: String) =
       s"CAST(list_sum(list_transform(generate_series(1, $SqDim), d -> " +
         s"($q.mv[d] - $c.mv[d]) * ($q.mv[d] - $c.mv[d]))) AS BIGINT)"
@@ -1565,6 +1620,7 @@ object Curation {
     "q204_chat_census" -> q204_chat_census,
     "q206_ivfpq_residual" -> q206_ivfpq_residual,
     "q207_binary_ann" -> q207_binary_ann,
+    "q215_binary_anydim" -> q215_binary_anydim,
     "q208_ann_tier_report" -> q208_ann_tier_report,
     "q209_incremental_topk" -> q209_incremental_topk,
     "q188_rrf_fusion" -> q188_rrf_fusion,
@@ -1596,6 +1652,7 @@ object Curation {
     "q204_chat_census" -> q204_sql,
     "q206_ivfpq_residual" -> q206_sql,
     "q207_binary_ann" -> q207_sql,
+    "q215_binary_anydim" -> q215_sql,
     "q208_ann_tier_report" -> q208_sql,
     "q209_incremental_topk" -> q209_sql,
     "q188_rrf_fusion" -> q188_sql,

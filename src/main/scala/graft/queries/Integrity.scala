@@ -93,14 +93,18 @@ object Integrity {
       |    (embedding IS NULL) AS nv,
       |    coalesce(len(list_filter(embedding, x -> x IS NULL)) > 0, FALSE) AS nc,
       |    coalesce(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0, FALSE) AS nn,
-      |    coalesce(len(list_filter(embedding, x -> isinf(CAST(x AS DOUBLE)))) > 0, FALSE) AS ni
+      |    coalesce(len(list_filter(embedding, x -> isinf(CAST(x AS DOUBLE)))) > 0, FALSE) AS ni,
+      |    coalesce(len(list_filter(embedding, x -> NOT isnan(CAST(x AS DOUBLE))
+      |      AND NOT isinf(CAST(x AS DOUBLE))
+      |      AND abs(CAST(x AS DOUBLE)) >= 9e12)) > 0, FALSE) AS nh
       |  FROM embeddings)
       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
       |  CAST(count(*) FILTER (WHERE nv) AS BIGINT) AS n_null_vec,
       |  CAST(count(*) FILTER (WHERE nc) AS BIGINT) AS n_null_comp,
       |  CAST(count(*) FILTER (WHERE nn) AS BIGINT) AS n_nan,
       |  CAST(count(*) FILTER (WHERE ni) AS BIGINT) AS n_inf,
-      |  CAST(count(*) FILTER (WHERE NOT (nv OR nc OR nn OR ni)) AS BIGINT) AS n_usable
+      |  CAST(count(*) FILTER (WHERE nh) AS BIGINT) AS n_huge,
+      |  CAST(count(*) FILTER (WHERE NOT (nv OR nc OR nn OR ni OR nh)) AS BIGINT) AS n_usable
       |FROM v GROUP BY label ORDER BY label NULLS FIRST""".stripMargin
 
   // --------------------------------------------------------------- q141

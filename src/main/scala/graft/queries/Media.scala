@@ -741,7 +741,8 @@ object Media {
       explode(concat(array(col("ahash")),
         transform(sequence(lit(0L), col("n_px") - 1), j =>
           col("ahash").bitwiseXOR(
-            pow(lit(2.0), j.cast("double")).cast("long"))))).as("probe"))
+            call_function("shiftleft", lit(1L), j.cast("int"))))))
+      .as("probe"))
     probes.as("a").join(hashed.as("b"),
       col("a.width") === col("b.width") &&
         col("a.height") === col("b.height") &&
@@ -801,7 +802,8 @@ object Media {
       explode(concat(array(col("ahash")),
         transform(sequence(lit(0L), col("n_px") - 1), j =>
           col("ahash").bitwiseXOR(
-            pow(lit(2.0), j.cast("double")).cast("long"))))).as("probe"))
+            call_function("shiftleft", lit(1L), j.cast("int"))))))
+      .as("probe"))
     val linked = probes.as("a")
       .join(groups.select(col("width"), col("height"),
         col("ahash").as("bhash"), col("gmin")).as("b"),
@@ -843,7 +845,7 @@ object Media {
        |h1 AS MATERIALIZED (SELECT doc_id, wx, hh, npx,
        |    CAST(coalesce(list_sum(list_transform(lums, (x, j) ->
        |      CASE WHEN npx * x > suml
-       |           THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)), 0)
+       |           THEN (1::BIGINT << CAST(j - 1 AS INT)) ELSE 0 END)), 0)
        |      AS BIGINT) AS ahash
        |  FROM (SELECT *, CAST(list_sum(lums) AS BIGINT) AS suml FROM l0)),
        |grp AS MATERIALIZED (SELECT wx, hh, npx, ahash,
@@ -851,7 +853,7 @@ object Media {
        |  FROM h1 GROUP BY 1, 2, 3, 4),
        |pr AS (SELECT wx, hh, ahash, UNNEST(list_prepend(ahash,
        |    list_transform(range(npx),
-       |      j -> xor(ahash, CAST(power(2, j) AS BIGINT))))) AS probe
+       |      j -> xor(ahash, 1::BIGINT << CAST(j AS INT))))) AS probe
        |  FROM grp),
        |lk AS (SELECT a.wx, a.hh, a.ahash, min(b.gmin) AS canonical_id
        |  FROM pr a JOIN grp b
@@ -882,7 +884,7 @@ object Media {
        |h1 AS MATERIALIZED (SELECT doc_id, wx, hh, npx,
        |    CAST(coalesce(list_sum(list_transform(range(npx), j ->
        |      CASE WHEN npx * ${lum("j")} > suml
-       |           THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), 0)
+       |           THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)), 0)
        |      AS BIGINT) AS ahash
        |  FROM h0)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -8,43 +8,56 @@ import org.apache.spark.sql.functions._
   * coordinate d, distance is Hamming (XOR + popcount), and an exact
   * re-rank over the shortlist restores float-grade precision. The
   * crudest quantizer in the family (SQ q107 keeps 8 bits/dim, PQ
-  * q172 ~1 bit/dim learned) but the cheapest by far: 64 dims → two
-  * 32-bit words per vector, no training, and the scan's distance is
-  * two XOR+popcounts — memory-bandwidth speed.
+  * q172 ~1 bit/dim learned) but the cheapest by far: d dims →
+  * ⌈d/32⌉ 32-bit words per vector, no training, and the scan's
+  * distance is a word-wise XOR+popcount fold — memory-bandwidth
+  * speed.
   *
-  * Codes are split into two 32-bit halves rather than one 64-bit
-  * word: bit 63 of a single-long code would need 2^63, which
-  * overflows BIGINT under ANSI arithmetic in both engines; two
-  * halves keep every term exact with zero cost (Hamming adds).
+  * Codes pack 32 bits per BIGINT word rather than 64: bit 63 of a
+  * full 64-bit word would need 2^63, which overflows BIGINT under
+  * ANSI arithmetic in both engines; half-full words keep every term
+  * exact with zero cost (the Hamming fold is the same adds). The
+  * word COUNT derives from the vector length, so any fixed
+  * dimensionality works — 32, 48, 384, 1024 — without code changes
+  * (q207 runs the 64-dim corpus, q215 a 48-dim slice of it).
   *
-  * 100 TB shape: the corpus scan reads (id, lo, hi) — 16-ish bytes a
-  * row; queries broadcast; only shortlist ids shuffle into the
-  * re-rank, which reads full vectors for shortlist rows alone.
+  * 100 TB shape: the corpus scan reads (id, code[⌈d/32⌉]) — ~d/8
+  * bytes a row; queries broadcast; only shortlist ids shuffle into
+  * the re-rank, which reads full vectors for shortlist rows alone.
   */
 object BinaryQ {
 
-  /** Sign bits of micro coordinates [32h+1 .. 32h+32] packed into one
-    * BIGINT (bit d of the half = coordinate 32h+d+1 > 0). */
-  private def half(mv: Column, h: Int): Column =
+  /** Sign bits of micro coordinates [32w+1 .. 32w+32] packed into one
+    * BIGINT (bit d of word w = coordinate 32w+d+1 > 0; positions past
+    * the vector's end contribute 0 via the null-safe get). */
+  private def word(mv: Column, w: Column): Column =
     aggregate(sequence(lit(0L), lit(31L)), lit(0L), (acc, d) =>
       acc + when(
-        element_at(mv, (d + lit(32L * h) + lit(1L)).cast("int")) > 0,
-        pow(lit(2.0), d.cast("double")).cast("long")).otherwise(lit(0L)))
+        coalesce(get(mv, (d + w * lit(32L)).cast("int")) > 0, lit(false)),
+        call_function("shiftleft", lit(1L), d.cast("int")))
+        .otherwise(lit(0L)))
 
-  /** Binary code table: (idCol, lo, hi) for 64-dim vectors. */
+  /** The full sign-bit code: ⌈size/32⌉ words, little-endian in both
+    * senses (word 0 = dims 1–32, bit 0 = first dim of the word).
+    * n/32 is exact in double for any realistic n, so the cast
+    * truncation IS the ceiling. */
+  def pack(mv: Column): Column =
+    when(size(mv) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0L), ((size(mv) + lit(31)) / lit(32)).cast("long") - 1L),
+        w => word(mv, w)))
+
+  /** Binary code table: (idCol, code) for any fixed-dim corpus. */
   def codes(df: DataFrame, idCol: String = "vec_id",
             vecCol: String = "embedding"): DataFrame =
     df.filter(Similarity.finiteVec(col(vecCol)))
-      .select(col(idCol),
-        // half() hardcodes two 32-bit halves; a dim != 64 corpus would
-        // silently sign-encode the out-of-range tail as 0 via null
-        // element_at, so fail loudly instead of emitting wrong codes
-        when(size(col(vecCol)) === 64, Sq.micronize(col(vecCol)))
-          .otherwise(raise_error(concat(
-            lit("BinaryQ.codes: expected 64-dim embedding, got dim="),
-            size(col(vecCol)).cast("string")))).as("mv"))
-      .select(col(idCol), half(col("mv"), 0).as("lo"),
-        half(col("mv"), 1).as("hi"))
+      .select(col(idCol), pack(Sq.micronize(col(vecCol))).as("code"))
+
+  /** Hamming distance of two packed codes as BIGINT — a word-wise
+    * XOR+popcount fold; exact for any word count. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, h) => acc + h.cast("long"))
 
   /** Hamming-shortlisted exact top-k. Output matches the other ANN
     * paths: (query_id, rank, neighbor_id, adist, edist) with adist =
@@ -53,19 +66,16 @@ object BinaryQ {
            idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
     val c = codes(corpus, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("lo"), col("hi"))
+      .select(col(idCol).as("neighbor_id"), col("code"))
     val q = codes(queries, idCol, vecCol)
-      .select(col(idCol).as("query_id"),
-        col("lo").as("qlo"), col("hi").as("qhi"))
+      .select(col(idCol).as("query_id"), col("code").as("qcode"))
     val qm = queries.filter(Similarity.finiteVec(col(vecCol)))
       .select(col(idCol).as("query_id"),
         Sq.micronize(col(vecCol)).as("qmv"))
     val approx = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long")
-          .as("adist"))
+        hamming(col("code"), col("qcode")).as("adist"))
     Pq.rerankTail(approx, corpus, qm, k, rerank, idCol, vecCol)
   }
 }

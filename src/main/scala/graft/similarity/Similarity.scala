@@ -34,19 +34,23 @@ object Similarity {
     sqrt(graft.expressions.VectorExpressions.vector_dot(a, a))
 
   /** Usable-embedding predicate shared by every vector operator: the
-    * array is non-null and every component is non-null and finite.
-    * Train/encode/search entry points FILTER on this, so a crawl row
-    * with a missing or NaN/Inf embedding is excluded from vector math
-    * instead of poisoning it — NaN compares false with everything
-    * (silently distorting argmins and top-k order) and ANSI
-    * micronization of a non-finite value throws CAST_OVERFLOW. The
-    * predicate is a scan-fused columnar expression; census ops (e.g.
+    * array is non-null and every component is non-null, finite, AND
+    * within micronization range (|x| < 9·10¹² = [[Sq.micronize]]'s
+    * exact-BIGINT domain). Train/encode/search entry points FILTER on
+    * this, so a crawl row with a missing, NaN/Inf, or absurdly-huge
+    * embedding is excluded from vector math instead of poisoning it —
+    * NaN compares false with everything (silently distorting argmins
+    * and top-k order), and a component micronize can't represent would
+    * otherwise become a null distance that sorts NULLS FIRST into
+    * rank-1 of an ascending shortlist window. The single `abs < 9e12`
+    * bound covers all three (NaN and +Inf both fail `<` under
+    * Spark's and DuckDB's NaN-sorts-high semantics). The predicate is
+    * a scan-fused columnar expression; census ops (e.g.
     * [[embeddingHealth]], q213) intentionally see the raw rows so the
     * exclusions stay observable. */
   def finiteVec(c: Column): Column =
     c.isNotNull && !exists(c, x =>
-      x.isNull || isnan(x.cast("double")) ||
-        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+      x.isNull || !(abs(x.cast("double")) < lit(9.0e12)))
 
   /** The acceptance census behind [[finiteVec]]: per group, how many
     * vectors each exclusion reason hits (null array, null component,
@@ -62,13 +66,20 @@ object Similarity {
     val hasNan = coalesce(exists(vec, x => isnan(x.cast("double"))), lit(false))
     val hasInf = coalesce(exists(vec,
       x => abs(x.cast("double")) === lit(Double.PositiveInfinity)), lit(false))
+    // finite but outside micronization range — the reason column for
+    // the |x| < 9e12 bound finiteVec enforces
+    val hasHuge = coalesce(exists(vec, x => {
+      val d = abs(x.cast("double"))
+      !isnan(d) && d =!= lit(Double.PositiveInfinity) && d >= lit(9.0e12)
+    }), lit(false))
     df.select(group.as("grp"), vec.isNull.as("nv"), nullComp.as("nc"),
-        hasNan.as("nn"), hasInf.as("ni"), finiteVec(vec).as("ok"))
+        hasNan.as("nn"), hasInf.as("ni"), hasHuge.as("nh"),
+        finiteVec(vec).as("ok"))
       .groupBy("grp")
       .agg(count(lit(1)).cast("long").as("n_vecs"),
         cnt(col("nv")).as("n_null_vec"), cnt(col("nc")).as("n_null_comp"),
         cnt(col("nn")).as("n_nan"), cnt(col("ni")).as("n_inf"),
-        cnt(col("ok")).as("n_usable"))
+        cnt(col("nh")).as("n_huge"), cnt(col("ok")).as("n_usable"))
   }
 
   /** Encoder-health census per group: vector count, dimension bounds,

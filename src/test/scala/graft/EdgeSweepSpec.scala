@@ -55,7 +55,11 @@ object EdgeCorpus {
             Row(9002L, (Array.fill(dim - 2)(0.1f) ++
               Array(Float.NaN, Float.PositiveInfinity)).toSeq, 1),
             Row(9003L, null, 2),
-            Row(9004L, Array.fill(dim)(1e-30f).toSeq, 3))
+            Row(9004L, Array.fill(dim)(1e-30f).toSeq, 3),
+            // finite but beyond micronize's exact-BIGINT domain
+            // (|x| >= 9e12): finiteVec must EXCLUDE it, not null it
+            Row(9005L, (Array.fill(dim - 1)(0.1f) ++
+              Array(9.5e12f)).toSeq, 4))
           val schema = StructType(Seq(
             StructField("vec_id", LongType),
             StructField("embedding", ArrayType(FloatType)),
@@ -95,14 +99,16 @@ class EdgeSweepSpec extends SparkSpec {
     val e = Tables.load(spark, d, "embeddings")
     val r = graft.similarity.Similarity
       .vectorValidityCensus(e, lit(0), col("embedding")).collect().head
-    // crafted rows: 9002 carries NaN+Inf, 9003 is a null vector
-    assert(r.getLong(1) === 505L, "n_vecs")
+    // crafted rows: 9002 carries NaN+Inf, 9003 is a null vector,
+    // 9005 is finite-but-unmicronizable (9.5e12 component)
+    assert(r.getLong(1) === 506L, "n_vecs")
     assert(r.getLong(2) === 1L, "n_null_vec")
     assert(r.getLong(3) === 0L, "n_null_comp")
     assert(r.getLong(4) === 1L, "n_nan")
     assert(r.getLong(5) === 1L, "n_inf")
-    assert(r.getLong(6) === 503L, "n_usable")
+    assert(r.getLong(6) === 1L, "n_huge")
+    assert(r.getLong(7) === 503L, "n_usable")
     val kept = e.filter(graft.similarity.Similarity.finiteVec(col("embedding"))).count()
-    assert(kept === r.getLong(6), "finiteVec keeps exactly n_usable rows")
+    assert(kept === r.getLong(7), "finiteVec keeps exactly n_usable rows")
   }
 }

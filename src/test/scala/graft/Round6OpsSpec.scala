@@ -249,15 +249,25 @@ class Round6OpsSpec extends SparkSpec {
     assert(Fusion.rrf(Seq(lex), topK = 5).count() === 5)
   }
 
-  test("BinaryQ.codes: non-64-dim corpus fails loudly, never zero-pads") {
-    val ok = Seq((0L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
-    assert(graft.similarity.BinaryQ.codes(ok).count() === 1)
-    val bad = Seq((0L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
-    val e = intercept[Exception] {
-      graft.similarity.BinaryQ.codes(bad).collect()
+  test("BinaryQ.codes: word count derives from dim; bits exact at any size") {
+    import graft.similarity.BinaryQ
+    // 64 dims -> 2 words; 48 -> 2 (tail bits zero); 32 -> 1; 33 -> 2
+    for ((dim, words) <- Seq(64 -> 2, 48 -> 2, 32 -> 1, 33 -> 2, 5 -> 1)) {
+      val df = Seq((0L, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+      val code = BinaryQ.codes(df).select("code").collect()
+        .head.getSeq[Long](0)
+      assert(code.length === words, s"dim=$dim")
+      // all-positive vector: every in-range bit set, none past the end
+      assert(code.map(java.lang.Long.bitCount).sum === dim, s"dim=$dim")
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("expected 64-dim")))
+    // Hamming over a non-64 dim: vectors differing in exactly 3 signs
+    val a = Array.fill(48)(0.5f); val b = a.clone()
+    b(0) = -1f; b(31) = -1f; b(40) = -1f // bits in both words
+    val two = Seq((0L, a), (1L, b)).toDF("vec_id", "embedding")
+    val c = BinaryQ.codes(two).orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1))
+    val ham = c(0).zip(c(1))
+      .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham === 3)
   }
 }
