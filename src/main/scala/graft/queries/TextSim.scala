@@ -1299,16 +1299,75 @@ object TextSim {
        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
-  // INTENTIONALLY rows-only (the one unchecked query of the inventory):
-  // float accumulation + xxhash64 make the trained centroids depend on
-  // shuffle-merge order, so no ANSI oracle can replay them; q78 is the
-  // hash-checked integer-micro-unit twin of this exact pipeline.
+  // IVF ANN search at the TUNED probe depth — the query a production
+  // caller actually ships: q78 fixes nprobe = 3 (a demo constant) and
+  // q163 reports the audit metrics (recall/scan-cost), while this
+  // returns the NEIGHBORS themselves with the probe depth chosen by
+  // Ivf.tuneNprobe (smallest depth reaching 0.95 coverage recall on
+  // the deterministic 48-query md5 tuning sample). The chosen depth
+  // rides the output as a column, so the tuner's decision is itself
+  // hash-checked. Trains with the integer-micro-unit checked trainer;
+  // the float/xxhash fast trainer (Ivf.train) remains spec-only
+  // (IvfSpec pins its routing and recall) because float shuffle-merge
+  // order makes its centroids unreplayable in ANSI SQL — until round 8
+  // this query ran that trainer and was the inventory's one rows-only
+  // entry.
   val q48_ann_ivf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
-    val idx = graft.similarity.Ivf.train(e, nlist = 8, iters = 3)
-    graft.similarity.Ivf.topK(idx, e.filter(col("vec_id") < 20), k = 3, nprobe = 3)
+    val idx = graft.similarity.Ivf.trainChecked(e, nlist = 8, iters = 3)
+    val nprobe = graft.similarity.Ivf.tuneNprobe(
+      idx, k = 3, targetRecall = IvfTargetRecall, sampleSize = IvfTuneSample)
+    graft.similarity.Ivf.topK(idx, e.filter(col("vec_id") < 20), k = 3,
+        nprobe = nprobe)
+      .withColumn("nprobe", lit(nprobe.toLong))
       .orderBy("query_id", "rank")
   }
+
+  lazy val q48_sql: String =
+    s"""WITH $ivfCtes,
+       |samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'tune'), 1, 8)
+       |           AS BIGINT), vec_id
+       |  LIMIT $IvfTuneSample),
+       |ts AS (SELECT sq.vec_id AS query_id, ce.vec_id AS neighbor_id,
+       |       ${cosineSqlOn("sq", "ce")} AS sim
+       |  FROM samp sq JOIN embeddings ce ON ce.vec_id <> sq.vec_id),
+       |tk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM ts) WHERE rank <= 3),
+       |spr AS (SELECT e.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
+       |  FROM samp e CROSS JOIN cf c),
+       |needs AS (SELECT spr.pr AS need
+       |  FROM tk JOIN corpus co ON co.vec_id = tk.neighbor_id
+       |       JOIN spr ON spr.query_id = tk.query_id AND spr.cell = co.cell),
+       |chosen AS (SELECT need AS np FROM (
+       |    SELECT need, row_number() OVER (ORDER BY need) AS rn,
+       |           count(*) OVER () AS cnt
+       |    FROM needs)
+       |  WHERE rn = CAST(ceil(CAST($IvfTargetRecall AS DOUBLE) * cnt) AS BIGINT)),
+       |probes AS (SELECT e.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $ivfNd DESC, c.cell DESC) AS pr
+       |  FROM embeddings e CROSS JOIN cf c WHERE e.vec_id < 20),
+       |cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
+       |         FROM probes p JOIN corpus co
+       |           ON p.cell = co.cell AND p.pr <= (SELECT np FROM chosen)
+       |         WHERE co.vec_id <> p.query_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id, $cosineSql AS sim
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim,
+       |  (SELECT np FROM chosen) AS nprobe
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q76
   // Repetition signals (the C4/Gopher filter inputs): top-unigram
@@ -1786,5 +1845,6 @@ object TextSim {
     "q33_simhash_neardups" -> q33_sql,
     "q34_langid" -> q34_sql,
     "q35_ann_lsh" -> q35_sql,
-    "q36_embed_neardups" -> q36_sql)
+    "q36_embed_neardups" -> q36_sql,
+    "q48_ann_ivf" -> q48_sql)
 }
