@@ -547,18 +547,36 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Cap for the perceptual PAIR-LIST demo (q195): the synthetic
+    * corpus renders only 12 (w, h) shapes over a ≤ 2^12-value hash
+    * space, so Hamming-ball collision groups fatten with n and the
+    * pair ANSWER grows super-linearly (measured a(10×) = 1.26, 789 MB
+    * shuffled, 972 MB spill under a 2 GiB driver at sf1) — a real
+    * 64-bit aHash keeps groups near-constant, but as benched the
+    * uncapped demo was the inventory's one super-linear entry. Same
+    * discipline as TextSim.PairDocCap: the pair-list output is a demo
+    * window, and q210's canonical assignment (group representatives →
+    * n-row output) is the UNCAPPED scale path. Logged on every use —
+    * never silent. */
+  private val MediaPairCap = 500
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Shared DuckDB CTE chain: documents → synthetic BMP hex stream →
     * validated decode params, ending in `v2` with (doc_id, hexs, wx,
     * hh, doffx, stride, rb, np, ok, rbx, hhx). q168 folds channel
-    * stats over it; q195 folds the average hash. */
-  private def bmpCtes: String = {
+    * stats over it; q195 folds the average hash. `where` filters the
+    * source corpus (the q195 pair-demo cap); empty = full corpus. */
+  private def bmpCtes: String = bmpCtesWhere("")
+
+  private def bmpCtesWhere(where: String): String = {
     val w = "(1 + doc_id % 4)"
     val h = "(1 + doc_id % 3)"
     val gap = "(doc_id % 5)"
     s"""m AS (SELECT doc_id,
        |    upper(md5(text) || md5(text || 'a') || md5(text || 'b')) AS body,
        |    $w AS w, $h AS h, $gap AS gap,
-       |    ((3 * $w + 3) // 4) * 4 AS stride FROM documents),
+       |    ((3 * $w + 3) // 4) * 4 AS stride FROM documents $where),
        |c AS (SELECT doc_id, upper(CASE
        |    WHEN doc_id % 97 = 0 THEN body
        |    ELSE '424D' || ${lew("54 + gap + stride * h", 4)}
@@ -699,9 +717,16 @@ object Media {
   // (bounded; an 8×8 pooled aHash emits 65), and the join shuffles only
   // (id, hash) pairs — pixels never leave the scan. The distance-0 /
   // distance-1 split in the output is the knob a curator uses to pick
-  // exact-only vs tolerant dedup.
+  // exact-only vs tolerant dedup. The PAIR LIST itself is a demo over
+  // the MediaPairCap window (see the cap's scaladoc for the sf1
+  // measurement that forced it); q210's canonical assignment is the
+  // uncapped scale path.
   val q195_image_ahash: Q = (s, dir) => {
-    val m = Multimodal.syntheticBmp(Tables.load(s, dir, "documents"))
+    log.info(s"q195 pair-list demo capped at doc_id < $MediaPairCap " +
+      "(output grows super-linearly on the narrow synthetic hash space; " +
+      "q210 is the uncapped canonical-assignment scale path)")
+    val m = Multimodal.syntheticBmp(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < MediaPairCap))
     // same pushdown discipline as q177: `valid` is filtered only after
     // a Window keyed on derived columns, so the construction + parse
     // never inlines into the parquet scan filter
@@ -875,7 +900,7 @@ object Media {
     def lum(j: String) =
       s"(2 * ${u8(off(s"3*($j) + 2"))} + 5 * ${u8(off(s"3*($j) + 1"))}" +
         s" + ${u8(off(s"3*($j)"))})"
-    "WITH " + bmpCtes + ",\n" +
+    "WITH " + bmpCtesWhere(s"WHERE doc_id < $MediaPairCap") + ",\n" +
       s"""h0 AS MATERIALIZED (SELECT doc_id, wx, hh, wx * hh AS npx,
        |    hexs, doffx, stride, rb,
        |    CAST(list_sum(list_transform(range(wx * hh), j ->
