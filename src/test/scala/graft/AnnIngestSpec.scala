@@ -80,14 +80,40 @@ class AnnIngestSpec extends SparkSpec {
 
       // drifted batch: 12 vectors at a brand-new far anchor -> one cell
       // absorbs share 1.0 with growth >> threshold -> exactly one retrain
+      // is STAGED. The triggering batch itself never pays Lloyd's (bounded
+      // batch latency): at its boundary the count is still 0 and the
+      // retrain is pending on the trainer thread.
       val far = Array(7.0f, 7.0f, 7.0f, 7.0f)
       src.addData((200 until 212).map { i =>
         val v = far.clone(); v(i % 4) += 0.05f * (i - 199); (i.toLong, v)
       }: _*)
       q.processAllAvailable()
+      assert(m.retrainCount === 0,
+        "the triggering batch must stage the retrain, not pay for it")
+      assert(m.retrainPending, "drift must leave a retrain pending")
+      // the index stays queryable under the OLD model while training runs
+      assert(m.index().assigned.count() === 48)
+
+      // a batch that lands while the retrain is in flight (or right at
+      // the adoption boundary) must survive the model swap
+      src.addData((300 until 304).map(i => (i.toLong, near(i % 4, 9))): _*)
+      q.processAllAvailable()
+      m.awaitRetrainQuiesced()
       assert(m.retrainCount === 1, "concentrated drift must retrain once")
+      assert(!m.retrainPending)
       val idx2 = m.index()
-      assert(idx2.assigned.count() === 48)
+      // no lost vectors across the swap: 32 + 4 + 12 + 4
+      assert(idx2.assigned.count() === 52)
+      // every stored cell agrees with the ADOPTED model: the swap
+      // re-assigned the whole table, including rows ingested mid-train
+      val reassigned = Ivf.assign(
+        idx2.assigned.drop("cell"), m.centroids)
+        .select(col("vec_id"), col("cell").as("expected"))
+      val disagree = idx2.assigned.select(col("vec_id"), col("cell"))
+        .join(reassigned, "vec_id")
+        .filter(col("cell") =!= col("expected")).count()
+      assert(disagree === 0L,
+        "stored cells must match the adopted model's routing")
       // post-retrain the new region has its own cell: a far query's
       // nearest cell holds only far vectors
       val q2 = Ivf.topK(idx2,
@@ -95,5 +121,28 @@ class AnnIngestSpec extends SparkSpec {
       assert(q2.select("neighbor_id").as[Long].collect().forall(_ >= 200L),
         "after retrain the drifted region must be self-contained")
     } finally q.stop()
+
+    // restart recovery: a NEW maintainer over the same table resumes
+    // with the persisted model, epoch and retrain count — not a
+    // re-bootstrap that would mix fresh centroids with stale cells
+    val m2 = new AnnIngest.Maintainer(spark, table)
+    assert(m2.retrainCount === 1, "retrain count must survive a restart")
+    assert(m2.centroids.length === m.centroids.length)
+    assert(m2.centroids.map(_.toSeq).toSeq === m.centroids.map(_.toSeq).toSeq,
+      "the restarted maintainer must route with the SAME centroids")
+    assert(m2.index().assigned.count() === 52)
+
+    // replayed micro-batch (foreachBatch retry): merging an
+    // already-processed batch id is idempotent AND cannot re-trigger
+    // the drift gate — the round-7 ADVICE failure mode
+    val replay = spark.createDataFrame(
+      (200 until 212).map { i =>
+        val v = Array(7.0f, 7.0f, 7.0f, 7.0f)
+        v(i % 4) += 0.05f * (i - 199); (i.toLong, v)
+      }).toDF("vec_id", "embedding")
+    val d = m2.processBatch(replay, batchId = 2L)
+    assert(!d.retrain && !m2.retrainPending,
+      "a replay must not re-enter the drift gate")
+    assert(m2.index().assigned.count() === 52, "replay merge is idempotent")
   }
 }
