@@ -581,7 +581,17 @@ object Dedup {
                   fnWeight: Long = 3L, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val tMicro = math.round(threshold * 1e6)
+    planFromPairSims(samplePairSims(df, id, items, sampleSize, seed),
+      math.round(threshold * 1e6), fnWeight)
+  }
+
+  /** The planner's sampled evidence: Jaccard similarities of every
+    * shared-item pair inside a deterministic md5-ordered sample of
+    * `sampleSize` docs — (s, sm = round(s·10⁶)). Shared by
+    * [[lshBandPlan]] (one corpus) and [[lshPlanDrift]] (corpus vs
+    * ingest batch, each priced on its OWN distribution). */
+  private def samplePairSims(df: DataFrame, id: Column, items: Column,
+                             sampleSize: Int, seed: Long): DataFrame = {
     val key = conv(substring(md5(concat(id.cast("string"), lit("|" + seed))),
       1, 8), 16, 10).cast("long")
     // two-phase sample: the corpus-wide pass carries only (id, key) —
@@ -601,12 +611,19 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("i"))
-    val pairs = inter
+    inter
       .join(sz.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
       .join(sz.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
       .select(round(col("i").cast("double") /
         (col("sa") + col("sb") - col("i")), 6).as("s"))
       .withColumn("sm", round(col("s") * 1e6).cast("long"))
+  }
+
+  /** Price every divisor split b×r = 64 on a (s, sm) pair sample and
+    * flag the cost-minimal rows: (bands, rows_per_band, fp_micro,
+    * fn_micro, cost_micro, chosen). */
+  private def planFromPairSims(pairs: DataFrame, tMicro: Long,
+                               fnWeight: Long): DataFrame = {
     def chain(c0: Column, e: Int): Column = {
       var c = c0; var k = 1
       while (k < e) { c = c * c; k *= 2 }
@@ -632,6 +649,61 @@ object Dedup {
     rows.crossJoin(broadcast(best))
       .withColumn("chosen", col("cost_micro") === col("__mc"))
       .drop("__mc")
+  }
+
+  /** Re-price the banding choice against an ingest batch — the
+    * census-drives-the-plan discipline [[lshBandPlan]] applies at plan
+    * time, carried into the incremental path the way `AnnIngest`
+    * composes `Ivf.ingestCensus`: the corpus's plan was calibrated on
+    * the corpus's own pair-similarity distribution, and a drifted
+    * batch (say, a re-crawl full of near-duplicates) can move the
+    * cost-minimal operating point. Both sides are priced on their OWN
+    * md5 sample with the same grid, threshold and weights; the output
+    * is ONE frame per candidate split with the planner verdicts side
+    * by side plus the sampled-pair census that justifies them:
+    *
+    *   (bands, rows_per_band,
+    *    corpus_fp_micro, corpus_fn_micro, corpus_cost_micro, corpus_chosen,
+    *    batch_fp_micro,  batch_fn_micro,  batch_cost_micro,  batch_chosen,
+    *    corpus_pairs, corpus_pairs_ge_t, batch_pairs, batch_pairs_ge_t,
+    *    plan_changed)
+    *
+    * `plan_changed` (same value on every row — the frame-level flag a
+    * maintainer alerts on) is true iff NO corpus-chosen split is still
+    * batch-chosen: a tie that keeps the shipped point optimal does not
+    * flip the plan. 100 TB shape: two 48-doc samples, two 1-row
+    * aggregates, a 7-row join — re-pricing costs less than one banding
+    * round of the join it tunes, so it can run on every batch. */
+  def lshPlanDrift(corpus: DataFrame, batch: DataFrame, id: Column,
+                   items: Column, threshold: Double, sampleSize: Int = 48,
+                   fnWeight: Long = 3L, seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    def side(df: DataFrame, p: String): (DataFrame, DataFrame) = {
+      val pairs = samplePairSims(df, id, items, sampleSize, seed)
+      val plan = planFromPairSims(pairs, tMicro, fnWeight)
+        .withColumnsRenamed(Map(
+          "fp_micro" -> s"${p}_fp_micro", "fn_micro" -> s"${p}_fn_micro",
+          "cost_micro" -> s"${p}_cost_micro", "chosen" -> s"${p}_chosen"))
+      val census = pairs.agg(
+        count(lit(1)).cast("long").as(s"${p}_pairs"),
+        coalesce(sum(when(col("sm") >= tMicro, 1L).otherwise(0L)), lit(0L))
+          .as(s"${p}_pairs_ge_t"))
+      (plan, census)
+    }
+    val (cPlan, cCensus) = side(corpus, "corpus")
+    val (bPlan, bCensus) = side(batch, "batch")
+    val joined = cPlan.join(bPlan, Seq("bands", "rows_per_band"))
+    val still = joined.agg(
+      coalesce(max(when(col("corpus_chosen") && col("batch_chosen"), 1L)
+        .otherwise(0L)), lit(0L)).as("__still"))
+    joined
+      .crossJoin(broadcast(cCensus))
+      .crossJoin(broadcast(bCensus))
+      .crossJoin(broadcast(still))
+      .withColumn("plan_changed", col("__still") === 0L)
+      .drop("__still")
   }
 
   private def invertedIndex(toks: DataFrame,

@@ -482,7 +482,13 @@ object TextSim {
       threshold = PlanThreshold, fnWeight = PlanFnWeight)
       .orderBy("bands")
 
-  val q212_sql: String = {
+  /** The q212 planner chain over a (doc_id, text) source: CTE list
+    * (no leading WITH) whose names are suffixed `_$p`, ending in
+    * `p0_$p` (the sampled pair sims — the census reads it too) and
+    * `cands_$p` (bands, rows_per_band, fp_micro, fn_micro,
+    * cost_micro). Shared by q212 (one corpus) and q216 (corpus vs
+    * drifted batch, each priced on its own distribution). */
+  private def lshPlanCtes(p: String, src: String): String = {
     val tMicro = math.round(PlanThreshold * 1e6)
     // squaring-chain SQL via lateral column aliases — the exact
     // doubling order of lshBandPlan's Column chain
@@ -510,37 +516,103 @@ object TextSim {
     val candSelects = grid.map { case (b, r) =>
       s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, " +
         s"fp_$b AS fp_micro, fn_$b AS fn_micro, " +
-        s"fp_$b + $PlanFnWeight * fn_$b AS cost_micro FROM agg"
+        s"fp_$b + $PlanFnWeight * fn_$b AS cost_micro FROM agg_$p"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |            FROM documents),
-       |g AS (SELECT doc_id, list_distinct(list_transform(
+    s"""d0_$p AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |            FROM $src),
+       |g_$p AS (SELECT doc_id, list_distinct(list_transform(
        |        generate_series(1, greatest(len(toks) - 2, 0)),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs FROM d0),
-       |samp AS MATERIALIZED (SELECT doc_id, gs FROM g WHERE len(gs) > 0
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs FROM d0_$p),
+       |samp_$p AS MATERIALIZED (SELECT doc_id, gs FROM g_$p WHERE len(gs) > 0
        |  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 8) AS BIGINT),
        |           doc_id LIMIT 48),
-       |w AS (SELECT doc_id, UNNEST(gs) AS tok FROM samp),
-       |sz AS (SELECT doc_id, len(gs) AS sz FROM samp),
-       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |w_$p AS (SELECT doc_id, UNNEST(gs) AS tok FROM samp_$p),
+       |sz_$p AS (SELECT doc_id, len(gs) AS sz FROM samp_$p),
+       |inter_$p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w_$p a JOIN w_$p b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
-       |p0 AS MATERIALIZED (SELECT
+       |p0_$p AS MATERIALIZED (SELECT
        |    round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS s,
        |    CAST(round(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) * 1000000) AS BIGINT) AS sm
-       |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id),
-       |chains AS (SELECT s, sm,
+       |  FROM inter_$p JOIN sz_$p sa ON id_a = sa.doc_id JOIN sz_$p sb ON id_b = sb.doc_id),
+       |chains_$p AS (SELECT s, sm,
        |    ${perCand.map(_._1).mkString(",\n    ")},
        |    ${perCand.map(_._2).mkString(",\n    ")}
-       |  FROM p0),
-       |agg AS (SELECT
+       |  FROM p0_$p),
+       |agg_$p AS (SELECT
        |  $aggCols
-       |  FROM chains),
-       |cands AS (
-       |  $candSelects)
+       |  FROM chains_$p),
+       |cands_$p AS (
+       |  $candSelects)""".stripMargin
+  }
+
+  val q212_sql: String =
+    s"""WITH ${lshPlanCtes("c", "documents")}
        |SELECT bands, rows_per_band, fp_micro, fn_micro, cost_micro,
-       |  cost_micro = (SELECT min(cost_micro) FROM cands) AS chosen
-       |FROM cands ORDER BY bands""".stripMargin
+       |  cost_micro = (SELECT min(cost_micro) FROM cands_c) AS chosen
+       |FROM cands_c ORDER BY bands""".stripMargin
+
+  // --------------------------------------------------------------- q216
+  // LSH plan re-priced on ingest drift: q212 calibrated the banding on
+  // the CORPUS's pair-similarity distribution — a drifted ingest batch
+  // (here a synthetic re-crawl where every document arrives with two
+  // near-identical variants, the classic near-dup flood) can move the
+  // cost-minimal operating point. Both sides are priced on their own
+  // 48-doc md5 sample with the same grid/threshold/weights
+  // (Dedup.lshPlanDrift), and the output is one frame per candidate
+  // split: both planner verdicts side by side, the sampled-pair
+  // census that justifies them, and `plan_changed` — true iff no
+  // corpus-chosen split is still batch-chosen. The incremental-path
+  // sibling of q191's ANN drift census: re-pricing is two 48-doc
+  // samples + a 7-row join, cheap enough to run per batch.
+  val q216_lsh_plan_drift: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val seed = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+    val batch = seed
+      .unionByName(seed.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" q216drift")).as("text")))
+      .unionByName(seed.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" q216shift")).as("text")))
+    Dedup.lshPlanDrift(docs, batch, col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = PlanThreshold, fnWeight = PlanFnWeight)
+      .orderBy("bands")
+  }
+
+  val q216_sql: String = {
+    val tMicro = math.round(PlanThreshold * 1e6)
+    def censusCte(name: String, p: String, side: String) =
+      s"""$name AS (SELECT CAST(count(*) AS BIGINT) AS ${side}_pairs,
+         |  CAST(coalesce(sum(CASE WHEN sm >= $tMicro THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS ${side}_pairs_ge_t FROM p0_$p)""".stripMargin
+    s"""WITH batch_src AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' q216drift' FROM documents
+       |  WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' q216shift' FROM documents
+       |  WHERE doc_id % 4 = 0),
+       |${lshPlanCtes("c", "documents")},
+       |${lshPlanCtes("b", "batch_src")},
+       |cch AS (SELECT bands, rows_per_band,
+       |    fp_micro AS corpus_fp_micro, fn_micro AS corpus_fn_micro,
+       |    cost_micro AS corpus_cost_micro,
+       |    cost_micro = (SELECT min(cost_micro) FROM cands_c) AS corpus_chosen
+       |  FROM cands_c),
+       |bch AS (SELECT bands, rows_per_band,
+       |    fp_micro AS batch_fp_micro, fn_micro AS batch_fn_micro,
+       |    cost_micro AS batch_cost_micro,
+       |    cost_micro = (SELECT min(cost_micro) FROM cands_b) AS batch_chosen
+       |  FROM cands_b),
+       |${censusCte("ccen", "c", "corpus")},
+       |${censusCte("bcen", "b", "batch")},
+       |j AS (SELECT * FROM cch JOIN bch USING (bands, rows_per_band)),
+       |fl AS (SELECT coalesce(max(CASE WHEN corpus_chosen AND batch_chosen
+       |    THEN 1 ELSE 0 END), 0) = 0 AS plan_changed FROM j)
+       |SELECT j.*, ccen.*, bcen.*, fl.plan_changed
+       |FROM j, ccen, bcen, fl ORDER BY bands""".stripMargin
   }
 
   // ---------------------------------------------------------------- q94
@@ -1801,7 +1873,8 @@ object TextSim {
     "q34_langid" -> q34_langid,
     "q35_ann_lsh" -> q35_ann_lsh,
     "q36_embed_neardups" -> q36_embed_neardups,
-    "q48_ann_ivf" -> q48_ann_ivf)
+    "q48_ann_ivf" -> q48_ann_ivf,
+    "q216_lsh_plan_drift" -> q216_lsh_plan_drift)
 
   val oracle: Map[String, String] = Map(
     "q186_hard_negatives" -> q186_sql,
@@ -1846,5 +1919,6 @@ object TextSim {
     "q34_langid" -> q34_sql,
     "q35_ann_lsh" -> q35_sql,
     "q36_embed_neardups" -> q36_sql,
-    "q48_ann_ivf" -> q48_sql)
+    "q48_ann_ivf" -> q48_sql,
+    "q216_lsh_plan_drift" -> q216_sql)
 }

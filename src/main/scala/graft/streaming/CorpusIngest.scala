@@ -81,6 +81,22 @@ object CorpusIngest {
     * idempotent). Swap `FileKafka.readStream` for `format("kafka")`
     * and the merge sink for Delta/Iceberg MERGE in production —
     * README "Deployment notes". */
+  /** Batch-vs-corpus LSH plan re-pricer — the near-dup sibling of the
+    * ANN maintainer's `Ivf.ingestCensus` gate: after a micro-batch
+    * lands, price the banding grid on the BATCH's own sampled
+    * pair-similarity distribution next to the corpus's, in one frame
+    * ([[graft.dedup.Dedup.lshPlanDrift]]). `plan_changed` = the
+    * shipped operating point (q212's choice, calibrated on the corpus)
+    * is no longer cost-minimal for what's arriving — e.g. a re-crawl
+    * flooding near-duplicates moves the optimum toward more bands.
+    * Cost: two 48-doc samples + a 7-row join — cheap enough to run per
+    * batch, like the drift census it mirrors. The maintainer alerts or
+    * re-bands on the flag; this library computes the evidence. */
+  def bandPlanDrift(corpusDocs: DataFrame, batch: DataFrame,
+                    threshold: Double = 0.5): DataFrame =
+    graft.dedup.Dedup.lshPlanDrift(corpusDocs, batch, col("doc_id"),
+      TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3), threshold)
+
   def start(spark: SparkSession, wireDir: String, corpusFingerprints: DataFrame,
             tablePath: String, checkpointDir: String,
             watermarkDelay: String = "10 minutes"): StreamingQuery = {

@@ -319,6 +319,51 @@ class DedupSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(5)) >= 1)
   }
 
+  test("lsh plan drift: a near-dup-flooded batch flips the operating point; a uniform batch doesn't") {
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    // shifted-similarity batch: every doc arrives with two
+    // near-identical variants (the re-crawl near-dup flood) — the
+    // sample's high-similarity mass makes misses dominate, so the
+    // cost-minimal split moves to MORE bands than the corpus's choice.
+    // 16 bases × 3 = 48 rows = the sample size, so the md5 sample IS
+    // the whole batch and every triple's pairs are priced —
+    // deterministic, not dilution-dependent
+    val seed0 = real.filter(col("doc_id") < 16)
+      .select(col("doc_id"), col("text"))
+    val flooded = seed0
+      .unionByName(seed0.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" driftvariantx")).as("text")))
+      .unionByName(seed0.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" driftvarianty")).as("text")))
+    val d = Dedup.lshPlanDrift(real, flooded, col("doc_id"), items,
+      threshold = 0.5).orderBy("bands").collect()
+    assert(d.length === 7)
+    val corpusChosen = d.filter(_.getAs[Boolean]("corpus_chosen"))
+      .map(_.getAs[Long]("bands")).toSet
+    val batchChosen = d.filter(_.getAs[Boolean]("batch_chosen"))
+      .map(_.getAs[Long]("bands")).toSet
+    assert(d.forall(_.getAs[Boolean]("plan_changed")),
+      "the flooded batch must flip the plan")
+    assert(corpusChosen.intersect(batchChosen).isEmpty,
+      "plan_changed requires no corpus-chosen split to stay batch-chosen")
+    assert(batchChosen.max > corpusChosen.max,
+      "a high-similarity flood must move the choice to MORE bands")
+    // the census justifies the flip in the same frame: the batch
+    // sample carries above-threshold mass the corpus sample lacks
+    val r0 = d.head
+    assert(r0.getAs[Long]("batch_pairs_ge_t") >
+      r0.getAs[Long]("corpus_pairs_ge_t"))
+
+    // uniform batch (a plain slice of the corpus): the shipped point
+    // stays optimal — no flip, nothing to alert on
+    val calm = Dedup.lshPlanDrift(real,
+      real.filter(col("doc_id") % 2 === 0), col("doc_id"), items,
+      threshold = 0.5).collect()
+    assert(calm.forall(!_.getAs[Boolean]("plan_changed")),
+      "a same-distribution batch must not flip the plan")
+  }
+
   test("prefix index is a strict subset of the full inverted index") {
     val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
