@@ -38,3 +38,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )
+
+// Live-integration mode (`sbt -Dgraft.it=1 …`, see it/README.md): adds
+// the Kafka connector + Postgres JDBC driver so the two endpoint-gated
+// probes in ProductionTransportSpec run against the real containers in
+// it/docker-compose.yml — same tests, zero code edits; they gate on
+// classpath + endpoint and cancel cleanly otherwise. WITHOUT the flag
+// this list is empty, so the sandbox build stays jar-free and fully
+// offline (COURSIER_MODE=offline never attempts these).
+libraryDependencies ++= (
+  if (sys.props.get("graft.it").contains("1")) Seq(
+    "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2" % Test,
+    "org.postgresql" % "postgresql" % "42.7.7" % Test,
+  ) else Seq.empty)
