@@ -721,6 +721,41 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))), nullable = true)))
 
+  /** Media-validity acceptance census — the binary-column twin of
+    * `Similarity.vectorValidityCensus` (q213): per group, how many
+    * payloads each parser CLAIMS (its magic + structural gates pass)
+    * and how many nothing claims. Every decode operator in this
+    * library keys on those same gates (`format = 'x'` / `valid`), so
+    * `n_unknown + n_null + n_empty` IS the observable count of rows
+    * the media pipeline excludes rather than poisons — exactly the
+    * discipline the vector census gives embeddings. The format claims
+    * are mutually exclusive by magic (PNG/JPEG/BMP/RIFF-WAVE/RIFF-AVI/
+    * ftyp), so the counts sum to n_media; one map-side-combined
+    * groupBy, parsers fused into the scan. */
+  def mediaValidityCensus(df: DataFrame, group: Column,
+                          media: Column): DataFrame = {
+    def c(x: Column) = sum(when(coalesce(x, lit(false)), 1L).otherwise(0L))
+    val isNull = media.isNull
+    val isEmpty = media.isNotNull && length(media) === 0
+    val img = parseImageHeader(media).getField("format")
+    val claims = Seq(
+      "n_png" -> (img === lit("png")),
+      "n_jpeg" -> (img === lit("jpeg")),
+      "n_bmp" -> parseBmp(media).getField("valid"),
+      "n_wav" -> (parseWavHeader(media).getField("format") === lit("wav")),
+      "n_avi" -> (parseAviHeader(media).getField("format") === lit("avi")),
+      "n_mp4" -> (parseMp4Header(media).getField("format") === lit("mp4")))
+    val claimed = claims.map(_._2)
+      .map(x => coalesce(x, lit(false))).reduce(_ || _)
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).cast("long").as("n_media"),
+        c(isNull).as("n_null") +: c(isEmpty).as("n_empty") +:
+          claims.map { case (n, x) => c(x).as(n) } :+
+          c(media.isNotNull && length(media) > 0 && !claimed)
+            .as("n_unknown"): _*)
+      .orderBy("grp")
+  }
+
   /** Deterministic fake "decode" — a stand-in for a real image decoder:
     * hashes the payload into a fixed-length feature vector. Marked
     * clearly as a STUB; only the hash math is fake, the pipeline

@@ -94,6 +94,93 @@ class EdgeSweepSpec extends SparkSpec {
     }
   }
 
+  test("dirty media bytes: every parser is total and the census accounts for every row") {
+    import graft.multimodal.Multimodal
+    val d = EdgeCorpus.built
+    val docs = Tables.load(spark, d, "documents")
+      .filter(col("doc_id") < 8 && col("text").isNotNull)
+    def bytesOf(df: DataFrame): Seq[Array[Byte]] =
+      df.select(col("media")).collect().map(_.getAs[Array[Byte]](0)).toSeq
+    // every synthesized format, built over REAL header/payload bytes
+    val valid = bytesOf(Multimodal.syntheticBmp(docs)) ++
+      bytesOf(Multimodal.syntheticWav(docs)) ++
+      bytesOf(Multimodal.syntheticAvi(docs)) ++
+      bytesOf(Multimodal.syntheticMp4(docs)) ++
+      bytesOf(Multimodal.syntheticMedia(docs))
+    // the crawl's reality: every valid payload also arrives truncated
+    // at the magic, inside the header, and mid-payload …
+    val truncated = valid.flatMap(b =>
+      Seq(b.take(2), b.take(10), b.take(math.max(1, b.length / 2))))
+    // … plus right-magic-wrong-structure and pure garbage
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    val crafted = Seq(
+      ascii("BM") ++ Array.fill[Byte](60)(0),             // BM magic, zero header
+      ascii("RIFF") ++ Array.fill[Byte](4)(9) ++ ascii("WAVE") ++
+        Array.fill[Byte](40)(7),                          // WAVE, no fmt/data
+      ascii("RIFF") ++ Array.fill[Byte](4)(9) ++ ascii("AVI ") ++
+        Array.fill[Byte](80)(3),                          // AVI, no hdrl
+      Array[Byte](0, 0, 0, 0) ++ ascii("ftyp") ++
+        Array.fill[Byte](24)(1),                          // mp4 box size 0 (loop bait)
+      Array[Byte](0x7F, -1, -1, -1) ++ ascii("ftyp") ++
+        Array.fill[Byte](24)(1),                          // absurd box size
+      Array[Byte](-119) ++ ascii("PNG\r\n") ++ Array[Byte](0x1A, 0x0A) ++
+        Array.fill[Byte](5)(0),                           // PNG magic, no IHDR
+      Array[Byte](-1, -40),                               // JPEG SOI alone
+      Array[Byte](-1, -40) ++ Array.fill[Byte](62)(-1),   // SOI + FF flood
+      Array.tabulate[Byte](128)(i => ((i * 131 + 17) % 251).toByte), // garbage
+      Array.emptyByteArray)
+    val all: Seq[Array[Byte]] = valid ++ truncated ++ crafted
+    val rows = all.zipWithIndex.map { case (b, i) => Row(i.toLong, b) } :+
+      Row(99999L, null)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("media", BinaryType)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    // totality: every parser evaluates every struct field on every row
+    // (collect, not count — count would prune the parse columns away)
+    val parsed = media.select(
+      Multimodal.parseImageHeader(col("media")).as("img"),
+      Multimodal.parseWavHeader(col("media")).as("wav"),
+      Multimodal.parseAviHeader(col("media")).as("avi"),
+      Multimodal.parseMp4Header(col("media")).as("mp4"),
+      Multimodal.parseWavPcm(col("media")).as("pcm"),
+      Multimodal.parseBmp(col("media")).as("bmp")).collect()
+    assert(parsed.length === rows.length)
+
+    // the decode chains run over whatever survives their own gates
+    val bmpOk = media.select(col("media_id"), col("media"),
+        Multimodal.parseBmp(col("media")).as("p"))
+      .filter(col("p.valid"))
+      .select(col("media_id"), col("media"), col("p.data_off").as("o"),
+        col("p.width").as("w"), col("p.height").as("h"))
+    val hashed = bmpOk.select(col("media_id"),
+      Multimodal.bmpAHash(col("media"), col("o"), col("w"), col("h"),
+        Multimodal.bmpLumSum(col("media"), col("o"), col("w"), col("h")))
+        .as("ahash"),
+      Multimodal.bmpChannelStats(col("media"), col("o"), col("w"), col("h"))
+        .as("st")).collect()
+    assert(hashed.nonEmpty && hashed.forall(r => !r.isNullAt(1)))
+
+    // the census is the q213-style accounting: every row lands in
+    // exactly one bucket, exclusions observable, nothing poisoned
+    val cen = Multimodal.mediaValidityCensus(media, lit(0), col("media"))
+      .collect().head
+    val Seq(nMedia, nNull, nEmpty, nPng, nJpeg, nBmp, nWav, nAvi, nMp4,
+      nUnknown) = (1 to 10).map(cen.getLong)
+    assert(nMedia === rows.length.toLong)
+    assert(nNull === 1L && nEmpty === 1L)
+    assert(nNull + nEmpty + nPng + nJpeg + nBmp + nWav + nAvi + nMp4 +
+      nUnknown === nMedia, "census buckets must partition the corpus")
+    // each synthesized format is claimed by its parser (doc 0 takes the
+    // deliberate headerless branch in some builders, hence >= 6)
+    Seq("bmp" -> nBmp, "wav" -> nWav, "avi" -> nAvi, "mp4" -> nMp4)
+      .foreach { case (f, n) => assert(n >= 6L, s"$f claimed only $n") }
+    assert(nPng >= 2L && nJpeg >= 2L)
+    assert(nUnknown >= crafted.length.toLong - 2L,
+      "garbage and wrong-structure bytes must land in n_unknown")
+  }
+
   test("validity census counts exactly the rows the hygiene filter excludes") {
     val d = EdgeCorpus.built
     val e = Tables.load(spark, d, "embeddings")
