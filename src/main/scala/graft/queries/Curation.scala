@@ -1282,6 +1282,41 @@ object Curation {
        |FROM fin WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q218
+  // Asymmetric binary ANN (ADC applied to the sign-bit quantizer):
+  // identical corpus bytes to q207 — ⌈d/32⌉ words of sign bits — but
+  // the QUERY never quantizes: the shortlist ranks by
+  // −Σ_d q_d·(2·bit_d − 1), the query's exact micro magnitudes
+  // weighting every dimension instead of counting sign flips equally.
+  // The standard accuracy-for-free upgrade when queries are few and
+  // the corpus is the thing that must stay small (FAISS's symmetric-
+  // vs-ADC distinction, here at 1 bit/dim). All-integer end to end,
+  // same output contract and exact re-rank tail as the other tiers.
+  val q218_binary_asym: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    graft.similarity.BinaryQ
+      .topKAsymmetric(e, e.filter(col("vec_id") < 20), k = PqK, rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  val q218_sql: String = {
+    def halfSql(tbl: String, h: Int) =
+      s"CAST(list_sum(list_transform(generate_series(1, 32), d -> " +
+        s"CASE WHEN $tbl.mv[d + ${32 * h}] > 0 " +
+        s"THEN (1::BIGINT << CAST(d - 1 AS INT)) ELSE 0 END)) AS BIGINT)"
+    "WITH " + pqMCte + ",\n" +
+      s"""bc AS (SELECT vec_id, ${halfSql("m", 0)} AS lo,
+         |          ${halfSql("m", 1)} AS hi
+         |        FROM m),
+         |qm AS (SELECT vec_id, mv FROM m WHERE vec_id < 20),
+         |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(-list_sum(list_transform(generate_series(1, 64), d ->
+         |      q.mv[d] * (2 * ((CASE WHEN d <= 32 THEN c.lo ELSE c.hi END
+         |        >> CAST((d - 1) % 32 AS INT)) & 1) - 1))) AS BIGINT) AS adist
+         |  FROM qm q JOIN bc c ON c.vec_id <> q.vec_id),
+         |""".stripMargin + pqRerankSql
+  }
+
   // --------------------------------------------------------------- q208
   // ANN quantization-tier acceptance report: for each cheap tier
   // (binary sign-bit, SQ 16-bin, PQ 8x256), does the EXACT nearest
@@ -1621,6 +1656,7 @@ object Curation {
     "q206_ivfpq_residual" -> q206_ivfpq_residual,
     "q207_binary_ann" -> q207_binary_ann,
     "q215_binary_anydim" -> q215_binary_anydim,
+    "q218_binary_asym" -> q218_binary_asym,
     "q208_ann_tier_report" -> q208_ann_tier_report,
     "q209_incremental_topk" -> q209_incremental_topk,
     "q188_rrf_fusion" -> q188_rrf_fusion,
@@ -1653,6 +1689,7 @@ object Curation {
     "q206_ivfpq_residual" -> q206_sql,
     "q207_binary_ann" -> q207_sql,
     "q215_binary_anydim" -> q215_sql,
+    "q218_binary_asym" -> q218_sql,
     "q208_ann_tier_report" -> q208_sql,
     "q209_incremental_topk" -> q209_sql,
     "q188_rrf_fusion" -> q188_sql,

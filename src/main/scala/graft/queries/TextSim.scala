@@ -615,6 +615,79 @@ object TextSim {
        |FROM j, ccen, bcen, fl ORDER BY bands""".stripMargin
   }
 
+  /** Shared 3-gram-shingle CTE: documents → (doc_id, gs) with gs the
+    * DISTINCT word-3-gram list (null text → null gs, short docs →
+    * empty list). `src` must provide (doc_id, text). */
+  private def shingleCte(name: String, src: String): String =
+    s"""$name AS (SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)),
+       |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+       |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+       |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS gs
+       |  FROM $src)""".stripMargin
+
+  // --------------------------------------------------------------- q219
+  // First-occurrence n-gram novelty: every distinct 3-gram is credited
+  // to the doc where it FIRST occurs (min doc_id — deterministic), and
+  // a doc's score is the fraction of its grams it introduced — the
+  // "new information" signal curation uses next to dedup (a doc can be
+  // 0% duplicate yet mostly boilerplate grams the corpus holds), and
+  // an exact decomposition of vocabulary growth (Σ n_first = distinct
+  // grams; the per-doc sibling of q109's growth curve). One
+  // gram-keyed shuffle builds the first-occurrence table; the credit
+  // join reuses its partitioning; the roll-up is map-side combined.
+  val q219_novelty: Q = (s, dir) =>
+    graft.text.Novelty.firstOccurrenceNovelty(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3))
+      .orderBy("doc_id")
+
+  val q219_sql: String =
+    s"""WITH ${shingleCte("t", "documents")},
+       |inv AS (SELECT doc_id, UNNEST(gs) AS g FROM t),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM inv GROUP BY g),
+       |nf AS (SELECT inv.doc_id, count(*) AS n_first
+       |       FROM inv JOIN f ON inv.g = f.g AND inv.doc_id = f.first_doc
+       |       GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(nf.n_first, 0) AS BIGINT) AS n_first,
+       |  CASE WHEN len(gs) > 0
+       |       THEN coalesce(nf.n_first, 0) * 1000000 // len(gs) END AS novelty_micro
+       |FROM t LEFT JOIN nf USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q220
+  // Ingest novelty — q219's incremental twin, the batch-vs-corpus
+  // discipline of q156/q180/q191 applied to information content: for
+  // each doc of a deterministic 10% md5 batch slice, the share of its
+  // grams NO standing doc contains. A re-crawl whose ingest novelty
+  // collapses is the "stop crawling this source" signal; at scale the
+  // standing side is the stored gram index, never a corpus rescan.
+  val q220_ingest_novelty: Q = (s, dir) =>
+    graft.text.Novelty.ingestNovelty(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      isBatch = graft.dedup.Dedup.md5Hash32(col("doc_id").cast("string")) % 10 === 0)
+      .orderBy("doc_id")
+
+  val q220_sql: String =
+    s"""WITH ${shingleCte("t0", "documents")},
+       |t AS (SELECT doc_id, gs,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % 10 = 0 AS is_new
+       |  FROM t0),
+       |inv AS (SELECT doc_id, is_new, UNNEST(gs) AS g FROM t),
+       |known AS (SELECT DISTINCT g FROM inv WHERE NOT is_new),
+       |nn AS (SELECT inv.doc_id,
+       |    CAST(sum(CASE WHEN known.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_grams
+       |  FROM inv LEFT JOIN known ON inv.g = known.g
+       |  WHERE inv.is_new GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(nn.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+       |  CASE WHEN len(gs) > 0
+       |       THEN coalesce(nn.n_new_grams, 0) * 1000000 // len(gs) END AS novelty_micro
+       |FROM t LEFT JOIN nn USING (doc_id) WHERE t.is_new
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q94
   // SimHash near-dups WITH the hot-bucket occupancy cap — the skew
   // guard hash-checked cross-engine: buckets holding more than `cap`
@@ -1874,7 +1947,9 @@ object TextSim {
     "q35_ann_lsh" -> q35_ann_lsh,
     "q36_embed_neardups" -> q36_embed_neardups,
     "q48_ann_ivf" -> q48_ann_ivf,
-    "q216_lsh_plan_drift" -> q216_lsh_plan_drift)
+    "q216_lsh_plan_drift" -> q216_lsh_plan_drift,
+    "q219_novelty" -> q219_novelty,
+    "q220_ingest_novelty" -> q220_ingest_novelty)
 
   val oracle: Map[String, String] = Map(
     "q186_hard_negatives" -> q186_sql,
@@ -1920,5 +1995,7 @@ object TextSim {
     "q35_ann_lsh" -> q35_sql,
     "q36_embed_neardups" -> q36_sql,
     "q48_ann_ivf" -> q48_sql,
-    "q216_lsh_plan_drift" -> q216_sql)
+    "q216_lsh_plan_drift" -> q216_sql,
+    "q219_novelty" -> q219_sql,
+    "q220_ingest_novelty" -> q220_sql)
 }

@@ -59,6 +59,41 @@ object BinaryQ {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0L), (acc, h) => acc + h.cast("long"))
 
+  /** Asymmetric distance (the ADC idea applied to the sign-bit
+    * quantizer): the QUERY keeps full precision (integer micro units)
+    * while the corpus contributes only its stored bits — adist =
+    * −Σ_d q_d·s_d with s_d = 2·bit_d − 1 ∈ {−1, +1}. Exact BIGINT end
+    * to end (products of micro units by ±1, order-free sum), and a
+    * strictly more informed shortlist than symmetric Hamming at
+    * IDENTICAL corpus bytes: the query's magnitudes weight every
+    * dimension instead of counting sign flips equally. Bit addressing
+    * is shift arithmetic (d >> 5 word, d & 31 bit) — no division. */
+  def asymDist(code: Column, qmv: Column): Column =
+    lit(0L) - aggregate(
+      sequence(lit(0L), size(qmv).cast("long") - 1L), lit(0L), (acc, d) => {
+        val word = get(code, call_function("shiftright", d.cast("int"), lit(5)))
+        val bit = call_function("shiftright", word,
+          d.bitwiseAND(lit(31L)).cast("int")).bitwiseAND(lit(1L))
+        acc + element_at(qmv, d.cast("int") + lit(1)) * (bit * lit(2L) - lit(1L))
+      })
+
+  /** Asymmetric-shortlisted exact top-k: same corpus codes, same
+    * output contract and re-rank tail as [[topK]], but the shortlist
+    * ranks by [[asymDist]] — queries never quantize. */
+  def topKAsymmetric(corpus: DataFrame, queries: DataFrame, k: Int,
+                     rerank: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = codes(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("code"))
+    val qm = queries.filter(Similarity.finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"), Sq.micronize(col(vecCol)).as("qmv"))
+    val approx = c.crossJoin(broadcast(qm))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        asymDist(col("code"), col("qmv")).as("adist"))
+    Pq.rerankTail(approx, corpus, qm, k, rerank, idCol, vecCol)
+  }
+
   /** Hamming-shortlisted exact top-k. Output matches the other ANN
     * paths: (query_id, rank, neighbor_id, adist, edist) with adist =
     * the Hamming distance of the binary codes. */

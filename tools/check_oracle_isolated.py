@@ -42,6 +42,14 @@ if only is None:
     sys.exit(1 if fails else 0)
 
 import duckdb
+# Pre-import the pandas/numpy stack BEFORE any replay runs: the
+# list-heavy replays (q210's Hamming-ball lambdas) drive duckdb's
+# allocator to ~64k mmaps of the kernel's 65,530 per-process
+# vm.max_map_count ceiling, and a lazy numpy import at .df() time then
+# fails mid-load ("failed to map segment" / OpenBLAS pthread_create
+# EAGAIN / a spurious duckdb 16KB "Out of Memory"). Mapping the .so
+# files up front takes them out of the contended window.
+import pandas  # noqa: F401
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,6 +58,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def fresh_con():
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{mem}'")
+    # threads=8, NOT the 32-core default: allocator map-count pressure
+    # is what actually kills the heavy replays, and it is not linear in
+    # data size — measured on q210 at sf0.3: 32 threads peak 63,810
+    # maps, 16 threads 64,576, 8 threads 40,411 (ceiling 65,530).
+    # 8 leaves real margin; the wall-time cost on the heavy replays is
+    # small (they are allocator-bound, not CPU-bound).
+    con.execute("SET threads=8")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
