@@ -49,23 +49,9 @@ object Media {
   private def bn(off: String, n: Int) =
     s"CAST('0x' || substr(hexs, 2*($off) + 1, ${2 * n}) AS BIGINT)"
 
-  val q97_sql: String = {
-    val sofSet = Multimodal.JpegSofMarkers.mkString(", ")
-    // the bounded marker-segment walk, one CTE per step (linear, named
-    // references — the SQL twin of the Spark-side aggregate() fold)
-    val steps = (1 to Multimodal.JpegMaxSegments).map { k =>
-      s"""s$k AS (SELECT doc_id, hexs,
-         |  CASE WHEN sof IS NOT NULL OR off + 10 > CAST(length(hexs)/2 AS BIGINT)
-         |            OR ${b1("off")} <> 255 THEN off
-         |       WHEN ${b1("off + 1")} IN ($sofSet) THEN off
-         |       ELSE off + 2 + ${bn("off + 2", 2)} END AS off,
-         |  CASE WHEN sof IS NOT NULL THEN sof
-         |       WHEN off + 10 <= CAST(length(hexs)/2 AS BIGINT) AND ${b1("off")} = 255
-         |            AND ${b1("off + 1")} IN ($sofSet) THEN off
-         |       END AS sof
-         |  FROM s${k - 1})""".stripMargin
-    }.mkString(",\n")
-    s"""WITH m AS (SELECT doc_id, upper(CASE
+  /** PNG/JPEG hex construction (same constants as syntheticMedia). */
+  private def imgHexSql(where: String): String =
+    s"""SELECT doc_id, upper(CASE
        |    WHEN doc_id % 97 = 0 THEN md5(text)
        |    WHEN doc_id % 2 = 0 THEN
        |      '${Multimodal.PngMagicHex}0000000D49484452'
@@ -87,8 +73,26 @@ object Media {
        |      || lpad(to_hex(1 + doc_id % 3), 2, '0')
        |      || substr('011100021100031100', 1, CAST(6 * (1 + doc_id % 3) AS INT))
        |      || 'FFD9'
-       |  END) AS hexs FROM documents),
-       |s0 AS (SELECT doc_id, hexs, CAST(2 AS BIGINT) AS off,
+       |  END) AS hexs FROM documents $where""".stripMargin
+
+  val q97_sql: String = {
+    val sofSet = Multimodal.JpegSofMarkers.mkString(", ")
+    // the bounded marker-segment walk, one CTE per step (linear, named
+    // references — the SQL twin of the Spark-side aggregate() fold)
+    val steps = (1 to Multimodal.JpegMaxSegments).map { k =>
+      s"""s$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN sof IS NOT NULL OR off + 10 > CAST(length(hexs)/2 AS BIGINT)
+         |            OR ${b1("off")} <> 255 THEN off
+         |       WHEN ${b1("off + 1")} IN ($sofSet) THEN off
+         |       ELSE off + 2 + ${bn("off + 2", 2)} END AS off,
+         |  CASE WHEN sof IS NOT NULL THEN sof
+         |       WHEN off + 10 <= CAST(length(hexs)/2 AS BIGINT) AND ${b1("off")} = 255
+         |            AND ${b1("off + 1")} IN ($sofSet) THEN off
+         |       END AS sof
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    "WITH m AS (" + imgHexSql("") + "),\n" +
+      s"""s0 AS (SELECT doc_id, hexs, CAST(2 AS BIGINT) AS off,
        |              CAST(NULL AS BIGINT) AS sof FROM m),
        |$steps,
        |p AS (SELECT doc_id, hexs, sof,
@@ -153,29 +157,16 @@ object Media {
     (n - 1 to 0 by -1).map(i => s"substr($h, ${2 * i + 1}, 2)").mkString(" || ")
   }
 
-  val q100_sql: String = {
-    val inBounds = "off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
-    val open = s"(fmt IS NULL OR dsize IS NULL) AND $inBounds"
-    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
-      s"""s$k AS (SELECT doc_id, hexs,
-         |  CASE WHEN $open
-         |       THEN off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2
-         |       ELSE off END AS off,
-         |  CASE WHEN fmt IS NOT NULL THEN fmt
-         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '666D7420'
-         |       THEN off + 8 END AS fmt,
-         |  CASE WHEN dsize IS NOT NULL THEN dsize
-         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '64617461'
-         |       THEN ${ln("off + 4", 4)} END AS dsize
-         |  FROM s${k - 1})""".stripMargin
-    }.mkString(",\n")
+  /** WAV hex construction (same constants as syntheticWav) as a bare
+    * SELECT — reused by q217's mixed census with a slice filter. */
+  private def wavHexSql(where: String): String = {
     // id-derived fmt fields — same constants as syntheticWav
     val nCh = "(1 + doc_id % 2)"
     val sr = "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)"
     val bps = "(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 2 END)"
     val dataLen = "(doc_id % 9 + 8)"
     val listLen = "(doc_id % 7 + 1)"
-    s"""WITH m AS (SELECT doc_id, upper(CASE
+    s"""SELECT doc_id, upper(CASE
        |    WHEN doc_id % 89 = 0 THEN md5(text)
        |    ELSE '52494646'
        |      || ${lew(s"4 + CASE WHEN doc_id % 2 = 0 THEN 12 + $listLen + $listLen % 2 ELSE 0 END + 32 + $dataLen", 4)}
@@ -190,14 +181,45 @@ object Media {
        |      || ${lew(s"$nCh * $bps", 2)} || ${lew(s"8 * $bps", 2)}
        |      || '64617461' || ${lew(dataLen, 4)}
        |      || substr(md5(text), 1, CAST(2 * $dataLen AS INT))
-       |  END) AS hexs FROM documents),
-       |s0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
-       |       CAST(NULL AS BIGINT) AS fmt, CAST(NULL AS BIGINT) AS dsize FROM m),
-       |$steps,
-       |p AS (SELECT doc_id, hexs, fmt, dsize,
-       |   substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '57415645'
-       |     AND length(hexs) >= 88 AND fmt IS NOT NULL AND dsize IS NOT NULL AS ok
-       | FROM s${Multimodal.WavMaxChunks})
+       |  END) AS hexs FROM documents $where""".stripMargin
+  }
+
+  /** The RIFF/WAVE fmt+data chunk walk over `src(doc_id, hexs)`:
+    * emits step CTEs `${p}0..${p}WavMaxChunks` carrying (doc_id, hexs,
+    * off, fmt, dsize). Returns (ctesSql, lastStepName). */
+  private def wavWalkSql(src: String, p: String): (String, String) = {
+    val inBounds = "off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"(fmt IS NULL OR dsize IS NULL) AND $inBounds"
+    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
+      s"""$p$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open
+         |       THEN least(off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2,
+         |                  CAST(length(hexs)/2 AS BIGINT))
+         |       ELSE off END AS off,
+         |  CASE WHEN fmt IS NOT NULL THEN fmt
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '666D7420'
+         |       THEN off + 8 END AS fmt,
+         |  CASE WHEN dsize IS NOT NULL THEN dsize
+         |       WHEN $open AND substr(hexs, 2*off + 1, 8) = '64617461'
+         |       THEN ${ln("off + 4", 4)} END AS dsize
+         |  FROM $p${k - 1})""".stripMargin
+    }.mkString(",\n")
+    (s"""${p}0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
+       |       CAST(NULL AS BIGINT) AS fmt, CAST(NULL AS BIGINT) AS dsize FROM $src),
+       |$steps""".stripMargin, s"$p${Multimodal.WavMaxChunks}")
+  }
+
+  /** The full parseWavHeader validity over a walk end-state row. */
+  private val wavOkSql: String =
+    "substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '57415645'" +
+      " AND length(hexs) >= 88 AND fmt IS NOT NULL AND dsize IS NOT NULL"
+
+  val q100_sql: String = {
+    val (walk, last) = wavWalkSql("m", "s")
+    "WITH m AS (" + wavHexSql("") + "),\n" + walk + ",\n" +
+      s"""p AS (SELECT doc_id, hexs, fmt, dsize,
+       |   $wavOkSql AS ok
+       | FROM $last)
        |SELECT doc_id,
        |  CASE WHEN ok THEN 'wav' ELSE 'unknown' END AS format,
        |  CASE WHEN ok THEN ${ln("fmt + 2", 2)} END AS channels,
@@ -231,20 +253,8 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val q102_sql: String = {
-    val inBounds = "off + 12 <= CAST(length(hexs)/2 AS BIGINT)"
-    val open = s"hdrl IS NULL AND $inBounds"
-    val isHdrl = s"$open AND substr(hexs, 2*off + 1, 8) = '4C495354'" +
-      " AND substr(hexs, 2*off + 17, 8) = '6864726C'"
-    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
-      s"""s$k AS (SELECT doc_id, hexs,
-         |  CASE WHEN $open AND NOT ($isHdrl)
-         |       THEN off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2
-         |       ELSE off END AS off,
-         |  CASE WHEN hdrl IS NOT NULL THEN hdrl
-         |       WHEN $isHdrl THEN off + 8 END AS hdrl
-         |  FROM s${k - 1})""".stripMargin
-    }.mkString(",\n")
+  /** AVI hex construction (same constants as syntheticAvi). */
+  private def aviHexSql(where: String): String = {
     val mspf = "(CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 41708 ELSE 16667 END)"
     val frames = "(10 + doc_id % 990)"
     val streams = "(1 + doc_id % 2)"
@@ -252,7 +262,7 @@ object Media {
     val h = "(120 + (doc_id * 3) % 720)"
     val junkLen = "(doc_id % 11 + 1)"
     val zero4 = lew("0", 4)
-    s"""WITH m AS (SELECT doc_id, upper(CASE
+    s"""SELECT doc_id, upper(CASE
        |    WHEN doc_id % 83 = 0 THEN md5(text)
        |    ELSE '52494646'
        |      || ${lew(s"4 + CASE WHEN doc_id % 2 = 0 THEN 8 + $junkLen + $junkLen % 2 ELSE 0 END + 76 + 12", 4)}
@@ -268,15 +278,42 @@ object Media {
        |      || ${lew(frames, 4)} || $zero4 || ${lew(streams, 4)} || $zero4
        |      || ${lew(w, 4)} || ${lew(h, 4)} || $zero4 || $zero4 || $zero4 || $zero4
        |      || '4C495354' || ${lew("4", 4)} || '6D6F7669'
-       |  END) AS hexs FROM documents),
-       |s0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
-       |       CAST(NULL AS BIGINT) AS hdrl FROM m),
-       |$steps,
-       |p AS (SELECT doc_id, hexs, hdrl,
-       |   substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '41564920'
-       |     AND length(hexs) >= 176 AND hdrl IS NOT NULL
-       |     AND substr(hexs, 2*(hdrl + 4) + 1, 8) = '61766968' AS ok
-       | FROM s${Multimodal.WavMaxChunks})
+       |  END) AS hexs FROM documents $where""".stripMargin
+  }
+
+  /** The RIFF/AVI LIST-'hdrl' walk over `src(doc_id, hexs)`. */
+  private def aviWalkSql(src: String, p: String): (String, String) = {
+    val inBounds = "off + 12 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"hdrl IS NULL AND $inBounds"
+    val isHdrl = s"$open AND substr(hexs, 2*off + 1, 8) = '4C495354'" +
+      " AND substr(hexs, 2*off + 17, 8) = '6864726C'"
+    val steps = (1 to Multimodal.WavMaxChunks).map { k =>
+      s"""$p$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open AND NOT ($isHdrl)
+         |       THEN least(off + 8 + ${ln("off + 4", 4)} + ${ln("off + 4", 4)} % 2,
+         |                  CAST(length(hexs)/2 AS BIGINT))
+         |       ELSE off END AS off,
+         |  CASE WHEN hdrl IS NOT NULL THEN hdrl
+         |       WHEN $isHdrl THEN off + 8 END AS hdrl
+         |  FROM $p${k - 1})""".stripMargin
+    }.mkString(",\n")
+    (s"""${p}0 AS (SELECT doc_id, hexs, CAST(12 AS BIGINT) AS off,
+       |       CAST(NULL AS BIGINT) AS hdrl FROM $src),
+       |$steps""".stripMargin, s"$p${Multimodal.WavMaxChunks}")
+  }
+
+  /** The full parseAviHeader validity over a walk end-state row. */
+  private val aviOkSql: String =
+    "substr(hexs, 1, 8) = '52494646' AND substr(hexs, 17, 8) = '41564920'" +
+      "\n     AND length(hexs) >= 176 AND hdrl IS NOT NULL" +
+      "\n     AND substr(hexs, 2*(hdrl + 4) + 1, 8) = '61766968'"
+
+  val q102_sql: String = {
+    val (walk, last) = aviWalkSql("m", "s")
+    "WITH m AS (" + aviHexSql("") + "),\n" + walk + ",\n" +
+      s"""p AS (SELECT doc_id, hexs, hdrl,
+       |   $aviOkSql AS ok
+       | FROM $last)
        |SELECT doc_id,
        |  CASE WHEN ok THEN 'avi' ELSE 'unknown' END AS format,
        |  CASE WHEN ok THEN ${ln("hdrl + 12 + 32", 4)} END AS width,
@@ -310,19 +347,8 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val q114_sql: String = {
-    val inBounds = s"off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
-    val open = s"moov IS NULL AND $inBounds AND ${bn("off", 4)} >= 8"
-    val isMoov = s"$open AND substr(hexs, 2*off + 9, 8) = '6D6F6F76'"
-    val steps = (1 to Multimodal.Mp4MaxBoxes).map { k =>
-      s"""s$k AS (SELECT doc_id, hexs,
-         |  CASE WHEN $open AND NOT ($isMoov)
-         |       THEN least(off + ${bn("off", 4)}, CAST(length(hexs)/2 AS BIGINT))
-         |       ELSE off END AS off,
-         |  CASE WHEN moov IS NOT NULL THEN moov
-         |       WHEN $isMoov THEN off + 8 END AS moov
-         |  FROM s${k - 1})""".stripMargin
-    }.mkString(",\n")
+  /** MP4 hex construction (same constants as syntheticMp4). */
+  private def mp4HexSql(where: String): String = {
     val ts = "(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000" +
       " WHEN 2 THEN 90000 ELSE 44100 END)"
     val dur = "((doc_id % 7200 + 1) * 100)"
@@ -330,7 +356,7 @@ object Media {
     val mvhdTail = "00010000" + "0100" + "0000" + "0" * 16 +
       "000100000000000000000000" + "000000000001000000000000" +
       "000000000000000040000000" + "0" * 48 + "00000002"
-    s"""WITH m AS (SELECT doc_id, upper(CASE
+    s"""SELECT doc_id, upper(CASE
        |    WHEN doc_id % 89 = 0 THEN md5(text)
        |    ELSE '000000106674797069736F6D00000000'
        |      || CASE WHEN doc_id % 2 = 0 THEN
@@ -342,17 +368,42 @@ object Media {
        |      || lpad(to_hex(0), 8, '0')
        |      || lpad(to_hex($ts), 8, '0') || lpad(to_hex($dur), 8, '0')
        |      || '$mvhdTail'
-       |  END) AS hexs FROM documents),
-       |s0 AS (SELECT doc_id, hexs, CAST(0 AS BIGINT) AS off,
-       |              CAST(NULL AS BIGINT) AS moov FROM m),
-       |$steps,
-       |p AS (SELECT doc_id, hexs, moov,
-       |   length(hexs) >= 32 AND substr(hexs, 9, 8) = '66747970'
+       |  END) AS hexs FROM documents $where""".stripMargin
+  }
+
+  /** The ISO-BMFF top-level box walk over `src(doc_id, hexs)`. */
+  private def mp4WalkSql(src: String, p: String): (String, String) = {
+    val inBounds = s"off + 8 <= CAST(length(hexs)/2 AS BIGINT)"
+    val open = s"moov IS NULL AND $inBounds AND ${bn("off", 4)} >= 8"
+    val isMoov = s"$open AND substr(hexs, 2*off + 9, 8) = '6D6F6F76'"
+    val steps = (1 to Multimodal.Mp4MaxBoxes).map { k =>
+      s"""$p$k AS (SELECT doc_id, hexs,
+         |  CASE WHEN $open AND NOT ($isMoov)
+         |       THEN least(off + ${bn("off", 4)}, CAST(length(hexs)/2 AS BIGINT))
+         |       ELSE off END AS off,
+         |  CASE WHEN moov IS NOT NULL THEN moov
+         |       WHEN $isMoov THEN off + 8 END AS moov
+         |  FROM $p${k - 1})""".stripMargin
+    }.mkString(",\n")
+    (s"""${p}0 AS (SELECT doc_id, hexs, CAST(0 AS BIGINT) AS off,
+       |              CAST(NULL AS BIGINT) AS moov FROM $src),
+       |$steps""".stripMargin, s"$p${Multimodal.Mp4MaxBoxes}")
+  }
+
+  /** The full parseMp4Header validity over a walk end-state row. */
+  private def mp4OkSql: String =
+    s"""length(hexs) >= 32 AND substr(hexs, 9, 8) = '66747970'
        |     AND moov IS NOT NULL
        |     AND moov + 32 <= CAST(length(hexs)/2 AS BIGINT)
        |     AND substr(hexs, 2*(moov + 4) + 1, 8) = '6D766864'
-       |     AND ${b1("moov + 8")} = 0 AND ${bn("moov + 20", 4)} > 0 AS ok
-       | FROM s${Multimodal.Mp4MaxBoxes})
+       |     AND ${b1("moov + 8")} = 0 AND ${bn("moov + 20", 4)} > 0""".stripMargin
+
+  val q114_sql: String = {
+    val (walk, last) = mp4WalkSql("m", "s")
+    "WITH m AS (" + mp4HexSql("") + "),\n" + walk + ",\n" +
+      s"""p AS (SELECT doc_id, hexs, moov,
+       |   $mp4OkSql AS ok
+       | FROM $last)
        |SELECT doc_id,
        |  CASE WHEN ok THEN 'mp4' ELSE 'unknown' END AS format,
        |  CASE WHEN ok THEN substr(hexs, 17, 8) END AS major_brand_hex,
@@ -569,15 +620,18 @@ object Media {
     * source corpus (the q195 pair-demo cap); empty = full corpus. */
   private def bmpCtes: String = bmpCtesWhere("")
 
-  private def bmpCtesWhere(where: String): String = {
+  /** BMP hex construction (same constants as syntheticBmp) as two
+    * chained CTEs named `${mName}`/`${cName}`; `cName` ends with
+    * (doc_id, hexs). */
+  private def bmpHexCtes(mName: String, cName: String, where: String): String = {
     val w = "(1 + doc_id % 4)"
     val h = "(1 + doc_id % 3)"
     val gap = "(doc_id % 5)"
-    s"""m AS (SELECT doc_id,
+    s"""$mName AS (SELECT doc_id,
        |    upper(md5(text) || md5(text || 'a') || md5(text || 'b')) AS body,
        |    $w AS w, $h AS h, $gap AS gap,
        |    ((3 * $w + 3) // 4) * 4 AS stride FROM documents $where),
-       |c AS (SELECT doc_id, upper(CASE
+       |$cName AS (SELECT doc_id, upper(CASE
        |    WHEN doc_id % 97 = 0 THEN body
        |    ELSE '424D' || ${lew("54 + gap + stride * h", 4)}
        |      || ${lew("0", 4)} || ${lew("54 + gap", 4)}
@@ -587,8 +641,12 @@ object Media {
        |      || ${lew("0", 4)} || ${lew("0", 4)}
        |      || substr(body, 1, CAST(2 * gap AS INT))
        |      || substr(body, CAST(2 * gap + 1 AS INT), CAST(2 * stride * h AS INT))
-       |  END) AS hexs FROM m),
-       |p0 AS (SELECT doc_id, hexs,
+       |  END) AS hexs FROM $mName)""".stripMargin
+  }
+
+  private def bmpCtesWhere(where: String): String = {
+    bmpHexCtes("m", "c", where) + ",\n" +
+      s"""p0 AS (SELECT doc_id, hexs,
        |   least(${ln("18", 4)}, ${2 * Multimodal.BmpMaxPixels}) AS wx,
        |   least(${ln("22", 4)}, ${2 * Multimodal.BmpMaxPixels}) AS hh,
        |   ${ln("10", 4)} AS doffx,
@@ -606,6 +664,98 @@ object Media {
        | FROM p),
        |v2 AS (SELECT *, CASE WHEN ok THEN rb ELSE 0 END AS rbx,
        |       CASE WHEN ok THEN hh ELSE 0 END AS hhx FROM v)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q217
+  // Mixed-corpus media-validity census: a six-slice corpus (BMP, WAV,
+  // AVI, MP4 by doc_id % 6, PNG/JPEG/unknown on the rest) run through
+  // `Multimodal.mediaValidityCensus` — per slice, how many payloads
+  // each parser's FULL structural gates claim (not just magic sniffs:
+  // the WAV claim replays the fmt+data chunk walk, AVI the LIST/hdrl
+  // walk, MP4 the box walk, BMP the header/bounds checks) and how many
+  // nothing claims. The deliberate headerless branches (doc_id % 97 /
+  // 89 / 83) land in n_unknown, so the census quantifies exactly what
+  // the decode family excludes — q213's discipline for binary columns,
+  // hash-checked end to end. The oracle replays all five byte
+  // constructions AND all three chunk walks over the mixed table.
+  val q217_media_census: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    def slice(r: Int) = docs.filter(col("doc_id") % 6 === r)
+    val mixed = Multimodal.syntheticBmp(slice(0))
+      .unionByName(Multimodal.syntheticWav(slice(1)))
+      .unionByName(Multimodal.syntheticAvi(slice(2)))
+      .unionByName(Multimodal.syntheticMp4(slice(3)))
+      .unionByName(Multimodal.syntheticMedia(docs.filter(col("doc_id") % 6 >= 4)))
+    Multimodal.mediaValidityCensus(mixed, col("media_id") % 6, col("media"))
+  }
+
+  val q217_sql: String = {
+    val (wavWalk, wavLast) = wavWalkSql("mm", "cw")
+    val (aviWalk, aviLast) = aviWalkSql("mm", "ca")
+    val (mp4Walk, mp4Last) = mp4WalkSql("mm", "cp")
+    def cnt(cond: String, name: String) =
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    // little-endian read that is TOTAL on short payloads: substr past
+    // the end yields '', and TRY_CAST('0x') is null where CAST errors —
+    // the nulls only arise where the length gate already forces the
+    // claim to FALSE (false AND null = false), matching the Spark
+    // parser's total reads
+    def tln(off: String, n: Int) = {
+      val pairs = (n - 1 to 0 by -1)
+        .map(i => s"substr(hexs, 2*($off + $i) + 1, 2)").mkString(" || ")
+      s"TRY_CAST('0x' || $pairs AS BIGINT)"
+    }
+    "WITH " + bmpHexCtes("czm", "czc", "WHERE doc_id % 6 = 0") + ",\n" +
+      "czw AS (" + wavHexSql("WHERE doc_id % 6 = 1") + "),\n" +
+      "cza AS (" + aviHexSql("WHERE doc_id % 6 = 2") + "),\n" +
+      "czp AS (" + mp4HexSql("WHERE doc_id % 6 = 3") + "),\n" +
+      "czi AS (" + imgHexSql("WHERE doc_id % 6 >= 4") + "),\n" +
+      """mm AS MATERIALIZED (SELECT doc_id, hexs FROM czc
+        |  UNION ALL SELECT doc_id, hexs FROM czw
+        |  UNION ALL SELECT doc_id, hexs FROM cza
+        |  UNION ALL SELECT doc_id, hexs FROM czp
+        |  UNION ALL SELECT doc_id, hexs FROM czi),""".stripMargin + "\n" +
+      wavWalk + ",\n" + aviWalk + ",\n" + mp4Walk + ",\n" +
+      s"""wv AS (SELECT doc_id, $wavOkSql AS wav_ok FROM $wavLast),
+       |av AS (SELECT doc_id, $aviOkSql AS avi_ok FROM $aviLast),
+       |pv AS (SELECT doc_id, $mp4OkSql AS mp4_ok FROM $mp4Last),
+       |bg AS (SELECT doc_id, hexs,
+       |    least(${tln("18", 4)}, ${2 * Multimodal.BmpMaxPixels}) AS wx,
+       |    least(${tln("22", 4)}, ${2 * Multimodal.BmpMaxPixels}) AS hh,
+       |    ${tln("10", 4)} AS doffx,
+       |    length(hexs) >= 108 AND substr(hexs, 1, 4) = '424D'
+       |      AND ${tln("14", 4)} = 40 AND ${tln("26", 2)} = 1
+       |      AND ${tln("28", 2)} = 24 AND ${tln("30", 4)} = 0 AS is_bmp
+       |  FROM mm),
+       |bv AS (SELECT doc_id,
+       |    is_bmp AND wx > 0 AND hh > 0 AND wx * hh <= ${Multimodal.BmpMaxPixels}
+       |      AND doffx >= 54
+       |      AND doffx + ((3 * wx + 3) // 4) * 4 * hh
+       |          <= CAST(length(hexs)/2 AS BIGINT) AS bmp_ok
+       |  FROM bg),
+       |g AS (SELECT mm.doc_id % 6 AS grp, mm.hexs,
+       |    coalesce(length(mm.hexs) >= 52
+       |      AND substr(mm.hexs, 1, 16) = '${Multimodal.PngMagicHex}', FALSE) AS png_ok,
+       |    coalesce(length(mm.hexs) >= 8
+       |      AND substr(mm.hexs, 1, 4) = 'FFD8', FALSE) AS jpeg_ok,
+       |    coalesce(bv.bmp_ok, FALSE) AS bmp_ok,
+       |    coalesce(wv.wav_ok, FALSE) AS wav_ok,
+       |    coalesce(av.avi_ok, FALSE) AS avi_ok,
+       |    coalesce(pv.mp4_ok, FALSE) AS mp4_ok
+       |  FROM mm JOIN bv USING (doc_id) JOIN wv USING (doc_id)
+       |       JOIN av USING (doc_id) JOIN pv USING (doc_id))
+       |SELECT grp, CAST(count(*) AS BIGINT) AS n_media,
+       |  ${cnt("hexs IS NULL", "n_null")},
+       |  ${cnt("hexs IS NOT NULL AND length(hexs) = 0", "n_empty")},
+       |  ${cnt("png_ok", "n_png")},
+       |  ${cnt("jpeg_ok", "n_jpeg")},
+       |  ${cnt("bmp_ok", "n_bmp")},
+       |  ${cnt("wav_ok", "n_wav")},
+       |  ${cnt("avi_ok", "n_avi")},
+       |  ${cnt("mp4_ok", "n_mp4")},
+       |  ${cnt("hexs IS NOT NULL AND length(hexs) > 0 AND NOT (png_ok" +
+          " OR jpeg_ok OR bmp_ok OR wav_ok OR avi_ok OR mp4_ok)", "n_unknown")}
+       |FROM g GROUP BY grp ORDER BY grp""".stripMargin
   }
 
   val q168_sql: String = {
@@ -999,7 +1149,8 @@ object Media {
     "q102_video_meta" -> q102_video_meta,
     "q114_container_meta" -> q114_container_meta,
     "q167_wav_pcm_stats" -> q167_wav_pcm_stats,
-    "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats)
+    "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats,
+    "q217_media_census" -> q217_media_census)
 
   val oracle: Map[String, String] = Map(
     "q210_ahash_canonical" -> q210_sql,
@@ -1011,5 +1162,6 @@ object Media {
     "q102_video_meta" -> q102_sql,
     "q114_container_meta" -> q114_sql,
     "q167_wav_pcm_stats" -> q167_sql,
-    "q168_bmp_pixel_stats" -> q168_sql)
+    "q168_bmp_pixel_stats" -> q168_sql,
+    "q217_media_census" -> q217_sql)
 }
