@@ -104,6 +104,38 @@ object Clean {
       .orderBy((col("feature") +: groupCols.map(col)): _*)
   }
 
+  /** MAD outlier census per group — the ROBUST outlier gate (modified
+    * z-score, Iglewicz–Hoaglin): flag x when 0.6745·|x − median| / MAD
+    * exceeds 3.5. Complements the mean/stddev gate ([[zscoreFilter]],
+    * q14) and the IQR fences (q90/q64): one extreme value drags a mean
+    * and inflates a stddev enough to mask its neighbors, while medians
+    * have 50% breakdown. The threshold compares in cross-multiplied
+    * integer-literal form (6745·|x − med| > 35000·MAD), so no
+    * non-exact decimal literal ever enters double math (the 0.4·0.4
+    * cross-engine trap); median/MAD are reported rounded to 6 dp.
+    * Three grouped passes, each keyed by the same group column — the
+    * partitioning is reused, nothing driver-sized; groups with
+    * MAD = 0 (over half the values identical) flag every other value,
+    * which is the documented modified-z behavior. */
+  def madOutlierCensus(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("grp"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val medians = base.groupBy("grp").agg(expr("percentile(x, 0.5D)").as("med"))
+    val dev = base.join(medians, "grp")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val spreads = dev.groupBy("grp")
+      .agg(min("med").as("med2"), expr("percentile(ad, 0.5D)").as("mad0"))
+    dev.drop("med").join(spreads, "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        round(min("med2"), 6).as("median"),
+        round(min("mad0"), 6).as("mad"),
+        sum(when(col("ad") * 6745.0 > col("mad0") * 35000.0, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_micro", expr("n_outliers * 1000000 div n"))
+      .orderBy("grp")
+  }
+
   /** Flag/drop rows where any |z| > k, population stddev (pandas ddof=0,
     * EDA cell 4 — SURVEY §7.4.3). */
   def zscoreFilter(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {

@@ -312,6 +312,33 @@ object Relational {
       |SELECT count(*) AS n_outliers FROM lineitem, s
       |WHERE abs((l_extendedprice - m) / sd) > 2.5""".stripMargin
 
+  // --------------------------------------------------------------- q221
+  // MAD outlier census (modified z-score): the ROBUST sibling of q14's
+  // mean/stddev gate and q64/q90's IQR fences — a single extreme value
+  // drags a mean and inflates a stddev enough to mask its neighbors,
+  // while medians have 50% breakdown. Per group: median, MAD, and the
+  // count where 0.6745·|x − median| / MAD > 3.5, compared in
+  // cross-multiplied integer-literal form so no non-exact decimal
+  // literal enters double math.
+  val q221_mad_outliers: Q = (s, dir) =>
+    graft.etl.Clean.madOutlierCensus(Tables.load(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"))
+
+  val q221_sql: String =
+    """WITH b AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |md AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM b GROUP BY grp),
+      |d AS (SELECT b.grp, abs(x - med) AS ad FROM b JOIN md USING (grp)),
+      |sp AS (SELECT d.grp, min(md.med) AS med2, quantile_cont(ad, 0.5) AS mad0
+      |       FROM d JOIN md USING (grp) GROUP BY d.grp)
+      |SELECT d.grp, CAST(count(*) AS BIGINT) AS n,
+      |  round(min(sp.med2), 6) AS median, round(min(sp.mad0), 6) AS mad,
+      |  CAST(sum(CASE WHEN d.ad * 6745.0 > sp.mad0 * 35000.0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(sum(CASE WHEN d.ad * 6745.0 > sp.mad0 * 35000.0
+      |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS outlier_micro
+      |FROM d JOIN sp USING (grp) GROUP BY d.grp ORDER BY d.grp""".stripMargin
+
   // ---------------------------------------------------------------- q15
   // A11/A12: pairwise Pearson correlation (reference EDA corr matrix).
   val q15_corr: Q = (s, dir) =>
@@ -341,6 +368,7 @@ object Relational {
     "q12_distinct" -> q12_distinct,
     "q13_quantiles" -> q13_quantiles,
     "q14_zscore_outliers" -> q14_zscore_outliers,
+    "q221_mad_outliers" -> q221_mad_outliers,
     "q15_corr" -> q15_corr)
 
   val oracle: Map[String, String] = Map(
@@ -358,5 +386,6 @@ object Relational {
     "q12_distinct" -> q12_sql,
     "q13_quantiles" -> q13_sql,
     "q14_zscore_outliers" -> q14_sql,
+    "q221_mad_outliers" -> q221_sql,
     "q15_corr" -> q15_sql)
 }
