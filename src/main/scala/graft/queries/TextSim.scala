@@ -626,37 +626,8 @@ object TextSim {
        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS gs
        |  FROM $src)""".stripMargin
 
-  // --------------------------------------------------------------- q219
-  // First-occurrence n-gram novelty: every distinct 3-gram is credited
-  // to the doc where it FIRST occurs (min doc_id — deterministic), and
-  // a doc's score is the fraction of its grams it introduced — the
-  // "new information" signal curation uses next to dedup (a doc can be
-  // 0% duplicate yet mostly boilerplate grams the corpus holds), and
-  // an exact decomposition of vocabulary growth (Σ n_first = distinct
-  // grams; the per-doc sibling of q109's growth curve). One
-  // gram-keyed shuffle builds the first-occurrence table; the credit
-  // join reuses its partitioning; the roll-up is map-side combined.
-  val q219_novelty: Q = (s, dir) =>
-    graft.text.Novelty.firstOccurrenceNovelty(
-      Tables.load(s, dir, "documents"), col("doc_id"),
-      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3))
-      .orderBy("doc_id")
-
-  val q219_sql: String =
-    s"""WITH ${shingleCte("t", "documents")},
-       |inv AS (SELECT doc_id, UNNEST(gs) AS g FROM t),
-       |f AS (SELECT g, min(doc_id) AS first_doc FROM inv GROUP BY g),
-       |nf AS (SELECT inv.doc_id, count(*) AS n_first
-       |       FROM inv JOIN f ON inv.g = f.g AND inv.doc_id = f.first_doc
-       |       GROUP BY 1)
-       |SELECT t.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
-       |  CAST(coalesce(nf.n_first, 0) AS BIGINT) AS n_first,
-       |  CASE WHEN len(gs) > 0
-       |       THEN coalesce(nf.n_first, 0) * 1000000 // len(gs) END AS novelty_micro
-       |FROM t LEFT JOIN nf USING (doc_id) ORDER BY t.doc_id""".stripMargin
-
   // --------------------------------------------------------------- q220
-  // Ingest novelty — q219's incremental twin, the batch-vs-corpus
+  // Ingest novelty — the batch-vs-corpus
   // discipline of q156/q180/q191 applied to information content: for
   // each doc of a deterministic 10% md5 batch slice, the share of its
   // grams NO standing doc contains. A re-crawl whose ingest novelty
@@ -1948,7 +1919,6 @@ object TextSim {
     "q36_embed_neardups" -> q36_embed_neardups,
     "q48_ann_ivf" -> q48_ann_ivf,
     "q216_lsh_plan_drift" -> q216_lsh_plan_drift,
-    "q219_novelty" -> q219_novelty,
     "q220_ingest_novelty" -> q220_ingest_novelty)
 
   val oracle: Map[String, String] = Map(
@@ -1996,6 +1966,5 @@ object TextSim {
     "q36_embed_neardups" -> q36_sql,
     "q48_ann_ivf" -> q48_sql,
     "q216_lsh_plan_drift" -> q216_sql,
-    "q219_novelty" -> q219_sql,
     "q220_ingest_novelty" -> q220_sql)
 }

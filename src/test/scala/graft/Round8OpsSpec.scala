@@ -6,7 +6,7 @@ import graft.similarity.BinaryQ
 import graft.text.Novelty
 
 /** Hand-computed pins for the round-8 operators: asymmetric binary
-  * ADC, first-occurrence novelty, ingest novelty. */
+  * ADC and ingest novelty. */
 class Round8OpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -54,27 +54,6 @@ class Round8OpsSpec extends SparkSpec {
       "magnitude-weighted shortlist must surface the true nearest")
     assert(sym.getAs[Long]("neighbor_id") === 1L,
       "flip-counting shortlist provably cannot (3 flips vs 1)")
-  }
-
-  test("first-occurrence novelty: exact credit, sums to the distinct-gram count") {
-    val docs = Seq(
-      (1L, "a b c d"),        // grams: "a b c", "b c d" — both first here
-      (2L, "a b c d"),        // exact dup — 0 first
-      (3L, "b c d e"),        // "b c d" seen, "c d e" new -> 1/2
-      (4L, "x"),              // too short — 0 grams
-      (5L, null.asInstanceOf[String])) // null text — null n_grams
-      .toDF("doc_id", "text")
-    val items = graft.text.TextAnalysis.ngrams(
-      graft.text.TextAnalysis.tokens(col("text")), 3)
-    val r = Novelty.firstOccurrenceNovelty(docs, col("doc_id"), items)
-      .orderBy("doc_id").collect()
-    assert(r.map(_.getLong(2)).sum === 3L, "sum n_first = distinct grams")
-    assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 2L &&
-      r(0).getLong(3) === 1000000L)
-    assert(r(1).getLong(2) === 0L && r(1).getLong(3) === 0L)
-    assert(r(2).getLong(2) === 1L && r(2).getLong(3) === 500000L)
-    assert(r(3).getLong(1) === 0L && r(3).isNullAt(3), "0 grams -> null score")
-    assert(r(4).isNullAt(1), "null text -> null n_grams, observable")
   }
 
   test("ingest novelty: batch grams scored against the standing corpus only") {
