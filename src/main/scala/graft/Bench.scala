@@ -210,11 +210,17 @@ object Bench {
     // the artifact 1.6x (round 7's headline run: a second full sbt
     // fleet, ~8+ cores sustained) dominates it, while the measured
     // solo-run noise floor — kworker log flushes, parent-sbt GC,
-    // harness piping — tops out at ~1.2 cores for ONE sub-second query
-    // and ~0.05 on average, which a max-based flag misreads as
-    // contention. A >4-core single-query spike still flags on its own.
-    // Foreign CPU, not loadavg: our own local[32] load pushes
-    // end-of-run loadavg to 5-10 on clean solo sf1 runs.
+    // harness piping, and a box agent that blips ~4-5 cores for a
+    // second every few minutes — tops out at ~4.8 cores for ONE
+    // sub-second-to-2s query and ~0.05 on average, which a max-based
+    // flag misreads as contention (measured: three otherwise-spotless
+    // solo runs each tripped on exactly one such blip). The RUN-level
+    // flag means "the total is untrustworthy": only a sustained
+    // average or an extreme half-the-box spike qualifies; a one-query
+    // blip stays visible (and dismissible) in query_metrics'
+    // foreign_cpu_cores column. Foreign CPU, not loadavg: our own
+    // local[32] load pushes end-of-run loadavg to 5-10 on clean solo
+    // sf1 runs.
     val measured = results.collect {
       case (_, (sec, _, _, _, _, _, fc)) if fc >= 0 => (sec, fc)
     }
@@ -224,7 +230,7 @@ object Bench {
       if (measured.isEmpty || measured.map(_._1).sum <= 0) -1.0
       else math.round(measured.map { case (s, f) => s * f }.sum /
         measured.map(_._1).sum * 100.0) / 100.0
-    val contended = loadStart > 2.0 || foreignAvg > 1.0 || foreignMax > 4.0
+    val contended = loadStart > 2.0 || foreignAvg > 1.0 || foreignMax > 8.0
     val tsEnd = System.currentTimeMillis()
     // driver heap ceiling (build.sbt -Xmx, SPARK_DRIVER_MEM): recorded
     // so constrained-memory runs are self-identifying evidence — a
