@@ -27,25 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object BinaryQ {
 
-  /** Sign bits of micro coordinates [32w+1 .. 32w+32] packed into one
-    * BIGINT (bit d of word w = coordinate 32w+d+1 > 0; positions past
-    * the vector's end contribute 0 via the null-safe get). */
-  private def word(mv: Column, w: Column): Column =
-    aggregate(sequence(lit(0L), lit(31L)), lit(0L), (acc, d) =>
-      acc + when(
-        coalesce(get(mv, (d + w * lit(32L)).cast("int")) > 0, lit(false)),
-        call_function("shiftleft", lit(1L), d.cast("int")))
-        .otherwise(lit(0L)))
-
   /** The full sign-bit code: ⌈size/32⌉ words, little-endian in both
     * senses (word 0 = dims 1–32, bit 0 = first dim of the word).
-    * n/32 is exact in double for any realistic n, so the cast
-    * truncation IS the ceiling. */
-  def pack(mv: Column): Column =
-    when(size(mv) === 0, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0L), ((size(mv) + lit(31)) / lit(32)).cast("long") - 1L),
-        w => word(mv, w)))
+    * Native codegen'd single loop ([[graft.expressions.BitPack]]) —
+    * the round-8 HOF form (transform over a 32-term aggregate per
+    * word) interpreted ~2·d lambda nodes per row and cost q207 4.8×. */
+  def pack(mv: Column): Column = graft.expressions.BinaryQExpressions.bit_pack(mv)
 
   /** Binary code table: (idCol, code) for any fixed-dim corpus. */
   def codes(df: DataFrame, idCol: String = "vec_id",
@@ -54,10 +41,10 @@ object BinaryQ {
       .select(col(idCol), pack(Sq.micronize(col(vecCol))).as("code"))
 
   /** Hamming distance of two packed codes as BIGINT — a word-wise
-    * XOR+popcount fold; exact for any word count. */
+    * XOR+popcount loop, codegen'd ([[graft.expressions.HammingDist]]);
+    * exact for any word count. */
   def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0L), (acc, h) => acc + h.cast("long"))
+    graft.expressions.BinaryQExpressions.hamming_dist(a, b)
 
   /** Asymmetric distance (the ADC idea applied to the sign-bit
     * quantizer): the QUERY keeps full precision (integer micro units)
@@ -67,15 +54,10 @@ object BinaryQ {
     * strictly more informed shortlist than symmetric Hamming at
     * IDENTICAL corpus bytes: the query's magnitudes weight every
     * dimension instead of counting sign flips equally. Bit addressing
-    * is shift arithmetic (d >> 5 word, d & 31 bit) — no division. */
+    * is shift arithmetic (d >> 5 word, d & 31 bit) — no division;
+    * codegen'd per-pair loop ([[graft.expressions.BinaryAsymAdc]]). */
   def asymDist(code: Column, qmv: Column): Column =
-    lit(0L) - aggregate(
-      sequence(lit(0L), size(qmv).cast("long") - 1L), lit(0L), (acc, d) => {
-        val word = get(code, call_function("shiftright", d.cast("int"), lit(5)))
-        val bit = call_function("shiftright", word,
-          d.bitwiseAND(lit(31L)).cast("int")).bitwiseAND(lit(1L))
-        acc + element_at(qmv, d.cast("int") + lit(1)) * (bit * lit(2L) - lit(1L))
-      })
+    graft.expressions.BinaryQExpressions.binary_asym_adc(code, qmv)
 
   /** Asymmetric-shortlisted exact top-k: same corpus codes, same
     * output contract and re-rank tail as [[topK]], but the shortlist

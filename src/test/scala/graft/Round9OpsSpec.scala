@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.BinaryQ
+
+/** Pins for the round-9 native BinaryQ expressions
+  * ([[graft.expressions.BitPack]] / [[graft.expressions.HammingDist]] /
+  * [[graft.expressions.BinaryAsymAdc]]) — the codegen'd replacements
+  * for round 8's interpreted HOF folds. The q207/q215/q218 oracle
+  * hashes pin the happy path at corpus scale; these pin the edge
+  * semantics the HOF forms defined. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bit_pack: word boundaries, null elements, empty and null vectors") {
+    // 33 dims -> exactly 2 words; dim 32 (first bit of word 1) set.
+    val mv = (0 until 33).map(d =>
+      if (d == 2 || d == 31 || d == 32) Some(1L)
+      else if (d == 5) None // null element reads as sign 0
+      else Some(-1L))
+    val df = Seq(Tuple1(mv)).toDF("mv")
+    val code = df.select(BinaryQ.pack(col("mv")).as("c"))
+      .collect().head.getSeq[Long](0)
+    assert(code === Seq((1L << 2) | (1L << 31), 1L))
+
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("mv")
+      .select(BinaryQ.pack(col("mv")).as("c")).collect().head.getSeq[Long](0)
+    assert(empty.isEmpty)
+
+    val nul = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("mv")
+      .select(BinaryQ.pack(col("mv")).as("c")).collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("hamming_dist: word-wise popcount of XOR, exact over multi-word codes") {
+    val a = Seq(0L, 0xFFL, 1L << 31)
+    val b = Seq(3L, 0x0FL, 0L)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(BinaryQ.hamming(col("a"), col("b")).as("h"))
+      .collect().head.getLong(0)
+    assert(got === 2L + 4L + 1L)
+  }
+
+  test("binary_asym_adc: nulls on short code or null query element, exact otherwise") {
+    // code too short for the query's dimensionality -> null (the HOF
+    // fold's out-of-range get propagated the same way)
+    val short = Seq((Seq(1L), Seq.fill(40)(1000000L))).toDF("code", "q")
+      .select(BinaryQ.asymDist(col("code"), col("q")).as("a")).collect().head
+    assert(short.isNullAt(0))
+
+    val nullElem = Seq((Seq(1L, 0L), Seq(Some(1L), Option.empty[Long])))
+      .toDF("code", "q")
+      .select(BinaryQ.asymDist(col("code"), col("q")).as("a")).collect().head
+    assert(nullElem.isNullAt(0))
+
+    // bits (1,0,1): adist = -(q0 - q1 + q2)
+    val ok = Seq((Seq(5L), Seq(10L, 20L, 30L))).toDF("code", "q")
+      .select(BinaryQ.asymDist(col("code"), col("q")).as("a"))
+      .collect().head.getLong(0)
+    assert(ok === -(10L - 20L + 30L))
+  }
+
+  test("native per-pair Hamming stage stays inside whole-stage codegen") {
+    // The hot path is the per-PAIR distance projection over the
+    // crossJoin (corpus × broadcast queries) — round 8's zip_with+
+    // aggregate fold knocked it out of codegen (q207 4.8× slower).
+    // codes() itself keeps micronize's interpreted transform (per-row
+    // linear, same as round 7) so it is not asserted here.
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = df.limit(3)
+    // AQE's pre-execution plan carries no codegen markers; turn it off
+    // for the plan snapshot only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try BinaryQ.topK(df, qs, k = 3, rerank = 10)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val codegendHamming = plan.linesIterator.exists(l =>
+      l.contains("hamming_dist") && """\*\(\d+\)""".r.findFirstIn(l).isDefined)
+    assert(codegendHamming,
+      s"expected the hamming_dist projection inside a codegen stage, got:\n$plan")
+  }
+}
