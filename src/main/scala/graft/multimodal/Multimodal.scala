@@ -953,7 +953,17 @@ object Multimodal {
   def bmpAHash(media: Column, dataOff: Column, w: Column, h: Column,
                lumSum: Column): Column = {
     val n = w * h
-    aggregate(sequence(lit(0L), n - lit(1L)), lit(0L),
+    // FAIL FAST past 63 pixels: shiftleft masks its count to 6 bits
+    // (Java semantics), so bit j of a larger image would silently
+    // alias bit j mod 64 — where the old pow(2,j).cast path at least
+    // failed loudly at bit 63. Larger images must pool to a grid
+    // first (the scaladoc's 8x8 contract); this guard makes the
+    // contract checked instead of advisory.
+    val guarded = when(n <= lit(63L), n).otherwise(raise_error(concat(
+      lit("bmpAHash: image has more than 63 pixels (n_px = "),
+      n.cast("string"),
+      lit("); average-pool to an 8x8 grid before hashing"))))
+    aggregate(sequence(lit(0L), guarded - lit(1L)), lit(0L),
       (acc, j) => acc +
         when(n * bmpLum(media, dataOff, w, j) > lumSum,
           // 1L << j, exact and total for j in [0, 62] — pow(2, j)

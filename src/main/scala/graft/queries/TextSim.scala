@@ -9,10 +9,13 @@ import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis)
-  * over the `documents` and `embeddings` tables. Queries with DuckDB
-  * oracles follow the determinism rules in [[Relational]]; the LSH /
-  * language-ID queries are not ANSI-SQL-expressible and get the driver's
-  * rows-only check (their correctness is covered by ScalaTest instead).
+  * over the `documents` and `embeddings` tables. Every query here is
+  * fully hash-matched against a DuckDB oracle (since round 8 the whole
+  * inventory carries zero rows-only entries — the LSH and language-ID
+  * oracles are GENERATED from the same Scala constants as the Spark
+  * plans, so SQL and code cannot drift) and follows the determinism
+  * rules in [[Relational]]; ScalaTest additionally pins the semantic
+  * invariants (e.g. LSH candidates ⊇ exact high-similarity pairs).
   */
 object TextSim {
 
@@ -1312,9 +1315,11 @@ object TextSim {
        |FROM documents d JOIN pred ON d.doc_id = pred.doc_id
        |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
 
-  // ------------------------------------------------- no-oracle queries
-  // (not ANSI-SQL-expressible → driver rows-only check; exactness is
-  //  covered by ScalaTest: LSH candidates ⊇ exact high-similarity pairs.)
+  // --------------------------------------------- generated-SQL queries
+  // (once rows-only; since round 8 their DuckDB SQL is generated from
+  //  the same band/seed constants as the Spark plans, so they hash-match
+  //  like everything else. ScalaTest still pins the semantic invariant:
+  //  LSH candidates ⊇ exact high-similarity pairs.)
 
   val q34_langid: Q = (s, dir) =>
     TextAnalysis.withLangId(Tables.load(s, dir, "documents"), col("text"))

@@ -161,6 +161,15 @@ object AnnIngest {
       UpsertSink.ParquetMergeSink.merge(
         Ivf.assign(batch, model).withColumn("ingest_epoch", lit(batchId)),
         tablePath, Seq("vec_id"))
+      // the epoch commits BEFORE the drift gate: a crash between here
+      // and the gate makes the replayed batch take the idempotent
+      // replay path above instead of re-counting its rows as fresh
+      // drift mass and staging a spurious retrain. The trade is the
+      // mirror image — a retrain this gate WOULD have staged is lost
+      // on such a crash — which is benign for correctness (routing
+      // stays consistent; persistent drift re-fires on later batches).
+      epoch = batchId
+      saveState()
       // version-pinned snapshot: read() resolves the committed version
       // directory eagerly, so the frame is immutable from here on —
       // safe to hand to the trainer thread while later batches commit
@@ -179,8 +188,6 @@ object AnnIngest {
           }
         })
       }
-      epoch = batchId
-      saveState()
       d
     }
 
@@ -270,10 +277,15 @@ object AnnIngest {
       val tmp = new Path(tablePath + ".model.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (fs.exists(modelArtifactPath)) fs.delete(modelArtifactPath, false)
-      if (!fs.rename(tmp, modelArtifactPath))
-        throw new java.io.IOException(
-          s"could not commit model artifact $modelArtifactPath")
+      // rename WITH overwrite (FileContext API — FileSystem.rename has
+      // none): delete-then-rename left a crash window with no artifact
+      // at all, after which a restart silently took the bootstrap path
+      // and retrained fresh centroids instead of resuming the
+      // persisted routing. This commit is atomic on local and HDFS.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        modelArtifactPath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, modelArtifactPath,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
     private def loadState(): Unit = {
