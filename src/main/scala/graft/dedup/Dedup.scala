@@ -473,6 +473,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("w_overlap"))
   }
 
+  /** Per-document census over the rarity-weighted overlap join — the
+    * count-first scale path next to [[weightedOverlapJoinOn]]'s pair
+    * list (the q195→q210 pattern applied to q122): the pair list's
+    * size IS its answer, so at corpus scale the census is what ships —
+    * one row per document having ≥1 partner at `minWeight`, carrying
+    * the partner count, the strongest overlap weight, and the
+    * deterministic top partner (highest w_overlap, ties to the lower
+    * id). The pair aggregation itself is unchanged (token-keyed
+    * shuffle, map-side combine); what disappears is the answer-sized
+    * sorted pair output — the census reduces per doc id in one more
+    * keyed shuffle, and its window partitions per doc (bounded by
+    * partner count, never corpus-sized). */
+  def weightedOverlapCensus(df: DataFrame, id: Column, items: Column,
+                            minWeight: Long,
+                            maxDocFrequency: Double = 1.0): DataFrame = {
+    val pairs = weightedOverlapJoinOn(df, id, items, minWeight, maxDocFrequency)
+    // both directions via ONE explode — a unionAll of two selects over
+    // `pairs` would duplicate the whole token-self-join lineage
+    val perDir = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("partner"),
+          col("w_overlap")),
+        struct(col("id_b").as("id"), col("id_a").as("partner"),
+          col("w_overlap")))).as("e"))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"),
+        col("e.w_overlap").as("w_overlap"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("w_overlap").desc, col("partner").asc)
+    perDir.withColumn("rn", row_number().over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_partners"),
+        max("w_overlap").as("w_max"),
+        min(when(col("rn") === 1, col("partner"))).as("top_partner"))
+  }
+
   /** Shared inverted-index candidate builder: (id_a, id_b, inter,
     * sz_a, sz_b) for every pair of documents sharing ≥1 surviving
     * item. The shuffle key is the item; the per-doc size table joins

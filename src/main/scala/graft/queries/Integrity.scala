@@ -176,6 +176,54 @@ object Integrity {
       |JOIN embeddings nl ON nn.neighbor_id = nl.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q223
+  // 1-NN label CONFUSION census on q142's audit slice, computed
+  // through [[Similarity.bruteForce1NN]]'s map-side-combinable packed
+  // argmax — the scale path where q142's rank window materializes (and
+  // at sf1 spills) every candidate sim row: here each scan partition
+  // reduces to one packed BIGINT per query before anything shuffles.
+  // The output refines q142's per-label agreement into the full
+  // (label → nn label) matrix: which classes leak into which.
+  val q223_nn_label_confusion: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val nn = Similarity.bruteForce1NN(e, e.filter(col("vec_id") % 10 === 0))
+    val lbl = e.select(col("vec_id"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    nn.join(lbl.withColumnsRenamed(
+        Map("vec_id" -> "query_id", "label" -> "q_label")), "query_id")
+      .join(lbl.withColumnsRenamed(
+        Map("vec_id" -> "neighbor_id", "label" -> "n_label")), "neighbor_id")
+      .groupBy(col("q_label").as("label"), col("n_label").as("nn_label"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .orderBy("label", "nn_label")
+  }
+
+  // 2^40 packing constants — ids fit comfortably; sim_micro ∈ [−1e6,
+  // 1e6] keeps packed < 2.2e18 < 2^63 (exact BIGINT in both engines).
+  val q223_sql: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id,
+      |    (CAST(round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x))))
+      |      * 1e6) AS BIGINT) + 1000000) * 1099511627776
+      |      + (1099511627775 - c.vec_id) AS packed
+      |  FROM embeddings q JOIN embeddings c
+      |  ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id),
+      |nn AS (SELECT query_id,
+      |         1099511627775 - (max(packed) % 1099511627776) AS neighbor_id
+      |       FROM sims GROUP BY 1)
+      |SELECT ql.label AS label, nl.label AS nn_label,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(count(*) AS DOUBLE)
+      |        / sum(count(*)) OVER (PARTITION BY ql.label), 6) AS share
+      |FROM nn JOIN embeddings ql ON nn.query_id = ql.vec_id
+      |JOIN embeddings nl ON nn.neighbor_id = nl.vec_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- q143
   // Top principal component of the embedding table by power iteration
   // — dominant drift/whitening axis as d rows (idx, loading,
@@ -229,6 +277,7 @@ object Integrity {
     "q140_embed_health" -> q140_embed_health,
     "q141_group_sample" -> q141_group_sample,
     "q142_nn_label_agreement" -> q142_nn_label_agreement,
+    "q223_nn_label_confusion" -> q223_nn_label_confusion,
     "q143_top_component" -> q143_top_component,
     "q213_embed_validity" -> q213_embed_validity)
 
@@ -237,6 +286,7 @@ object Integrity {
     "q140_embed_health" -> q140_sql,
     "q141_group_sample" -> q141_sql,
     "q142_nn_label_agreement" -> q142_sql,
+    "q223_nn_label_confusion" -> q223_sql,
     "q143_top_component" -> q143_sql,
     "q213_embed_validity" -> q213_sql)
 }

@@ -179,22 +179,61 @@ object Mining {
       minWeight = WoMinWeight)
       .orderBy("id_a", "id_b")
 
-  val q122_sql: String =
-    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  /** Shared CTE chain for the rarity-weighted overlap pair table —
+    * q122 (pair-list demo) and q222 (per-doc census) select from the
+    * SAME `pairs` relation, so the two oracles cannot drift. `pairs`
+    * is MATERIALIZED: q222 references it twice (both pair directions)
+    * and DuckDB inlines plain CTEs per reference. */
+  private val woPairCtes: String =
+    s"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |           FROM documents),
        |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
        |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
        |dfreq AS (SELECT tok, count(*) AS df FROM w GROUP BY tok),
        |wi AS (SELECT w.doc_id, w.tok, 1000000 // dfreq.df AS wt
-       |       FROM w JOIN dfreq USING (tok))
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(count(*) AS BIGINT) AS inter,
-       |  CAST(sum(a.wt) AS BIGINT) AS w_overlap
-       |FROM wi a JOIN wi b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2
-       |HAVING sum(a.wt) >= $WoMinWeight
+       |       FROM w JOIN dfreq USING (tok)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS inter,
+       |    CAST(sum(a.wt) AS BIGINT) AS w_overlap
+       |  FROM wi a JOIN wi b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING sum(a.wt) >= $WoMinWeight)""".stripMargin
+
+  val q122_sql: String =
+    s"""WITH $woPairCtes
+       |SELECT id_a, id_b, inter, w_overlap FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q222
+  // Per-document weighted-overlap census — q122's count-first scale
+  // path (the q195→q210 pattern): the pair list's size IS its answer,
+  // so the shipping form is one row per document with its partner
+  // count, strongest weight, and deterministic top partner. The sorted
+  // corpus-sized pair output disappears; only the census shuffles.
+  val q222_overlap_census: Q = (s, dir) =>
+    graft.dedup.Dedup.weightedOverlapCensus(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(
+        graft.text.TextAnalysis.tokens(col("text")), 3),
+      minWeight = WoMinWeight)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q222_sql: String =
+    s"""WITH $woPairCtes,
+       |perdir AS (SELECT id_a AS id, id_b AS partner, w_overlap FROM pairs
+       |           UNION ALL
+       |           SELECT id_b AS id, id_a AS partner, w_overlap FROM pairs),
+       |r AS (SELECT id, partner, w_overlap,
+       |        row_number() OVER (PARTITION BY id
+       |                           ORDER BY w_overlap DESC, partner ASC) AS rn
+       |      FROM perdir)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+       |  CAST(max(w_overlap) AS BIGINT) AS w_max,
+       |  CAST(min(CASE WHEN rn = 1 THEN partner END) AS BIGINT) AS top_partner
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q123
   // Character-class entropy per source: the gibberish / binary-noise
@@ -1419,6 +1458,7 @@ object Mining {
     "q120_markov" -> q120_markov,
     "q121_temperature_mixture" -> q121_temperature_mixture,
     "q122_weighted_overlap" -> q122_weighted_overlap,
+    "q222_overlap_census" -> q222_overlap_census,
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
@@ -1454,6 +1494,7 @@ object Mining {
     "q120_markov" -> q120_sql,
     "q121_temperature_mixture" -> q121_sql,
     "q122_weighted_overlap" -> q122_sql,
+    "q222_overlap_census" -> q222_sql,
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,

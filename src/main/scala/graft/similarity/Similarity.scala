@@ -180,6 +180,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Exact brute-force 1-NN as a map-side-combinable packed argmax —
+    * the scale path next to [[bruteForceTopK]] for k = 1 (the census
+    * consumers: label agreement, mislabel probes). bruteForceTopK
+    * materializes every (query, candidate) sim row into a per-query
+    * rank window, so the n·|audit| intermediate sorts — and spills —
+    * before top-1 drops it (q142's 377 MB at sf1). Here each candidate
+    * row reduces to one BIGINT — packed = (sim_micro + 10⁶)·2⁴⁰ +
+    * (2⁴⁰−1 − neighbor_id), exact under 2⁶³ — and `max(packed)` is a
+    * partial-aggregating hash aggregate: every scan partition combines
+    * down to ONE candidate per query before anything shuffles, so the
+    * shuffle and the answer are both |queries|-sized. Maximizing
+    * packed = maximizing rounded sim with ties to the LOWER neighbor
+    * id — bit-identical to bruteForceTopK's rank-1 row. Ids must fit
+    * [0, 2⁴⁰) (a trillion — checked, fails fast). Returns
+    * (query_id, neighbor_id). */
+  def bruteForce1NN(corpus: DataFrame, queries: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val Shift = 1L << 40
+    val q = queries.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.filter(finiteVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // total micronize: a zero-norm vector makes cosine 0/0 = NaN, which
+    // ANSI cast-to-long THROWS on — the when-guard turns it into a null
+    // packed key that max() ignores, so zero vectors simply have no
+    // defined neighbor (bruteForceTopK's NaN-sorts-first rank-1 row is
+    // arbitrary there anyway; the paths agree wherever sims are finite)
+    val cosRaw = cosine(col("qv"), col("cv"))
+    val simMicro = when(!isnan(cosRaw), round(cosRaw * lit(1e6)).cast("long"))
+    val guarded = when(col("neighbor_id").between(0L, Shift - 1L),
+      col("neighbor_id")).otherwise(raise_error(
+      lit(s"bruteForce1NN: neighbor id outside [0, 2^40) packing range")))
+    val packed = (simMicro + lit(1000000L)) * lit(Shift) +
+      (lit(Shift - 1L) - guarded)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), packed.as("pk"))
+      .groupBy("query_id").agg(max("pk").as("mx"))
+      // decode in exact LONG arithmetic only (packed ≈ 2.2e18 exceeds
+      // double's 2^53 mantissa — never divide it as double)
+      .select(col("query_id"),
+        (lit(Shift - 1L) - col("mx") % lit(Shift)).as("neighbor_id"))
+  }
+
   /** Per-label z-score outlier census: each vector's squared z-score
     * summed over dimensions against ITS OWN label's per-dimension
     * mean/variance — the mislabel/corruption detector run before

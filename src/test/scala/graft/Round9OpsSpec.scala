@@ -61,6 +61,45 @@ class Round9OpsSpec extends SparkSpec {
     assert(ok === -(10L - 20L + 30L))
   }
 
+  test("bruteForce1NN == bruteForceTopK rank-1 on the real corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.filter(col("vec_id") % 10 === 0)
+    val viaWindow = graft.similarity.Similarity
+      .bruteForceTopK(e, qs, k = 1)
+      .select("query_id", "neighbor_id")
+    val viaArgmax = graft.similarity.Similarity.bruteForce1NN(e, qs)
+    assert(viaWindow.exceptAll(viaArgmax).isEmpty &&
+      viaArgmax.exceptAll(viaWindow).isEmpty)
+    // and the scale property itself: the plan carries NO window — the
+    // reduction is a partial-aggregating hash aggregate
+    val plan = viaArgmax.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window, got:\n$plan")
+  }
+
+  test("weightedOverlapCensus agrees with the pair list it summarizes") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val minW = 3000000L
+    val pairs = graft.dedup.Dedup
+      .weightedOverlapJoinOn(docs, col("doc_id"), grams, minW).collect()
+    val census = graft.dedup.Dedup
+      .weightedOverlapCensus(docs, col("doc_id"), grams, minW)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val perDoc = pairs.flatMap { r =>
+      val (a, b, w) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      Seq(a -> (b, w), b -> (a, w))
+    }.groupBy(_._1)
+    assert(census.keySet === perDoc.keySet)
+    perDoc.foreach { case (id, ps) =>
+      val (n, wMax, top) = census(id)
+      assert(n === ps.length)
+      assert(wMax === ps.map(_._2._2).max)
+      assert(top === ps.map(_._2).filter(_._2 == wMax).map(_._1).min)
+    }
+  }
+
   test("native per-pair Hamming stage stays inside whole-stage codegen") {
     // The hot path is the per-PAIR distance projection over the
     // crossJoin (corpus × broadcast queries) — round 8's zip_with+
