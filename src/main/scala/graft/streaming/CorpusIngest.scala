@@ -90,12 +90,155 @@ object CorpusIngest {
     * is no longer cost-minimal for what's arriving — e.g. a re-crawl
     * flooding near-duplicates moves the optimum toward more bands.
     * Cost: two 48-doc samples + a 7-row join — cheap enough to run per
-    * batch, like the drift census it mirrors. The maintainer alerts or
-    * re-bands on the flag; this library computes the evidence. */
+    * batch, like the drift census it mirrors. [[BandPlanMaintainer]]
+    * consumes the flag and performs the actual staged re-banding. */
   def bandPlanDrift(corpusDocs: DataFrame, batch: DataFrame,
                     threshold: Double = 0.5): DataFrame =
     graft.dedup.Dedup.lshPlanDrift(corpusDocs, batch, col("doc_id"),
       TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3), threshold)
+
+  /** Drift-adaptive banding maintainer — wires [[bandPlanDrift]]'s
+    * `plan_changed` flag to an ACTUAL operating-point swap, with the
+    * fencing discipline of [[AnnIngest.Maintainer]] (staged adoption at
+    * the batch boundary, epoch-first persistence, rename-with-overwrite
+    * state commits):
+    *
+    *  - each micro-batch finds near-dup candidates of the batch
+    *    against the stored corpus under the CURRENT (bands, rows)
+    *    point and merges them into the keyed candidate store, then
+    *    merges the batch's docs into the corpus store — both merges
+    *    keyed, so a replay can never duplicate (it re-derives
+    *    candidates under the CURRENT plan, which after a swap may ADD
+    *    pairs the original pass missed — the at-least-once side of the
+    *    contract; it never drops any);
+    *  - the epoch persists immediately after the merges and BEFORE the
+    *    re-pricer, so a crash in between replays idempotently instead
+    *    of re-staging (the AnnIngest round-9 ordering);
+    *  - [[graft.dedup.Dedup.lshPlanDrift]] then re-prices per batch
+    *    (two 48-doc samples — cheaper than one banding round); when
+    *    `plan_changed`, the cheapest batch-chosen split (fewest bands,
+    *    the planner's own tie rule) is STAGED and adopted at the NEXT
+    *    batch boundary. The flagging batch itself completed under the
+    *    plan it was priced against, so a swap can never lose a
+    *    candidate mid-batch, and candidates discovered under earlier
+    *    plans stay in the store — the swap only changes how FUTURE
+    *    batches band. Each candidate row carries `bands_at_discovery`
+    *    so post-hoc recall audits know which operating point found it.
+    *
+    * Driver-side state like the ANN maintainer (foreachBatch runs on
+    * the driver); restarts resume from `<corpusPath>.bandplan.json`. */
+  final class BandPlanMaintainer(spark: SparkSession, corpusPath: String,
+                                 candPath: String, threshold: Double = 0.5,
+                                 initialBands: Int = 16,
+                                 shingleSize: Int = 3, seed: Long = 42L)
+      extends Serializable {
+    require(Seq(1, 2, 4, 8, 16, 32, 64).contains(initialBands),
+      s"bands must divide the 64-hash signature, got $initialBands")
+
+    @volatile private var bands: Int = initialBands
+    @volatile private var stagedBands: Int = 0 // 0 = nothing staged
+    @volatile private var epoch: Long = -1L
+    @volatile private var swapCount: Int = 0
+
+    loadState()
+
+    def currentBands: Int = bands
+    def rowsPerBand: Int = 64 / bands
+    def stagedPlan: Option[Int] = if (stagedBands > 0) Some(stagedBands) else None
+    def swaps: Int = swapCount
+
+    /** One micro-batch of (doc_id, text): adopt any staged plan, band
+      * the batch against the stored corpus under the CURRENT plan,
+      * merge candidates + docs, persist the epoch, THEN re-price.
+      * Returns `plan_changed` (false on bootstrap and replays). */
+    def processBatch(batch: DataFrame, batchId: Long): Boolean = {
+      adoptStagedPlan()
+      // version-pinned PRE-batch corpus: candidates and the re-pricer
+      // both see the corpus as it stood before this batch landed
+      val storedOpt =
+        try Some(UpsertSink.ParquetMergeSink.read(spark, corpusPath))
+        catch { case _: java.io.FileNotFoundException => None }
+      val replay = batchId <= epoch
+      storedOpt.foreach { stored =>
+        val cand = graft.dedup.Dedup.minhashCandidatesAgainst(
+          batch, stored, col("doc_id"), col("text"),
+          numHashes = 64, shingleSize = shingleSize, bands = bands,
+          seed = seed)
+          // a replayed batch's docs are already in the corpus — drop
+          // the self-collisions that creates
+          .filter(col("new_id") =!= col("corpus_id"))
+          .withColumn("bands_at_discovery", lit(bands.toLong))
+          .withColumn("ingest_epoch", lit(if (replay) epoch else batchId))
+        UpsertSink.ParquetMergeSink.merge(cand, candPath,
+          keyCols = Seq("new_id", "corpus_id"))
+      }
+      UpsertSink.ParquetMergeSink.merge(
+        batch.select(col("doc_id"), col("text")), corpusPath, Seq("doc_id"))
+      if (replay) return false
+      epoch = batchId
+      saveState()
+      val changed = storedOpt.exists { stored =>
+        val drift = bandPlanDrift(stored, batch, threshold)
+          .select("bands", "batch_chosen", "plan_changed").collect()
+        val flipped = drift.headOption.exists(_.getAs[Boolean]("plan_changed"))
+        if (flipped && stagedBands == 0) {
+          val nb = drift.filter(_.getAs[Boolean]("batch_chosen"))
+            .map(_.getAs[Long]("bands").toInt).min
+          if (nb != bands) { stagedBands = nb; saveState() }
+        }
+        flipped
+      }
+      changed
+    }
+
+    private def adoptStagedPlan(): Unit =
+      if (stagedBands > 0) {
+        bands = stagedBands
+        stagedBands = 0
+        swapCount += 1
+        saveState()
+      }
+
+    // persisted state, committed like the ANN model artifact
+    private def statePath =
+      new org.apache.hadoop.fs.Path(corpusPath + ".bandplan.json")
+
+    private def fs = statePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def saveState(): Unit = {
+      val json = s"""{"epoch": $epoch, "bands": $bands,""" +
+        s""" "staged_bands": $stagedBands, "swaps": $swapCount}"""
+      val tmp = new org.apache.hadoop.fs.Path(corpusPath + ".bandplan.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        statePath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, statePath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+    private def loadState(): Unit = {
+      if (!fs.exists(statePath)) return
+      val in = fs.open(statePath)
+      val json = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      def longOf(key: String): Long = {
+        val i = json.indexOf("\"" + key + "\"")
+        json.substring(json.indexOf(':', i) + 1)
+          .takeWhile(c => c != ',' && c != '}').trim.toLong
+      }
+      epoch = longOf("epoch")
+      bands = longOf("bands").toInt
+      stagedBands = longOf("staged_bands").toInt
+      swapCount = longOf("swaps").toInt
+    }
+  }
 
   def start(spark: SparkSession, wireDir: String, corpusFingerprints: DataFrame,
             tablePath: String, checkpointDir: String,

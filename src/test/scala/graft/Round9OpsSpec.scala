@@ -100,6 +100,84 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("band-plan maintainer: drift flip stages, next batch adopts, no pairs lost") {
+    import graft.streaming.{CorpusIngest, UpsertSink}
+    val dir = java.nio.file.Files.createTempDirectory("bandplan").toString
+    val corpusPath = s"$dir/corpus"
+    val candPath = s"$dir/cand"
+    // start at the corpus-optimal operating point (the planner picks
+    // 1-8 bands for this corpus; the flood's batch-chosen split is 16)
+    val m = new CorpusIngest.BandPlanMaintainer(spark, corpusPath, candPath,
+      initialBands = 4)
+
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // batch 0: bootstrap — the whole small corpus lands, nothing to
+    // band against yet, no re-pricing possible
+    assert(!m.processBatch(real, 0L))
+    assert(m.currentBands === 4 && m.stagedPlan.isEmpty)
+
+    // batch 1: the DedupSpec flood (16 bases x 3 near-identical
+    // variants = the md5 sample) — must flip the plan. The flagging
+    // batch itself still processes under the OLD 16-band point.
+    val seed0 = real.filter(col("doc_id") < 16)
+    val flood = seed0
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" driftvariantx")).as("text"))
+      .unionByName(seed0.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" driftvarianty")).as("text")))
+      .unionByName(seed0)
+      .filter(col("doc_id") >= 100000L)
+    assert(m.processBatch(flood, 1L), "the flood must flip the plan")
+    assert(m.currentBands === 4, "the flagging batch completes under the old plan")
+    val stagedTo = m.stagedPlan
+    assert(stagedTo.nonEmpty && stagedTo.get > 4,
+      "a near-dup flood stages MORE bands")
+    val preSwap = UpsertSink.ParquetMergeSink.read(spark, candPath)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preSwap.nonEmpty, "flood variants must band-collide with their bases")
+
+    // batch 2: adoption happens at this boundary; new near-dups of
+    // corpus docs are found under the NEW plan, and every pre-swap
+    // candidate is still in the store
+    val b3 = seed0.select((col("doc_id") + 300000L).as("doc_id"),
+      concat(col("text"), lit(" driftvariantz")).as("text"))
+    m.processBatch(b3, 2L)
+    assert(m.currentBands === stagedTo.get && m.swaps === 1)
+    val post = UpsertSink.ParquetMergeSink.read(spark, candPath)
+    val postPairs = post.select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preSwap.subsetOf(postPairs), "no candidate pair lost across the swap")
+    val newPlanBands = post.filter(col("new_id") >= 300000L)
+      .select("bands_at_discovery").distinct().collect().map(_.getLong(0))
+    assert(newPlanBands.nonEmpty && newPlanBands.forall(_ === stagedTo.get.toLong),
+      "post-swap discoveries carry the new operating point")
+
+    // replay of batch 1: no re-staging, nothing lost. A replay
+    // re-derives candidates under the CURRENT (post-swap, more
+    // sensitive) plan — the at-least-once contract means it may ADD
+    // pairs, never drop them — and a second identical replay is a
+    // fixed point (keyed merge idempotence).
+    assert(!m.processBatch(flood, 1L))
+    assert(m.stagedPlan.isEmpty && m.swaps === 1)
+    val replayed = UpsertSink.ParquetMergeSink.read(spark, candPath)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postPairs.subsetOf(replayed))
+    assert(!m.processBatch(flood, 1L))
+    val replayedTwice = UpsertSink.ParquetMergeSink.read(spark, candPath)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayedTwice === replayed)
+
+    // a restarted maintainer resumes the adopted plan and epoch
+    val m2 = new CorpusIngest.BandPlanMaintainer(spark, corpusPath, candPath)
+    assert(m2.currentBands === stagedTo.get && m2.swaps === 1)
+    assert(!m2.processBatch(flood, 1L), "replay detected from persisted epoch")
+  }
+
   test("native per-pair Hamming stage stays inside whole-stage codegen") {
     // The hot path is the per-PAIR distance projection over the
     // crossJoin (corpus × broadcast queries) — round 8's zip_with+
