@@ -774,18 +774,22 @@ object Multimodal {
     out
   }
 
-  /** REAL sample-level decoder for the codec-free formats — integer-PCM
-    * WAV and 24-bit uncompressed BMP, whose payloads ARE the samples —
-    * plus the labeled hash stub as fallback for anything else
-    * (compressed formats genuinely need codec libraries this container
-    * does not ship; swap the fallback for a JNI/FFmpeg/libvips call in
-    * production).
+  /** REAL sample-level decoder for the JDK-decodable formats —
+    * integer-PCM WAV and 24-bit uncompressed BMP (payloads ARE the
+    * samples) and, since round 9, 8-bit PNG via the pure-JVM Deflate
+    * path ([[graft.expressions.PngDecode]]) — plus the labeled hash
+    * stub as fallback for what genuinely needs codec libraries this
+    * container does not ship (JPEG DCT, compressed audio; swap the
+    * fallback for a JNI/FFmpeg/libvips call in production).
     *
     * Feature layout (normalized to [-1, 1]):
     *  - WAV:  [mean/FS, rms/FS, peak/FS] per channel (FS = full scale:
     *    128 for 8-bit, 32768 for 16-bit), then zeros.
     *  - BMP:  [mean/255, stddev/255] per channel in B, G, R order,
     *    then zeros.
+    *  - PNG:  [mean/255, stddev/255] per channel in storage order
+    *    (gray / RGB / gray+A / RGBA), then zeros; undecodable PNGs
+    *    (interlaced, palette, 16-bit, dirty) fall to the stub.
     *
     * The math is the same integer accumulation as [[pcmChannelStats]] /
     * [[bmpChannelStats]] (MultimodalSpec pins the two paths equal on
@@ -876,7 +880,67 @@ object Multimodal {
         return out
       }
     }
+    if (bytes.length >= 33 && u8(0) == 0x89 && u8(1) == 'P' &&
+        u8(2) == 'N' && u8(3) == 'G') {
+      // pure-JVM Deflate decode (graft.expressions.PngDecode): the
+      // raster half of the former codec stub, retired in round 9
+      val r = graft.expressions.PngDecode.decodeToRow(bytes, keepPixels = false)
+      if (r.getBoolean(0)) {
+        val ch = r.getInt(6)
+        val n = r.getLong(7).toDouble
+        val sum = r.getArray(8)
+        val sq = r.getArray(9)
+        var c = 0
+        while (c < ch && 2 * c + 1 < dim) {
+          val mean = sum.getLong(c) / n
+          out(2 * c) = (mean / 255.0).toFloat
+          out(2 * c + 1) =
+            (math.sqrt(sq.getLong(c) / n - mean * mean) / 255.0).toFloat
+          c += 1
+        }
+        return out
+      }
+    }
     stubDecodeFeatures(bytes, dim)
+  }
+
+  /** Full PNG pixel decode as a column expression — struct (valid,
+    * reason, width, height, bit_depth, color_type, channels, n_px,
+    * chan_sum, chan_sqsum, pixels); see
+    * [[graft.expressions.PngDecode]] for the supported subset and the
+    * census-row rejection semantics. `keepPixels = false` (the
+    * default) ships only the header + exact per-channel integer stats
+    * — the 100 TB shape; pixels are an explicit opt-in. */
+  def pngDecode(media: Column, keepPixels: Boolean = false): Column =
+    graft.expressions.PngExpressions.png_decode(media, keepPixels)
+
+  /** PNG decode acceptance census — the decode-level sibling of
+    * [[mediaValidityCensus]]: per group, how many PNG-magic payloads
+    * actually decode and how many each rejection reason claims
+    * (interlaced / palette / unsupported_depth / trunc / corrupt /
+    * bad_filter / ...). `n_decoded + Σ reasons = n_png_magic` — the
+    * total-accounting discipline; one map-side-combined groupBy with
+    * the decoder fused into the scan. */
+  def pngDecodeCensus(df: DataFrame, group: Column, media: Column): DataFrame = {
+    val isPng = media.isNotNull && length(media) >= 8 &&
+      hex(substring(media, 1, 8)) === lit(PngMagicHex)
+    val d = pngDecode(media)
+    def c(x: Column) = sum(when(coalesce(x, lit(false)), 1L).otherwise(0L))
+    df.filter(isPng)
+      .select(group.as("grp"), d.getField("valid").as("v"),
+        d.getField("reason").as("r"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_png_magic"),
+        c(col("v")).as("n_decoded"),
+        c(col("r") === "interlaced").as("n_interlaced"),
+        c(col("r") === "palette").as("n_palette"),
+        c(col("r") === "unsupported_depth").as("n_depth"),
+        c(col("r").isin("trunc_chunk", "trunc_idat", "no_ihdr", "no_idat"))
+          .as("n_trunc"),
+        c(col("r").isin("corrupt_idat", "corrupt", "bad_filter",
+          "bad_compression", "bad_color_type", "bad_dims", "bad_sig",
+          "too_large")).as("n_corrupt"))
+      .orderBy("grp")
   }
 
   /** Decode/feature-extract: per-partition batch iterator over the
