@@ -710,6 +710,81 @@ object Multimodal {
         .otherwise(jpeg).as("media"))
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic PNG corpus — unlike
+    * [[syntheticMedia]]'s header-only PNGs, these carry a complete
+    * zlib stream the real decoder ([[graft.expressions.PngDecode]])
+    * inflates and de-filters. The oracle trick that makes the decode
+    * hash-checkable with no Deflate in ANSI SQL: the zlib stream uses
+    * a STORED (BTYPE=00, uncompressed) final block, and the pixels are
+    * pure id arithmetic — p(id, j) = (id·31 + j²·7 + j·13) mod 256
+    * over a fixed 5×3 RGB raster — so DuckDB never touches the bytes:
+    * it recomputes the expected per-channel sums straight from the
+    * formula, while Spark must CONSTRUCT the bytes, run the real
+    * Inflater, reconstruct through three filter types (row 0 = None,
+    * row 1 = Sub, row 2 = Up — the encoder stores differences, so an
+    * identity "decoder" cannot pass), and re-derive the same sums.
+    * The Adler-32 trailer is computed exactly (two mod-65521 folds) so
+    * a strict inflater is satisfied. Chunk CRCs are zeroed (the
+    * decoder documents CRCs as unverified).
+    *
+    * Defect variants by id mod 7 — constructed defects must land in
+    * the decoder's census buckets: 1 → interlace flag (rejected
+    * pre-inflate), 2 → IDAT truncated mid-stored-block (trunc_idat),
+    * 3 → bit depth 16 (unsupported_depth), 4 → palette colour type;
+    * 0/5/6 decode. Paeth/Average filters stay spec-pinned
+    * (PngDecodeSpec) — their reconstruction is sequential and not
+    * SQL-expressible, which is exactly why the oracle variant uses
+    * None/Sub/Up. */
+  def syntheticPngDecodable(docs: DataFrame,
+                            idCol: Column = col("doc_id")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    def be(v: Column, n: Int): Column = unhex(lpad(hex(v), 2 * n, "0"))
+    val variant = id % 7L
+    // p(j) for j in [0, 45): the 5x3 RGB raster, row-major, j = y*15+x
+    def p(j: Column): Column = (id * 31L + j * j * 7L + j * 13L) % 256L
+    // 48 raw bytes: 3 scanlines of (filter byte + 15 samples)
+    val rawInts = transform(sequence(lit(0L), lit(47L)), { i =>
+      val y = when(i < 16L, 0L).when(i < 32L, lit(1L)).otherwise(2L)
+      val k = i % 16L
+      val x = k - 1L
+      val j = y * 15L + x
+      when(k === 0L, y) // filter byte: row y uses filter type y
+        .when(y === 0L, p(j))
+        .when(y === 1L, when(x >= 3L,
+          (p(j) - p(j - 3L) + 256L) % 256L).otherwise(p(j)))
+        .otherwise((p(j) - p(j - 15L) + 256L) % 256L)
+    })
+    val raw = unhex(array_join(
+      transform(rawInts, v => lpad(hex(v), 2, "0")), ""))
+    // Adler-32 of the 48 raw bytes: s1/s2 mod-65521 folds, trailer BE
+    val adler = aggregate(rawInts,
+      struct(lit(1L).as("a"), lit(0L).as("b")),
+      (acc, v) => {
+        val a2 = (acc.getField("a") + v) % 65521L
+        struct(a2.as("a"), ((acc.getField("b") + a2) % 65521L).as("b"))
+      },
+      acc => acc.getField("b") * 65536L + acc.getField("a"))
+    // zlib: CMF/FLG 78 01, stored final block (BFINAL=1 BTYPE=00),
+    // LEN=48 LE, NLEN=~LEN, raw, Adler-32 BE
+    val zlib = concat(unhex(lit("780101")),
+      unhex(lit("3000CFFF")), raw, be(adler, 4))
+    val depth = when(variant === 3L, 16L).otherwise(8L)
+    val color = when(variant === 4L, 3L).otherwise(2L)
+    val interlace = when(variant === 1L, 1L).otherwise(0L)
+    val ihdr = concat(unhex(lit("0000000D49484452")),
+      be(lit(5L), 4), be(lit(3L), 4), be(depth, 1), be(color, 1),
+      unhex(lit("0000")), be(interlace, 1), unhex(lit("00000000")))
+    val idat = when(variant === 2L,
+      concat(be(lit(10L), 4), unhex(lit("49444154")),
+        substring(zlib, 1, 10), unhex(lit("00000000"))))
+      .otherwise(concat(be(lit(59L), 4), unhex(lit("49444154")),
+        zlib, unhex(lit("00000000"))))
+    val iend = unhex(lit("0000000049454E4400000000"))
+    spread.select(id.as("media_id"),
+      concat(unhex(lit(PngMagicHex)), ihdr, idat, iend).as("media"))
+  }
+
   /** media table schema: (id, media binary, meta struct). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -689,6 +689,58 @@ object Media {
     Multimodal.mediaValidityCensus(mixed, col("media_id") % 6, col("media"))
   }
 
+  // --------------------------------------------------------------- q224
+  // Oracle-checked REAL PNG decode: the synthetic corpus carries
+  // complete zlib streams (STORED final blocks + exact Adler-32) whose
+  // pixels are pure id arithmetic, so the Spark side must run the
+  // actual Inflater + three-filter-type reconstruction
+  // (graft.expressions.PngDecode) while DuckDB recomputes the expected
+  // per-channel sums straight from the pixel formula — it never sees
+  // the bytes. A hash match proves the decoder inverts the encoder
+  // exactly: chunk walk, zlib stored-block framing, None/Sub/Up
+  // de-filtering, channel layout, and the fused integer stats. The
+  // four constructed defect variants (id mod 7 = 1..4) must land in
+  // their census buckets with the header fields still surfaced.
+  val q224_png_decode: Q = (s, dir) => {
+    val m = Multimodal.syntheticPngDecodable(Tables.load(s, dir, "documents"))
+    val parsed = m.select(col("media_id").as("doc_id"),
+      Multimodal.pngDecode(col("media")).as("d"))
+    parsed.select(col("doc_id"),
+      col("d.valid").as("valid"), col("d.reason").as("reason"),
+      col("d.width").as("width"), col("d.height").as("height"),
+      col("d.n_px").as("n_px"),
+      element_at(col("d.chan_sum"), 1).as("s0"),
+      element_at(col("d.chan_sum"), 2).as("s1"),
+      element_at(col("d.chan_sum"), 3).as("s2"),
+      element_at(col("d.chan_sqsum"), 1).as("q0"),
+      element_at(col("d.chan_sqsum"), 2).as("q1"),
+      element_at(col("d.chan_sqsum"), 3).as("q2"))
+      .orderBy("doc_id")
+  }
+
+  val q224_sql: String =
+    """WITH v AS (SELECT doc_id, doc_id % 7 AS var FROM documents),
+      |px AS (
+      |  SELECT doc_id, (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256 AS p,
+      |         (t.j % 15) % 3 AS c
+      |  FROM v, generate_series(0, 44) AS t(j)
+      |  WHERE var IN (0, 5, 6)),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(p) FILTER (WHERE c = 0) AS BIGINT) AS s0,
+      |    CAST(sum(p) FILTER (WHERE c = 1) AS BIGINT) AS s1,
+      |    CAST(sum(p) FILTER (WHERE c = 2) AS BIGINT) AS s2,
+      |    CAST(sum(p * p) FILTER (WHERE c = 0) AS BIGINT) AS q0,
+      |    CAST(sum(p * p) FILTER (WHERE c = 1) AS BIGINT) AS q1,
+      |    CAST(sum(p * p) FILTER (WHERE c = 2) AS BIGINT) AS q2
+      |  FROM px GROUP BY 1)
+      |SELECT d.doc_id, d.var IN (0, 5, 6) AS valid,
+      |  CASE d.var WHEN 1 THEN 'interlaced' WHEN 2 THEN 'trunc_idat'
+      |             WHEN 3 THEN 'unsupported_depth' WHEN 4 THEN 'palette'
+      |  END AS reason,
+      |  5 AS width, 3 AS height, CAST(15 AS BIGINT) AS n_px,
+      |  st.s0, st.s1, st.s2, st.q0, st.q1, st.q2
+      |FROM v d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val q217_sql: String = {
     val (wavWalk, wavLast) = wavWalkSql("mm", "cw")
     val (aviWalk, aviLast) = aviWalkSql("mm", "ca")
@@ -1150,7 +1202,8 @@ object Media {
     "q114_container_meta" -> q114_container_meta,
     "q167_wav_pcm_stats" -> q167_wav_pcm_stats,
     "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats,
-    "q217_media_census" -> q217_media_census)
+    "q217_media_census" -> q217_media_census,
+    "q224_png_decode" -> q224_png_decode)
 
   val oracle: Map[String, String] = Map(
     "q210_ahash_canonical" -> q210_sql,
@@ -1163,5 +1216,6 @@ object Media {
     "q114_container_meta" -> q114_sql,
     "q167_wav_pcm_stats" -> q167_sql,
     "q168_bmp_pixel_stats" -> q168_sql,
-    "q217_media_census" -> q217_sql)
+    "q217_media_census" -> q217_sql,
+    "q224_png_decode" -> q224_sql)
 }
