@@ -27,9 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * 3), other depths, and Adam7 interlace are REJECTED AS CENSUS ROWS
   * (`reason` ∈ palette / unsupported_depth / interlaced) rather than
   * decoded — the same claim-or-exclude discipline as
-  * `mediaValidityCensus`. Chunk CRCs are not verified (the inflater's
-  * own zlib checksum still guards the pixel data); a production
-  * strict mode would add the CRC pass.
+  * `mediaValidityCensus`. Chunk CRCs are verified only in the
+  * `checkCrc` strict mode (mismatch → `bad_crc` census rows); by
+  * default the inflater's own Adler-32 guards the pixel data.
   *
   * Output struct: (valid, reason, width, height, bit_depth,
   * color_type, channels, n_px, chan_sum, chan_sqsum, pixels) — the
@@ -72,8 +72,17 @@ object PngDecode {
 
   /** The full decode; never throws. Exposed for the codegen call and
     * for driver-side use (the [[graft.multimodal.Multimodal]]
-    * feature-extract path). */
-  def decodeToRow(bytes: Array[Byte], keepPixels: Boolean): InternalRow = {
+    * feature-extract path). `checkCrc` is the production strict mode:
+    * every chunk's stored CRC-32 (over type + data, ISO 15948 §5.3) is
+    * verified and a mismatch rejects the payload as `bad_crc` — off by
+    * default because legitimate pipelines often re-frame chunks, the
+    * inflater's own Adler-32 already guards the pixel data, and the
+    * synthetic oracle corpus zeroes its CRCs. */
+  def decodeToRow(bytes: Array[Byte], keepPixels: Boolean): InternalRow =
+    decodeToRow(bytes, keepPixels, checkCrc = false)
+
+  def decodeToRow(bytes: Array[Byte], keepPixels: Boolean,
+                  checkCrc: Boolean): InternalRow = {
     def fail(reason: String, w: Int = -1, h: Int = -1, d: Int = -1,
              ct: Int = -1, ch: Int = -1): InternalRow = {
       val r = new GenericInternalRow(11)
@@ -117,6 +126,13 @@ object PngDecode {
       if (interlace != 0) return fail("interlaced", wi, hi, depth, colorType, ch)
       if (w * h * ch > MaxSamples)
         return fail("too_large", wi, hi, depth, colorType, ch)
+      def crcOk(typeOff: Int, dataLen: Int): Boolean = {
+        val c = new java.util.zip.CRC32()
+        c.update(bytes, typeOff, 4 + dataLen)
+        c.getValue == be4(typeOff + 4 + dataLen)
+      }
+      if (checkCrc && !crcOk(12, 13))
+        return fail("bad_crc", wi, hi, depth, colorType, ch)
       // chunk walk: concatenate IDAT payloads until IEND
       val idat = new java.io.ByteArrayOutputStream()
       var off = 8 + 25 // past IHDR (len+type+13+crc)
@@ -128,6 +144,8 @@ object PngDecode {
         val len = be4(off)
         if (len < 0 || len > Int.MaxValue - 12 || off + 12 + len > bytes.length)
           return fail("trunc_chunk", wi, hi, depth, colorType, ch)
+        if (checkCrc && !crcOk(off + 4, len.toInt))
+          return fail("bad_crc", wi, hi, depth, colorType, ch)
         tag(off + 4) match {
           case "IDAT" => idat.write(bytes, off + 8, len.toInt)
           case "IEND" => ended = true
@@ -217,7 +235,8 @@ object PngDecode {
   }
 }
 
-case class PngDecodeExpr(child: Expression, keepPixels: Boolean)
+case class PngDecodeExpr(child: Expression, keepPixels: Boolean,
+                         checkCrc: Boolean = false)
   extends UnaryExpression {
 
   override def dataType: DataType = PngDecode.schema
@@ -230,17 +249,20 @@ case class PngDecodeExpr(child: Expression, keepPixels: Boolean)
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    PngDecode.decodeToRow(v.asInstanceOf[Array[Byte]], keepPixels)
+    PngDecode.decodeToRow(v.asInstanceOf[Array[Byte]], keepPixels, checkCrc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b =>
-      s"${ev.value} = graft.expressions.PngDecode.decodeToRow($b, $keepPixels);")
+      s"${ev.value} = graft.expressions.PngDecode.decodeToRow(" +
+        s"$b, $keepPixels, $checkCrc);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object PngExpressions {
-  def png_decode(media: Column, keepPixels: Boolean = false): Column =
-    ColumnBridge.column(PngDecodeExpr(ColumnBridge.expression(media), keepPixels))
+  def png_decode(media: Column, keepPixels: Boolean = false,
+                 checkCrc: Boolean = false): Column =
+    ColumnBridge.column(PngDecodeExpr(
+      ColumnBridge.expression(media), keepPixels, checkCrc))
 }

@@ -986,8 +986,9 @@ object Multimodal {
     * census-row rejection semantics. `keepPixels = false` (the
     * default) ships only the header + exact per-channel integer stats
     * — the 100 TB shape; pixels are an explicit opt-in. */
-  def pngDecode(media: Column, keepPixels: Boolean = false): Column =
-    graft.expressions.PngExpressions.png_decode(media, keepPixels)
+  def pngDecode(media: Column, keepPixels: Boolean = false,
+                checkCrc: Boolean = false): Column =
+    graft.expressions.PngExpressions.png_decode(media, keepPixels, checkCrc)
 
   /** PNG decode acceptance census — the decode-level sibling of
     * [[mediaValidityCensus]]: per group, how many PNG-magic payloads

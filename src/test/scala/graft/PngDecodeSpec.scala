@@ -177,6 +177,33 @@ class PngDecodeSpec extends SparkSpec {
     assert(reasonOf(Array[Byte](1, 2, 3)) === (false, "bad_sig"))
   }
 
+  test("strict CRC mode: crafted PNGs pass (real CRCs), a flipped CRC rejects") {
+    val pixels = pix(4 * 3 * 3, seed = 21)
+    val good = encode(4, 3, 3, pixels, Seq(0, 1, 2), colorType = 2)
+    def strict(png: Array[Byte]) =
+      Seq(Tuple1(png)).toDF("media")
+        .select(Multimodal.pngDecode(col("media"), keepPixels = true,
+          checkCrc = true).as("d"))
+        .select("d.*").collect().head
+    // the test encoder writes REAL CRC-32s, so strict mode decodes
+    val ok = strict(good)
+    assert(ok.getBoolean(0))
+    assert(ok.getAs[Array[Byte]]("pixels").toSeq === pixels.toSeq)
+    // flip one bit of the IHDR CRC (offset 29..32) -> bad_crc, with
+    // the header fields still surfaced on the census row
+    val bad = good.clone(); bad(30) = (bad(30) ^ 0x01).toByte
+    val r = strict(bad)
+    assert(!r.getBoolean(0) && r.getString(1) === "bad_crc")
+    assert(r.getInt(2) === 4 && r.getInt(3) === 3)
+    // default (lenient) mode still decodes it — CRCs are advisory there
+    assert(decodeOne(bad).getBoolean(0))
+    // and a corrupted IDAT CRC also lands as bad_crc under strict mode
+    val badIdat = good.clone(); badIdat(badIdat.length - 5) =
+      (badIdat(badIdat.length - 5) ^ 0x40).toByte // inside IEND's CRC
+    val r2 = strict(badIdat)
+    assert(!r2.getBoolean(0) && r2.getString(1) === "bad_crc")
+  }
+
   test("decoder is total over garbage and the census accounts for every row") {
     // 64 dirty payloads: random bytes behind a real PNG signature, so
     // every row enters the chunk walk
