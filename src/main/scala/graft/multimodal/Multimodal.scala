@@ -851,11 +851,14 @@ object Multimodal {
 
   /** REAL sample-level decoder for the JDK-decodable formats —
     * integer-PCM WAV and 24-bit uncompressed BMP (payloads ARE the
-    * samples) and, since round 9, 8-bit PNG via the pure-JVM Deflate
-    * path ([[graft.expressions.PngDecode]]) — plus the labeled hash
-    * stub as fallback for what genuinely needs codec libraries this
-    * container does not ship (JPEG DCT, compressed audio; swap the
-    * fallback for a JNI/FFmpeg/libvips call in production).
+    * samples), 8-bit PNG via the pure-JVM Deflate path
+    * ([[graft.expressions.PngDecode]]), and — since round 9's second
+    * wave — every raster the JDK's own codec registry claims
+    * (baseline JPEG with real Huffman + IDCT, interlaced/palette PNG,
+    * GIF) via [[graft.expressions.ImageIoDecode]]. The labeled hash
+    * stub now covers only compressed AUDIO (MP3/AAC genuinely need
+    * codec libraries this container does not ship; swap the fallback
+    * for a JNI/FFmpeg call in production).
     *
     * Feature layout (normalized to [-1, 1]):
     *  - WAV:  [mean/FS, rms/FS, peak/FS] per channel (FS = full scale:
@@ -976,8 +979,42 @@ object Multimodal {
         return out
       }
     }
+    // JDK-registry decode for rasters the native paths don't claim —
+    // baseline JPEG (real Huffman + IDCT), interlaced/palette PNG, GIF
+    // — through javax.imageio (java.desktop: public JDK, no codec
+    // library). Deterministic per JDK; not ANSI-replayable (JPEG IDCT
+    // rounding is implementation-defined), so this path is spec-pinned
+    // (ImageIoDecodeSpec) rather than oracle-checked.
+    if (bytes.length >= 2 && ((u8(0) == 0xFF && u8(1) == 0xD8) ||
+        (u8(0) == 0x89 && u8(1) == 'P') || (u8(0) == 'G' && u8(1) == 'I'))) {
+      val r = graft.expressions.ImageIoDecode.decodeToRow(bytes)
+      if (r.getBoolean(0)) {
+        val ch = r.getInt(5)
+        val n = r.getLong(6).toDouble
+        val sum = r.getArray(7)
+        val sq = r.getArray(8)
+        var c = 0
+        while (c < ch && 2 * c + 1 < dim) {
+          val mean = sum.getLong(c) / n
+          out(2 * c) = (mean / 255.0).toFloat
+          out(2 * c + 1) =
+            (math.sqrt(sq.getLong(c) / n - mean * mean) / 255.0).toFloat
+          c += 1
+        }
+        return out
+      }
+    }
     stubDecodeFeatures(bytes, dim)
   }
+
+  /** Raster decode via the JDK's codec registry as a column
+    * expression — struct (valid, reason, format, width, height,
+    * channels, n_px, chan_sum, chan_sqsum); see
+    * [[graft.expressions.ImageIoDecode]]. The catch-all next to the
+    * exact scan-fused paths: real baseline-JPEG decode, interlaced /
+    * palette PNG, GIF. */
+  def imageIoDecode(media: Column): Column =
+    graft.expressions.ImageIoExpressions.imageio_decode(media)
 
   /** Full PNG pixel decode as a column expression — struct (valid,
     * reason, width, height, bit_depth, color_type, channels, n_px,
