@@ -62,6 +62,41 @@ object ImageIoDecode {
     StructField("chan_sum", ArrayType(LongType, containsNull = false)),
     StructField("chan_sqsum", ArrayType(LongType, containsNull = false))))
 
+  /** Header-guarded single decode shared by the stats and hash
+    * expressions: Left(reason[, fmt, w, h]) or Right(fmt, image). The
+    * raster is never allocated before the declared dimensions pass the
+    * pixel budget. */
+  private[expressions] def readGuarded(bytes: Array[Byte])
+  : Either[(String, String, Int, Int), (String, java.awt.image.BufferedImage)] = {
+    if (bytes == null || bytes.length == 0) return Left(("no_reader", null, -1, -1))
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Left(("no_reader", null, -1, -1))
+      reader = readers.next()
+      reader.setInput(iis, true, true)
+      val fmt = reader.getFormatName.toLowerCase
+      val (w, h) =
+        try (reader.getWidth(0), reader.getHeight(0))
+        catch { case _: Exception => return Left(("decode_error", fmt, -1, -1)) }
+      if (w <= 0 || h <= 0) return Left(("decode_error", fmt, w, h))
+      if (w.toLong * h > MaxPixels) return Left(("too_large", fmt, w, h))
+      val img =
+        try reader.read(0)
+        catch { case _: Exception => return Left(("decode_error", fmt, w, h)) }
+      if (img == null) Left(("decode_error", fmt, w, h))
+      else Right((fmt, img))
+    } catch {
+      case _: Exception => Left(("decode_error", null, -1, -1))
+    } finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
+  }
+
   def decodeToRow(bytes: Array[Byte]): InternalRow = {
     def fail(reason: String, fmt: String = null, w: Int = -1,
              h: Int = -1): InternalRow = {
@@ -76,26 +111,12 @@ object ImageIoDecode {
       r.setNullAt(7); r.setNullAt(8)
       r
     }
-    if (bytes == null || bytes.length == 0) return fail("no_reader")
-    var iis: javax.imageio.stream.ImageInputStream = null
-    var reader: javax.imageio.ImageReader = null
     try {
-      iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return fail("no_reader")
-      reader = readers.next()
-      reader.setInput(iis, true, true)
-      val fmt = reader.getFormatName.toLowerCase
-      val (w, h) =
-        try (reader.getWidth(0), reader.getHeight(0))
-        catch { case _: Exception => return fail("decode_error", fmt) }
-      if (w <= 0 || h <= 0) return fail("decode_error", fmt, w, h)
-      if (w.toLong * h > MaxPixels) return fail("too_large", fmt, w, h)
-      val img =
-        try reader.read(0)
-        catch { case _: Exception => return fail("decode_error", fmt, w, h) }
-      if (img == null) return fail("decode_error", fmt, w, h)
+      val (fmt, img) = readGuarded(bytes) match {
+        case Left((reason, f, w, h)) => return fail(reason, f, w, h)
+        case Right(ok) => ok
+      }
+      val w = img.getWidth; val h = img.getHeight
       val raster = img.getRaster
       val bands = raster.getNumBands
       val sum = new Array[Long](bands)
@@ -127,11 +148,110 @@ object ImageIoDecode {
       r
     } catch {
       case _: Exception => fail("decode_error")
-    } finally {
-      if (reader != null) reader.dispose()
-      if (iis != null) try iis.close() catch { case _: Exception => () }
     }
   }
+}
+
+/** 64-bit perceptual average-hash over ANY JDK-decodable raster — the
+  * real implementation of the contract [[graft.multimodal.Multimodal]]
+  * `bmpAHash` documents and guards ("larger images pool to an 8×8
+  * grid first, same math per cell"): decode via [[ImageIoDecode]]'s
+  * registry path, average-pool luminance to 8×8 in EXACT integers,
+  * and set bit (8·i + j) iff the cell's mean luminance exceeds the
+  * image mean — compared cross-multiplied
+  * (cell_sum · n_total > total_sum · n_cell), no division, the q195/
+  * q210 exactness discipline. Luma = 2R + 5G + B (the repo's integer
+  * weights) for ≥3-band rasters, 8·v for gray so scales agree.
+  * Nearest-neighbour upscales by grid-aligned factors hash
+  * identically; JPEG re-encodes land within a few bits — the
+  * perceptual property the dedup family keys on. Returns
+  * (valid, reason, ahash); undecodable payloads census out like the
+  * decoder itself. */
+object ImageAHash {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("reason", StringType),
+    StructField("ahash", LongType)))
+
+  def hashToRow(bytes: Array[Byte]): InternalRow = {
+    def fail(reason: String): InternalRow = {
+      val r = new GenericInternalRow(3)
+      r.update(0, false)
+      r.update(1, UTF8String.fromString(reason))
+      r.setNullAt(2)
+      r
+    }
+    try {
+      val img = ImageIoDecode.readGuarded(bytes) match {
+        case Left((reason, _, _, _)) => return fail(reason)
+        case Right((_, i)) => i
+      }
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val bands = raster.getNumBands
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      val rowBuf = Array.ofDim[Int](bands, w)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var b = 0
+        while (b < bands) {
+          raster.getSamples(0, y, w, 1, b, rowBuf(b)); b += 1
+        }
+        val ci = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (bands >= 3)
+              2L * rowBuf(0)(x) + 5L * rowBuf(1)(x) + rowBuf(2)(x)
+            else 8L * rowBuf(0)(x)
+          val cell = ci * 8 + x * 8 / w
+          cellSum(cell) += lum
+          cellN(cell) += 1
+          total += lum
+          x += 1
+        }
+        y += 1
+      }
+      val nTotal = w.toLong * h
+      var hash = 0L
+      var c = 0
+      while (c < 64) {
+        // cell mean > image mean, cross-multiplied exact (empty cells
+        // from sub-8px dimensions contribute 0)
+        if (cellN(c) > 0 && cellSum(c) * nTotal > total * cellN(c))
+          hash |= 1L << c
+        c += 1
+      }
+      val r = new GenericInternalRow(3)
+      r.update(0, true)
+      r.setNullAt(1)
+      r.update(2, hash)
+      r
+    } catch { case _: Exception => fail("decode_error") }
+  }
+}
+
+case class ImageAHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageAHash.schema
+  override def prettyName: String = "image_ahash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageAHash.hashToRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.expressions.ImageAHash.hashToRow($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ImageIoDecodeExpr(child: Expression) extends UnaryExpression {
@@ -159,4 +279,7 @@ case class ImageIoDecodeExpr(child: Expression) extends UnaryExpression {
 object ImageIoExpressions {
   def imageio_decode(media: Column): Column =
     ColumnBridge.column(ImageIoDecodeExpr(ColumnBridge.expression(media)))
+
+  def image_ahash(media: Column): Column =
+    ColumnBridge.column(ImageAHashExpr(ColumnBridge.expression(media)))
 }

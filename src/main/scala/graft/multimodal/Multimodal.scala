@@ -1016,6 +1016,15 @@ object Multimodal {
   def imageIoDecode(media: Column): Column =
     graft.expressions.ImageIoExpressions.imageio_decode(media)
 
+  /** 64-bit perceptual average-hash over any JDK-decodable raster —
+    * struct (valid, reason, ahash); the general-image completion of
+    * [[bmpAHash]]'s ≤63-pixel exact path: decode through the JDK
+    * registry, average-pool luminance to an 8×8 grid in exact
+    * integers, threshold cross-multiplied against the image mean. See
+    * [[graft.expressions.ImageAHash]]. */
+  def imageAHash(media: Column): Column =
+    graft.expressions.ImageIoExpressions.image_ahash(media)
+
   /** Full PNG pixel decode as a column expression — struct (valid,
     * reason, width, height, bit_depth, color_type, channels, n_px,
     * chan_sum, chan_sqsum, pixels); see

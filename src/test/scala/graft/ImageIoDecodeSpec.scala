@@ -128,6 +128,39 @@ class ImageIoDecodeSpec extends SparkSpec {
     assert(r.getInt(3) === (1 << 20))
   }
 
+  test("imageAHash: exact under grid-aligned NN upscale, stable under JPEG loss") {
+    val img = rgb(8, 8, seed = 17)
+    def hashOf(bytes: Array[Byte]): (Boolean, Option[Long]) = {
+      val r = Seq(Tuple1(bytes)).toDF("media")
+        .select(Multimodal.imageAHash(col("media")).as("d"))
+        .select("d.*").collect().head
+      (r.getBoolean(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    val (v1, h1) = hashOf(encode(img, "png"))
+    assert(v1 && h1.nonEmpty)
+    // 4x nearest-neighbour upscale: cell sums scale uniformly, bits
+    // identical (grid-aligned: 8 | 32)
+    val up = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      up.setRGB(x, y, img.getRGB(x / 4, y / 4))
+    val (v2, h2) = hashOf(encode(up, "png"))
+    assert(v2 && h2 === h1, "NN upscale must hash identically")
+    // JPEG re-encode of the upscale: lossy but perceptually equal —
+    // a few bits at most
+    val (v3, h3) = hashOf(encode(up, "jpg"))
+    assert(v3 && h3.nonEmpty)
+    val dist = java.lang.Long.bitCount(h1.get ^ h3.get)
+    assert(dist <= 8, s"JPEG re-encode drifted $dist of 64 bits")
+    // grayscale path and garbage totality
+    val gray = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      gray.getRaster.setSample(x, y, 0, (x * y * 4) % 256)
+    val (v4, h4) = hashOf(encode(gray, "png"))
+    assert(v4 && h4.nonEmpty)
+    val (v5, h5) = hashOf(Array[Byte](9, 9, 9))
+    assert(!v5 && h5.isEmpty)
+  }
+
   test("decodeMediaFeatures: JPEG path is real, not the stub") {
     val img = rgb(8, 8, seed = 3)
     val jpeg = encode(img, "jpg")
