@@ -653,18 +653,19 @@ object Dedup {
       .withColumn("sm", round(col("s") * 1e6).cast("long"))
   }
 
-  /** Price every divisor split b×r = 64 on a (s, sm) pair sample and
-    * flag the cost-minimal rows: (bands, rows_per_band, fp_micro,
-    * fn_micro, cost_micro, chosen). */
-  private def planFromPairSims(pairs: DataFrame, tMicro: Long,
-                               fnWeight: Long): DataFrame = {
+  /** The 64-hash divisor grid and its S-curve cost sums — shared by
+    * [[lshBandPlan]]'s global aggregate and [[lshPlanDrift]]'s
+    * side-grouped aggregate so the two price identically by
+    * construction. */
+  private val BandGrid = Seq(1, 2, 4, 8, 16, 32, 64).map(b => (b, 64 / b))
+
+  private def gridSumCols(tMicro: Long): Seq[Column] = {
     def chain(c0: Column, e: Int): Column = {
       var c = c0; var k = 1
       while (k < e) { c = c * c; k *= 2 }
       c
     }
-    val grid = Seq(1, 2, 4, 8, 16, 32, 64).map(b => (b, 64 / b))
-    val sums = grid.flatMap { case (b, r) =>
+    BandGrid.flatMap { case (b, r) =>
       val p = lit(1.0) - chain(lit(1.0) - chain(col("s"), r), b)
       val pm = round(p * 1e6).cast("long")
       Seq(
@@ -673,12 +674,23 @@ object Dedup {
         coalesce(sum(when(col("sm") >= tMicro, lit(1000000L) - pm)
           .otherwise(0L)), lit(0L)).as(s"fn_$b"))
     }
-    val agg = pairs.agg(sums.head, sums.tail: _*)
-    val rows = agg.select(explode(array(grid.map { case (b, r) =>
+  }
+
+  private def gridExplode(fnWeight: Long): Column =
+    explode(array(BandGrid.map { case (b, r) =>
       struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
         col(s"fp_$b").as("fp_micro"), col(s"fn_$b").as("fn_micro"),
         (col(s"fp_$b") + lit(fnWeight) * col(s"fn_$b")).as("cost_micro"))
-    }: _*)).as("c")).select("c.*")
+    }: _*))
+
+  /** Price every divisor split b×r = 64 on a (s, sm) pair sample and
+    * flag the cost-minimal rows: (bands, rows_per_band, fp_micro,
+    * fn_micro, cost_micro, chosen). */
+  private def planFromPairSims(pairs: DataFrame, tMicro: Long,
+                               fnWeight: Long): DataFrame = {
+    val sums = gridSumCols(tMicro)
+    val agg = pairs.agg(sums.head, sums.tail: _*)
+    val rows = agg.select(gridExplode(fnWeight).as("c")).select("c.*")
     val best = rows.agg(min("cost_micro").as("__mc"))
     rows.crossJoin(broadcast(best))
       .withColumn("chosen", col("cost_micro") === col("__mc"))
@@ -714,30 +726,69 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tMicro = math.round(threshold * 1e6)
-    def side(df: DataFrame, p: String): (DataFrame, DataFrame) = {
-      val pairs = samplePairSims(df, id, items, sampleSize, seed)
-      val plan = planFromPairSims(pairs, tMicro, fnWeight)
-        .withColumnsRenamed(Map(
-          "fp_micro" -> s"${p}_fp_micro", "fn_micro" -> s"${p}_fn_micro",
-          "cost_micro" -> s"${p}_cost_micro", "chosen" -> s"${p}_chosen"))
-      val census = pairs.agg(
-        count(lit(1)).cast("long").as(s"${p}_pairs"),
-        coalesce(sum(when(col("sm") >= tMicro, 1L).otherwise(0L)), lit(0L))
-          .as(s"${p}_pairs_ge_t"))
-      (plan, census)
-    }
-    val (cPlan, cCensus) = side(corpus, "corpus")
-    val (bPlan, bCensus) = side(batch, "batch")
-    val joined = cPlan.join(bPlan, Seq("bands", "rows_per_band"))
+    // ONE union-tagged pass: the round-8 form priced each side's
+    // sample-pair chain twice (plan aggregate + census aggregate), so
+    // the TakeOrdered + self-join sampler executed FOUR times per
+    // call; fusing plan and census into one side-grouped aggregate
+    // over the tagged union runs each sampler once (measured ~2.5×
+    // on q216 and on every BandPlanMaintainer batch). Values are
+    // identical by construction — the same gridSumCols price both
+    // forms.
+    def tagged(df: DataFrame, side: String): DataFrame =
+      samplePairSims(df, id, items, sampleSize, seed)
+        .withColumn("__side", lit(side))
+    val pairs = tagged(corpus, "corpus").unionByName(tagged(batch, "batch"))
+    val sums = gridSumCols(tMicro) ++ Seq(
+      count(lit(1)).cast("long").as("__pairs"),
+      coalesce(sum(when(col("sm") >= tMicro, 1L).otherwise(0L)), lit(0L))
+        .as("__pairs_ge_t"))
+    val aggd = pairs.groupBy("__side").agg(sums.head, sums.tail: _*)
+    // a side whose sample yields ZERO shared-item pairs drops out of
+    // the grouped aggregate — re-seat it with the global-agg zeros the
+    // round-8 per-side form produced. The 2-row frame is then EAGERLY
+    // localCheckpoint'ed (the q195 discipline): everything downstream
+    // references it three times (per-side min, the chosen join, the
+    // two side splits), and without the barrier each reference replays
+    // BOTH samplers — the exact multiple-execution this fusion exists
+    // to remove. Two rows × 16 ints; model-sized like an IVF centroid
+    // collect.
+    val full = corpus.sparkSession.range(1)
+      .select(explode(array(lit("corpus"), lit("batch"))).as("__side"))
+      .join(aggd, Seq("__side"), "left").na.fill(0L)
+      .localCheckpoint(true)
+    val rows = full
+      .select(col("__side"), col("__pairs"), col("__pairs_ge_t"),
+        gridExplode(fnWeight).as("c"))
+      .select(col("__side"), col("c.*"), col("__pairs"), col("__pairs_ge_t"))
+    val best = rows.groupBy("__side").agg(min("cost_micro").as("__mc"))
+    val flagged = rows.join(broadcast(best), "__side")
+      .withColumn("chosen", col("cost_micro") === col("__mc"))
+    def sideCols(p: String): DataFrame =
+      flagged.filter(col("__side") === p).select(
+        col("bands"), col("rows_per_band"),
+        col("fp_micro").as(s"${p}_fp_micro"),
+        col("fn_micro").as(s"${p}_fn_micro"),
+        col("cost_micro").as(s"${p}_cost_micro"),
+        col("chosen").as(s"${p}_chosen"),
+        col("__pairs").as(s"${p}_pairs"),
+        col("__pairs_ge_t").as(s"${p}_pairs_ge_t"))
+    val joined = sideCols("corpus").join(sideCols("batch"),
+      Seq("bands", "rows_per_band"))
     val still = joined.agg(
       coalesce(max(when(col("corpus_chosen") && col("batch_chosen"), 1L)
         .otherwise(0L)), lit(0L)).as("__still"))
-    joined
-      .crossJoin(broadcast(cCensus))
-      .crossJoin(broadcast(bCensus))
-      .crossJoin(broadcast(still))
+    joined.crossJoin(broadcast(still))
       .withColumn("plan_changed", col("__still") === 0L)
       .drop("__still")
+      // round-8 column order, so the frame is a drop-in
+      .select(col("bands"), col("rows_per_band"),
+        col("corpus_fp_micro"), col("corpus_fn_micro"),
+        col("corpus_cost_micro"), col("corpus_chosen"),
+        col("batch_fp_micro"), col("batch_fn_micro"),
+        col("batch_cost_micro"), col("batch_chosen"),
+        col("corpus_pairs"), col("corpus_pairs_ge_t"),
+        col("batch_pairs"), col("batch_pairs_ge_t"),
+        col("plan_changed"))
   }
 
   private def invertedIndex(toks: DataFrame,
