@@ -75,11 +75,19 @@ case class BitPack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Hamming distance of two packed codes: Σ popcount(XOR) over the
-  * common word count, exact BIGINT. */
+/** Hamming distance of two packed codes: Σ popcount(XOR), exact
+  * BIGINT. Null semantics match the HOF form this replaced
+  * (`aggregate(zip_with(a, b, bit_count ∘ xor), sum)`): codes of
+  * DIFFERENT word counts return null (zip_with pads the short side
+  * with null → the sum is null), and a null word slot returns null —
+  * never a silently-wrong number over min-length/garbage reads. On
+  * the [[BitPack]] happy path codes always agree on length and carry
+  * containsNull=false, so the per-slot check compiles away and the
+  * hot loop is the same fused popcount-XOR as before. */
 case class HammingDist(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "hamming_dist"
 
@@ -91,13 +99,23 @@ case class HammingDist(left: Expression, right: Expression)
         s"$prettyName requires two array<bigint> codes, got ${l.sql} and ${r.sql}")
     }
 
+  // static: do the inputs even admit null slots? BitPack emits
+  // containsNull=false, so the usual case skips per-slot checks both
+  // interpreted and in the generated loop.
+  private def slotsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override protected def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[ArrayData]
     val b = bv.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var w = 0
     while (w < n) {
+      if (slotsNullable && (a.isNullAt(w) || b.isNullAt(w))) return null
       acc += java.lang.Long.bitCount(a.getLong(w) ^ b.getLong(w))
       w += 1
     }
@@ -108,13 +126,21 @@ case class HammingDist(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val w = ctx.freshName("w")
       val acc = ctx.freshName("acc")
+      val slotCheck = if (slotsNullable)
+        s"if ($a.isNullAt($w) || $b.isNullAt($w)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $w = 0; $w < $n; $w++) {
-         |  $acc += java.lang.Long.bitCount($a.getLong($w) ^ $b.getLong($w));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $w = 0; $w < $n; $w++) {
+         |    $slotCheck
+         |    $acc += java.lang.Long.bitCount($a.getLong($w) ^ $b.getLong($w));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

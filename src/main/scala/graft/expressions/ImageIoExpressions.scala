@@ -88,12 +88,35 @@ object ImageIoDecode {
         try reader.read(0)
         catch { case _: Exception => return Left(("decode_error", fmt, w, h)) }
       if (img == null) Left(("decode_error", fmt, w, h))
-      else Right((fmt, img))
+      else Right((fmt, expandIndexed(img)))
     } catch {
       case _: Exception => Left(("decode_error", null, -1, -1))
     } finally {
       if (reader != null) reader.dispose()
       if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Indexed-color rasters (palette PNG, GIF) store palette INDICES in
+    * their bands — summing or luminance-weighting those produces
+    * numbers with no perceptual meaning (index 3 may be white, index 4
+    * black), so downstream stats would not survive a palettized
+    * re-encode of the same pixels. Expand through the palette to a
+    * direct-color raster first: band order comes out R,G,B(,A) —
+    * exactly what the stats and [[ImageAHash]]'s 2R+5G+B luma assume.
+    * Drawing into a BufferedImage is pure raster work (headless-safe,
+    * no display); bounded by the MaxPixels budget already enforced. */
+  private[expressions] def expandIndexed(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    if (!img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) img
+    else {
+      val t = if (img.getColorModel.hasAlpha)
+        java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight, t)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      out
     }
   }
 

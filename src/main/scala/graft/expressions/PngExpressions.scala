@@ -48,7 +48,16 @@ object PngDecode {
     * rejected as `too_large` — a 4 GB-bomb guard (a 67-byte PNG can
     * declare a petabyte raster; the inflate would then allocate it). */
   val MaxSamples: Long = 1L << 24
-  val MaxChunks = 256
+  /** Chunk-walk cap sized to the sample budget, not an arbitrary small
+    * constant: libpng emits IDAT in 8 KB chunks by default, so a
+    * legitimate in-budget image can carry ~2^24/8192 ≈ 2048 IDAT
+    * chunks (stored-block overhead can push compressed past raw), plus
+    * ancillary tEXt/iTXt/etc. which also count. 2^24/4096 + 1024 slack
+    * admits every real-encoder framing of an in-budget raster;
+    * walks terminate regardless (the offset advances ≥ 12 bytes per
+    * chunk) — the cap only bounds CRC work and yields a truthful
+    * `too_many_chunks` census reason instead of `trunc_chunk`. */
+  val MaxChunks: Int = (MaxSamples / 4096).toInt + 1024
 
   val schema: StructType = StructType(Seq(
     StructField("valid", BooleanType, nullable = false),
@@ -124,7 +133,15 @@ object PngDecode {
       if (compression != 0 || filterMethod != 0)
         return fail("bad_compression", wi, hi, depth, colorType, ch)
       if (interlace != 0) return fail("interlaced", wi, hi, depth, colorType, ch)
-      if (w * h * ch > MaxSamples)
+      // overflow-safe budget check: w and h are each ≤ 2^31−1 (checked
+      // above) so w·h ≤ 2^62 cannot overflow a Long, but w·h·ch can
+      // (ch up to 4 → 2^64 wraps negative and bypasses the guard, and
+      // the downstream Int products become attacker-tunable). Divide
+      // the budget by ch instead of multiplying the samples — exactly
+      // equivalent for every in-budget product since MaxSamples/ch·ch
+      // and MaxSamples differ by < ch and the product is a multiple
+      // of ch.
+      if (w * h > MaxSamples / ch)
         return fail("too_large", wi, hi, depth, colorType, ch)
       def crcOk(typeOff: Int, dataLen: Int): Boolean = {
         val c = new java.util.zip.CRC32()
@@ -138,7 +155,9 @@ object PngDecode {
       var off = 8 + 25 // past IHDR (len+type+13+crc)
       var chunks = 0
       var ended = false
-      while (!ended && chunks < MaxChunks) {
+      while (!ended) {
+        if (chunks >= MaxChunks)
+          return fail("too_many_chunks", wi, hi, depth, colorType, ch)
         if (off + 8 > bytes.length)
           return fail("trunc_chunk", wi, hi, depth, colorType, ch)
         val len = be4(off)

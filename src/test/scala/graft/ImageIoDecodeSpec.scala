@@ -62,9 +62,25 @@ class ImageIoDecodeSpec extends SparkSpec {
       assert(r.getBoolean(0), s"$fmt must decode")
       assert(r.getString(2).contains(fmt.take(3)) || fmt == "png")
       assert(r.getInt(3) === 9 && r.getInt(4) === 7)
-      if (fmt != "gif") { // gif palettizes: band count differs
+      if (fmt != "gif") {
         assert(r.getSeq[Long](7) === sum.toSeq, s"$fmt chan_sum")
         assert(r.getSeq[Long](8) === sq.toSeq, s"$fmt chan_sqsum")
+      } else {
+        // gif palettizes — the decoder must expand THROUGH the palette
+        // (stats over color values, never indices). Ground truth: the
+        // JDK's own decode, read per-channel via getRGB (which applies
+        // the palette). First three bands are R,G,B; an alpha band, if
+        // the expanded model carries one, sums to 255·n_px.
+        val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val exp = new Array[Long](3)
+        for (y <- 0 until 7; x <- 0 until 9) {
+          val p = back.getRGB(x, y)
+          exp(0) += (p >> 16) & 0xff; exp(1) += (p >> 8) & 0xff
+          exp(2) += p & 0xff
+        }
+        val got = r.getSeq[Long](7)
+        assert(got.take(3) === exp.toSeq, "gif chan_sum must be post-palette RGB")
+        if (got.length == 4) assert(got(3) === 255L * 63, "gif alpha band")
       }
     }
   }
@@ -102,9 +118,37 @@ class ImageIoDecodeSpec extends SparkSpec {
       .select(Multimodal.pngDecode(col("media")).as("d"))
       .select("d.*").collect().head
     assert(!native.getBoolean(0) && native.getString(1) === "palette")
-    // ...the registry path decodes it
+    // ...the registry path decodes it — and expands through the
+    // palette: chan_sum must be the COLOR values the palette maps to
+    // (setRGB on TYPE_BYTE_INDEXED snaps to the default-palette
+    // nearest color, so ground truth is again the JDK's own
+    // palette-applied getRGB), not the raw indices the raster stores.
     val r = decodeOne(bytes)
     assert(r.getBoolean(0) && r.getLong(6) === 24L)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val exp = new Array[Long](3)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val p = back.getRGB(x, y)
+      exp(0) += (p >> 16) & 0xff; exp(1) += (p >> 8) & 0xff; exp(2) += p & 0xff
+    }
+    assert(r.getSeq[Long](7).take(3) === exp.toSeq,
+      "palette png chan_sum must be post-palette RGB, not indices")
+    assert(exp(0) > 0L, "construction sanity: red channel is non-trivial")
+  }
+
+  test("imageAHash survives a palettized re-encode (the dedup-keying property)") {
+    val img = rgb(8, 8, seed = 17)
+    def hashOf(bytes: Array[Byte]): Long = {
+      val r = Seq(Tuple1(bytes)).toDF("media")
+        .select(Multimodal.imageAHash(col("media")).as("d"))
+        .select("d.*").collect().head
+      assert(r.getBoolean(0)); r.getLong(2)
+    }
+    val h1 = hashOf(encode(img, "png"))
+    val h2 = hashOf(encode(img, "gif")) // 63 distinct colors → palettized
+    val dist = java.lang.Long.bitCount(h1 ^ h2)
+    assert(dist <= 8, s"palettized GIF re-encode drifted $dist of 64 bits " +
+      "(pre-fix this was arbitrary: the hash pooled palette indices)")
   }
 
   test("total over garbage; bomb guard refuses declared-huge rasters") {

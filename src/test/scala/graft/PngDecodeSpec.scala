@@ -175,6 +175,44 @@ class PngDecodeSpec extends SparkSpec {
       chunk("IEND", Array.emptyByteArray)) === (false, "too_large"))
 
     assert(reasonOf(Array[Byte](1, 2, 3)) === (false, "bad_sig"))
+
+    // dims crafted so w·h·ch wraps PAST 2^63 (w=h=2^31−1, ch=4:
+    // product ≡ −2^34+4 mod 2^64 — the pre-fix guard saw a negative
+    // and let a ~70-byte header demand a multi-GB allocation); the
+    // division-form guard must refuse in the header
+    assert(reasonOf(sig ++ ihdr(0x7fffffff, 0x7fffffff, 8, 6) ++
+      chunk("IEND", Array.emptyByteArray)) === (false, "too_large"))
+  }
+
+  test("chunk cap: libpng-style many-IDAT framing decodes; runaway walks census") {
+    // ~12 KB of incompressible pixels split across ~1000 IDAT chunks —
+    // real encoders frame IDAT in small chunks (libpng: 8 KB), so a cap
+    // sized in the hundreds misclassified legitimate files
+    val pixels = pix(64 * 64 * 3, seed = 13)
+    val manyIdat = encode(64, 64, 3, pixels, Seq.fill(64)(0), colorType = 2,
+      idatSplit = 1000)
+    val nChunks = {
+      // count crafted chunks: sig + walk
+      var off = 8; var n = 0
+      while (off + 8 <= manyIdat.length) {
+        val len = ((manyIdat(off) & 0xffL) << 24) | ((manyIdat(off + 1) & 0xffL) << 16) |
+          ((manyIdat(off + 2) & 0xffL) << 8) | (manyIdat(off + 3) & 0xffL)
+        off += 12 + len.toInt; n += 1
+      }
+      n
+    }
+    assert(nChunks > 256, s"construction sanity: want >256 chunks, got $nChunks")
+    val r = decodeOne(manyIdat)
+    assert(r.getBoolean(0), "a legitimately-framed in-budget PNG must decode")
+
+    // a walk exceeding the budget-sized cap gets its own truthful reason
+    val flood = new java.io.ByteArrayOutputStream()
+    flood.write(sig); flood.write(ihdr(4, 3, 8, 2))
+    val junk = chunk("teXt", Array[Byte](1))
+    for (_ <- 0 to graft.expressions.PngDecode.MaxChunks) flood.write(junk)
+    flood.write(chunk("IEND", Array.emptyByteArray))
+    val rf = decodeOne(flood.toByteArray)
+    assert(!rf.getBoolean(0) && rf.getString(1) === "too_many_chunks")
   }
 
   test("strict CRC mode: crafted PNGs pass (real CRCs), a flipped CRC rejects") {

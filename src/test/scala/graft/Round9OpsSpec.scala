@@ -42,6 +42,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(got === 2L + 4L + 1L)
   }
 
+  test("hamming_dist: length mismatch and null slots return null (HOF parity)") {
+    // the zip_with+bit_count form returned NULL for codes of different
+    // word counts (zip_with pads with null) and for null slots —
+    // min-length garbage answers are silent corruption, not a distance
+    val mismatch = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(BinaryQ.hamming(col("a"), col("b")).as("h")).collect().head
+    assert(mismatch.isNullAt(0), "word-count mismatch must be null")
+
+    val nullSlot = Seq((Seq(Some(1L), Option.empty[Long]), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+      .select(BinaryQ.hamming(col("a"), col("b")).as("h")).collect().head
+    assert(nullSlot.isNullAt(0), "null word slot must be null")
+
+    // equal-length no-null still exact
+    val ok = Seq((Seq(0L, 0L), Seq(0L, 255L))).toDF("a", "b")
+      .select(BinaryQ.hamming(col("a"), col("b")).as("h"))
+      .collect().head.getLong(0)
+    assert(ok === 8L)
+  }
+
   test("binary_asym_adc: nulls on short code or null query element, exact otherwise") {
     // code too short for the query's dimensionality -> null (the HOF
     // fold's out-of-range get propagated the same way)
