@@ -1,6 +1,7 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Descriptive statistics (SURVEY.md §2.4 A6–A12): summary stats, exact
@@ -66,6 +67,134 @@ object Stats {
       .select("feature", "corr")
       .orderBy(abs(col("corr")).desc, col("feature").asc)
       .limit(k)
+
+  /** Exact interpolated percentiles per group from a PRE-COMPRESSED
+    * `(grp, v, c)` frame — the 100 TB replacement for Spark's exact
+    * `percentile` aggregate, whose per-group value BUFFER is the one
+    * shape in this repo that turns into a straight OOM at scale (every
+    * value of a group lands in one aggregation buffer object; q221
+    * measured 412 MB shuffled into 3 such buffers at sf1). This
+    * construction is [[equiDepthHistogram]]'s distributed-rank
+    * discipline made reusable:
+    *
+    *  1. values arrive compressed to distinct `(grp, v)` with counts —
+    *     the upstream groupBy gets map-side combine, so duplicated
+    *     values never cross the wire twice;
+    *  2. the within-group prefix sum is RANGE-BUCKETED (the q165 /
+    *     `Operators.withRunningTotal` shape): an approxQuantile sketch
+    *     picks ~`buckets` value split points, the per-(grp,bucket)
+    *     totals make a tiny frame whose running sum yields each
+    *     bucket's starting offset, and the full cumulative count is
+    *     `offset + running-sum-within-bucket` — NO single partition
+    *     ever holds a whole group, even when values are continuous
+    *     (l_extendedprice is 97% distinct: compression alone would
+    *     not save that group's sort);
+    *  3. each requested percentile touches at most two compressed
+    *     rows — the ones whose 1-based rank interval [s, e] covers
+    *     `floor(pos)+1` / `ceil(pos)+1` for pos = p·(n−1) — and the
+    *     interpolation `(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi`
+    *     is Spark's own `Percentile.getPercentile` formula with the
+    *     SAME double operation order, so results are bit-identical to
+    *     `percentile(v, p)` (pinned by CleanStatsSpec), not merely
+    *     close.
+    *
+    * `comp` must have columns `grp` (any groupable type — structs
+    * work), `v` (double, non-null) and `c` (long counts ≥ 1). Returns
+    * one row per group × percentile: `(grp, p, q)`. Shuffle is
+    * distinct-value-sized; the only driver-side work is the
+    * approxQuantile sketch (model-sized). */
+  def percentilesFromCounts(comp: DataFrame, ps: Seq[Double],
+                            buckets: Int = 8): DataFrame =
+    fromCountsWithBounds(comp, ps, sketchBounds(comp, buckets))
+
+  /** The range-split sketch for the bucketed prefix sum: ~`buckets`
+    * approximate quantile split points of `v`, from a BOUNDED row
+    * sample (first ~128k rows) rather than a full pass — split
+    * placement only balances the sort, results are bound-independent
+    * (pinned by CleanStatsSpec's buckets=1 ≡ buckets=32 test), so a
+    * cheap, even badly skewed sample costs balance at worst, never
+    * correctness, and the full-scan sketch pass was measurably as
+    * expensive as the entire buffered `percentile` it replaces. */
+  private val SketchSampleRows = 1 << 17
+
+  private def sketchBounds(df: DataFrame, buckets: Int): Array[Double] =
+    if (buckets <= 1) Array.empty[Double]
+    else df.select("v").limit(SketchSampleRows).stat.approxQuantile("v",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .distinct.sorted
+
+  private def fromCountsWithBounds(comp: DataFrame, ps: Seq[Double],
+                                   bounds: Array[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles must be in [0, 1]")
+    val bktCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("v") >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucketed = comp.withColumn("__bkt", bktCol)
+    // per-(grp,bucket) totals: groups×buckets rows — each bucket's
+    // starting offset and the group total come from a broadcast
+    // self-join prefix sum over THIS tiny frame (not a window: for a
+    // GLOBAL percentile the group key is a constant, folds out of a
+    // window's partition spec, and would read as the single-partition-
+    // window shape the fleet-wide plan audit forbids)
+    val totals = bucketed.groupBy("grp", "__bkt").agg(sum("c").as("__t"))
+    val peers = totals
+      .select(col("grp"), col("__bkt").as("__pb"), col("__t").as("__pt"))
+    val offsets = totals.join(broadcast(peers), "grp")
+      .groupBy("grp", "__bkt")
+      .agg(sum(when(col("__pb") < col("__bkt"), col("__pt")).otherwise(0L))
+        .as("__off"),
+        sum("__pt").as("__n"))
+    val wRun = Window.partitionBy("grp", "__bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bucketed.join(broadcast(offsets), Seq("grp", "__bkt"))
+      .withColumn("__e", sum("c").over(wRun) + col("__off"))
+      .withColumn("__s", col("__e") - col("c") + 1)
+    // Spark's Percentile: pos = p·(n−1) 0-based; ranks lo+1 / hi+1 in
+    // the 1-based [s, e] intervals; interpolation in its exact double
+    // operation order (ceil/floor return LONG, promoted per-term).
+    // The requested percentiles are plan-time LITERALS, so each gets
+    // its own pair of conditional-min aggregate columns — one pass,
+    // no percentile×values row blowup, no extra join or exchange.
+    def pos(p: Double) = lit(p) * (col("__n") - 1)
+    def lo(p: Double) = floor(pos(p))
+    def hi(p: Double) = ceil(pos(p))
+    val candidate = ps
+      .map(p => col("__e") >= lo(p) + 1 && col("__s") <= hi(p) + 1)
+      .reduce(_ || _)
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      min(when(col("__s") <= lo(p) + 1 && lo(p) + 1 <= col("__e"), col("v")))
+        .as(s"__vlo_$i"),
+      min(when(col("__s") <= hi(p) + 1 && hi(p) + 1 <= col("__e"), col("v")))
+        .as(s"__vhi_$i"))
+    }
+    val picked = run.filter(candidate)
+      .groupBy("grp")
+      .agg(min("__n").as("__n"), aggCols: _*)
+    val pqCols = ps.zipWithIndex.map { case (p, i) =>
+      val q = when(lo(p) === hi(p), col(s"__vlo_$i"))
+        .otherwise((hi(p) - pos(p)) * col(s"__vlo_$i") +
+          (pos(p) - lo(p)) * col(s"__vhi_$i"))
+      struct(lit(p).as("p"), q.as("q"))
+    }
+    picked.select(col("grp"), explode(array(pqCols: _*)).as("__pq"))
+      .select(col("grp"), col("__pq.p").as("p"), col("__pq.q").as("q"))
+  }
+
+  /** [[percentilesFromCounts]] over raw rows: sketch the range splits
+    * on the RAW frame (one scan, no shuffle), then compress `value`
+    * within `group` (map-side combinable; nulls dropped — `percentile`
+    * semantics). The compressed groupBy appears in three branches of
+    * the rank plan (offsets, runs, group sizes) but ReuseExchange
+    * collapses them to ONE shuffle, so no eager checkpoint is needed —
+    * the whole construction is one job plus the sketch. */
+  def groupedPercentilesExact(df: DataFrame, group: Column, value: Column,
+                              ps: Seq[Double], buckets: Int = 8): DataFrame = {
+    val base = df.select(group.as("grp"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val comp = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    fromCountsWithBounds(comp, ps, sketchBounds(base, buckets))
+  }
 
   /** Equi-depth (equal-frequency) histogram — the optimizer-stats
     * histogram, built WITHOUT a global `ntile` window: the corpus

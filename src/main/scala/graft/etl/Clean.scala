@@ -63,44 +63,70 @@ object Clean {
       .drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
-  /** IQR outlier census per column (EDA cell 13): n, n_outliers, pct. */
-  def iqrOutlierCensus(df: DataFrame, cols: Seq[String], k: Double = 1.5): DataFrame = {
-    val fences = df.agg(iqrFenceCols(cols, k).head, iqrFenceCols(cols, k).tail: _*)
-    val withF = df.crossJoin(broadcast(fences))
-    val rows = cols.map { c =>
-      withF.agg(
-        lit(c).as("feature"),
-        count(col(c)).as("n"),
-        sum(when(!col(c).between(col(s"__lo_$c"), col(s"__hi_$c")), 1).otherwise(0))
-          .as("n_outliers"))
-    }
-    rows.reduce(_.unionByName(_))
-      .withColumn("pct_outliers",
-        round(col("n_outliers").cast("double") / col("n") * 100, 6))
-      .orderBy("feature")
+  /** Melt `cols` to a tall (groupCols…, feature, v-as-double) frame —
+    * one scan covers every feature, so the censuses below stay
+    * single-pass however many columns they audit. */
+  private def meltToDouble(df: DataFrame, cols: Seq[String],
+                           groupCols: Seq[String]): DataFrame = {
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)")
+        .mkString(", ") + ") AS (feature, v)"
+    df.selectExpr(groupCols.map(g => s"`$g`") :+ stackExpr: _*)
   }
 
-  /** Grouped IQR outlier census (EDA cell 14, A10): fences computed
-    * WITHIN each group, one aggregate per feature over grouped
-    * percentiles — all group×feature fences in `cols.size` passes. */
-  def iqrOutlierCensusBy(df: DataFrame, cols: Seq[String], groupCols: Seq[String],
-                         k: Double = 1.5): DataFrame = {
-    val rows = cols.map { c =>
-      val q1 = expr(s"percentile(`$c`, 0.25)")
-      val q3 = expr(s"percentile(`$c`, 0.75)")
-      val fences = df.groupBy(groupCols.map(col): _*)
-        .agg((q1 - (q3 - q1) * k).as("__lo"), (q3 + (q3 - q1) * k).as("__hi"))
-      df.join(broadcast(fences), groupCols)
-        .groupBy(groupCols.map(col): _*)
-        .agg(
-          first(lit(c)).as("feature"),
-          count(col(c)).as("n"),
-          sum(when(!col(c).between(col("__lo"), col("__hi")), 1).otherwise(0))
-            .as("n_outliers"))
-    }
-    rows.reduce(_.unionByName(_))
+  /** Shared body of the IQR censuses: fences and outlier counts both
+    * read one value-compressed `(grp, v, c)` frame; exact interpolated
+    * quartiles come from [[graft.analytics.Stats.percentilesFromCounts]]
+    * (distributed rank — no per-group percentile buffer, the q221/
+    * 100 TB fix), and a `spine` left-join keeps every group present
+    * with n = 0 even when all its values are null — the shape the
+    * pre-compressed form produced. */
+  private def iqrCensusFromTall(tall: DataFrame, grp: Column,
+                                k: Double): DataFrame = {
+    val comp = tall.filter(col("v").isNotNull)
+      .groupBy(grp.as("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val fences = graft.analytics.Stats
+      .percentilesFromCounts(comp, Seq(0.25, 0.75))
+      .groupBy("grp")
+      .agg(min(when(col("p") === 0.25, col("q"))).as("q1"),
+        min(when(col("p") === 0.75, col("q"))).as("q3"))
+      .select(col("grp"),
+        (col("q1") - (col("q3") - col("q1")) * k).as("__lo"),
+        (col("q3") + (col("q3") - col("q1")) * k).as("__hi"))
+    val counts = comp.join(broadcast(fences), "grp")
+      .groupBy("grp")
+      .agg(sum(when(col("v") < col("__lo") || col("v") > col("__hi"), col("c"))
+        .otherwise(0L)).as("n_outliers"))
+    val spine = tall.groupBy(grp.as("grp")).agg(count(col("v")).as("n"))
+    spine.join(counts, Seq("grp"), "left")
+      .withColumn("n_outliers", coalesce(col("n_outliers"), lit(0L)))
       .withColumn("pct_outliers",
         round(col("n_outliers").cast("double") / col("n") * 100, 6))
+  }
+
+  /** IQR outlier census per column (EDA cell 13): n, n_outliers, pct.
+    * 100 TB shape: one melted scan, value-compressed exact quartiles
+    * ([[graft.analytics.Stats.percentilesFromCounts]]) — no per-column
+    * `percentile` buffer, no extra pass per feature. */
+  def iqrOutlierCensus(df: DataFrame, cols: Seq[String], k: Double = 1.5): DataFrame =
+    iqrCensusFromTall(meltToDouble(df, cols, Nil), col("feature"), k)
+      .select(col("grp").as("feature"), col("n"), col("n_outliers"),
+        col("pct_outliers"))
+      .orderBy("feature")
+
+  /** Grouped IQR outlier census (EDA cell 14, A10): fences computed
+    * WITHIN each (group × feature) — same single melted pass as
+    * [[iqrOutlierCensus]] with a struct group key, so all group×feature
+    * fences cost one compressed shuffle however many features. */
+  def iqrOutlierCensusBy(df: DataFrame, cols: Seq[String], groupCols: Seq[String],
+                         k: Double = 1.5): DataFrame = {
+    val tall = meltToDouble(df, cols, groupCols)
+    val grp = struct(col("feature") +: groupCols.map(col): _*)
+    iqrCensusFromTall(tall, grp, k)
+      .select(groupCols.map(g => col(s"grp.`$g`").as(g)) ++
+        Seq(col("grp.feature").as("feature"), col("n"), col("n_outliers"),
+          col("pct_outliers")): _*)
       .orderBy((col("feature") +: groupCols.map(col)): _*)
   }
 
@@ -113,25 +139,46 @@ object Clean {
     * integer-literal form (6745·|x − med| > 35000·MAD), so no
     * non-exact decimal literal ever enters double math (the 0.4·0.4
     * cross-engine trap); median/MAD are reported rounded to 6 dp.
-    * Three grouped passes, each keyed by the same group column — the
-    * partitioning is reused, nothing driver-sized; groups with
-    * MAD = 0 (over half the values identical) flag every other value,
-    * which is the documented modified-z behavior. */
+    * Both medians come from
+    * [[graft.analytics.Stats.groupedPercentilesExact]]'s distributed-
+    * rank construction (value-compressed counts + range-bucketed
+    * prefix sum) — bit-identical to Spark's `percentile` but with NO
+    * per-group value buffer: the exact-`percentile` form shuffled
+    * 412 MB into 3 aggregation buffers at sf1 (q221), a straight OOM
+    * at 100×, while this shape's shuffle is spread over (group, value)
+    * keys and its sorts are range-bucketed. Groups with MAD = 0 (over
+    * half the values identical) flag every other value, which is the
+    * documented modified-z behavior. */
   def madOutlierCensus(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val base = df.select(group.as("grp"), value.cast("double").as("x"))
-      .filter(col("x").isNotNull)
-    val medians = base.groupBy("grp").agg(expr("percentile(x, 0.5D)").as("med"))
-    val dev = base.join(medians, "grp")
-      .withColumn("ad", abs(col("x") - col("med")))
-    val spreads = dev.groupBy("grp")
-      .agg(min("med").as("med2"), expr("percentile(ad, 0.5D)").as("mad0"))
-    dev.drop("med").join(spreads, "grp")
+    // ONE raw scan: everything after this checkpoint — both medians,
+    // the deviation regroup and the outlier census — is
+    // distinct-value-sized
+    val compX = df.select(group.as("grp"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val medians = graft.analytics.Stats
+      .percentilesFromCounts(compX, Seq(0.5))
+      .select(col("grp"), col("q").as("med"))
+    // |v − med| maps distinct values to (at most as many) distinct
+    // deviations with counts preserved — a compressed-to-compressed
+    // regroup, never a second pass over rows; the per-group median
+    // rides along (constant within group)
+    val compAd = compX.join(broadcast(medians), "grp")
+      .select(col("grp"), abs(col("v") - col("med")).as("v"),
+        col("c"), col("med"))
+      .groupBy("grp", "v").agg(sum("c").as("c"), min("med").as("med"))
+      .localCheckpoint(true)
+    val spreads = graft.analytics.Stats
+      .percentilesFromCounts(compAd, Seq(0.5))
+      .select(col("grp"), col("q").as("mad0"))
+    compAd.join(broadcast(spreads), "grp")
       .groupBy("grp")
-      .agg(count(lit(1)).as("n"),
-        round(min("med2"), 6).as("median"),
+      .agg(sum("c").as("n"),
+        round(min("med"), 6).as("median"),
         round(min("mad0"), 6).as("mad"),
-        sum(when(col("ad") * 6745.0 > col("mad0") * 35000.0, 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("v") * 6745.0 > col("mad0") * 35000.0, col("c"))
+          .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_micro", expr("n_outliers * 1000000 div n"))
       .orderBy("grp")
   }

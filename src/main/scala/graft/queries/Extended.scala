@@ -307,14 +307,19 @@ object Extended {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ---------------------------------------------------------------- q64
-  // Exact interpolated quantiles per group (q13 is global).
+  // Exact interpolated quantiles per group (q13 is global). Runs on the
+  // distributed-rank construction since round 10 (see q225) — same
+  // bits, no per-group percentile buffer.
   val q64_group_quantiles: Q = (s, dir) =>
-    Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+    graft.analytics.Stats.groupedPercentilesExact(
+      Tables.load(s, dir, "lineitem"), col("l_returnflag"), col("l_quantity"),
+      Seq(0.25, 0.50, 0.75))
+      .groupBy("grp")
       .agg(
-        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_quantity, 0.50)"), 6).as("p50"),
-        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+        round(min(when(col("p") === 0.25, col("q"))), 6).as("p25"),
+        round(min(when(col("p") === 0.50, col("q"))), 6).as("p50"),
+        round(min(when(col("p") === 0.75, col("q"))), 6).as("p75"))
+      .select(col("grp").as("l_returnflag"), col("p25"), col("p50"), col("p75"))
       .orderBy("l_returnflag")
 
   val q64_sql: String =
@@ -634,12 +639,28 @@ object Extended {
   // back, then the median of absolute deviations.
   val q83_mad: Q = (s, dir) => {
     val li = Tables.load(s, dir, "lineitem")
-    val med = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
-    li.join(broadcast(med), "l_returnflag")
-      .groupBy(col("l_returnflag"))
-      .agg(round(min(col("med")), 6).as("median"),
-        round(expr("percentile(abs(l_quantity - med), 0.5)"), 6).as("mad"))
+    // both medians through the distributed-rank construction (q225) —
+    // the per-group `percentile` buffer this used to carry is the shape
+    // that OOMs at 100× (see Clean.madOutlierCensus, q221). ONE raw
+    // scan: the deviation frame is a compressed-to-compressed regroup.
+    val compX = li.select(col("l_returnflag"),
+      col("l_quantity").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("l_returnflag").as("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val med = graft.analytics.Stats.percentilesFromCounts(compX, Seq(0.5))
+      .select(col("grp"), col("q").as("med"))
+    val compAd = compX.join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("v") - col("med")).as("v"), col("c"))
+      .groupBy("grp", "v").agg(sum("c").as("c"))
+    val mad = graft.analytics.Stats.percentilesFromCounts(compAd, Seq(0.5))
+      .select(col("grp"), col("q").as("mad0"))
+    // the output is just the two per-group medians — join the two
+    // group-sized frames, never re-touch the rows
+    med.join(mad, "grp")
+      .select(col("grp").as("l_returnflag"), round(col("med"), 6).as("median"),
+        round(col("mad0"), 6).as("mad"))
       .orderBy("l_returnflag")
   }
 

@@ -275,14 +275,21 @@ object Relational {
 
   // ---------------------------------------------------------------- q13
   // A8: exact interpolating quantiles (pandas-style linear interpolation;
-  // reference EDA cell 13). `percentile` is exact — percentile_approx is
-  // reserved for the 100 TB path and never oracle-hashed.
+  // reference EDA cell 13). Since round 10 the quantiles come from the
+  // distributed-rank construction (Stats.groupedPercentilesExact, q225)
+  // rather than `percentile`'s per-group value buffer — bit-identical
+  // results (the formula is Spark's own), bounded shuffle at any scale.
   val q13_quantiles: Q = (s, dir) =>
-    Tables.load(s, dir, "customer").agg(
-      round(expr("percentile(c_acctbal, 0.25)"), 6).as("p25"),
-      round(expr("percentile(c_acctbal, 0.50)"), 6).as("p50"),
-      round(expr("percentile(c_acctbal, 0.75)"), 6).as("p75"),
-      round(expr("percentile(c_acctbal, 0.99)"), 6).as("p99"))
+    graft.analytics.Stats.groupedPercentilesExact(
+      Tables.load(s, dir, "customer"), lit(1), col("c_acctbal"),
+      Seq(0.25, 0.50, 0.75, 0.99))
+      .groupBy("grp")
+      .agg(
+        round(min(when(col("p") === 0.25, col("q"))), 6).as("p25"),
+        round(min(when(col("p") === 0.50, col("q"))), 6).as("p50"),
+        round(min(when(col("p") === 0.75, col("q"))), 6).as("p75"),
+        round(min(when(col("p") === 0.99, col("q"))), 6).as("p99"))
+      .drop("grp")
 
   val q13_sql: String =
     """SELECT round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
@@ -339,6 +346,35 @@ object Relational {
       |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS outlier_micro
       |FROM d JOIN sp USING (grp) GROUP BY d.grp ORDER BY d.grp""".stripMargin
 
+  // --------------------------------------------------------------- q225
+  // The distributed exact-percentile construction itself, oracle-checked
+  // over the widest useful probe set on the exact column whose per-group
+  // `percentile` BUFFER was the repo's one remaining scale-killer (q221
+  // shuffled 412 MB into 3 aggregation buffers at sf1 — an OOM at 100×,
+  // since the buffer holds every value of the group). Stats.
+  // groupedPercentilesExact compresses to distinct (group, value) counts
+  // (map-side combine), range-buckets the within-group prefix sum so no
+  // partition holds a whole group (l_extendedprice is ~97% distinct —
+  // compression alone wouldn't save the sort), and interpolates with
+  // Spark `percentile`'s own double formula, so this must hash-match
+  // DuckDB's quantile_cont exactly like the buffered form did. q221/
+  // q13/q64/q83 now run on the same construction; their unchanged
+  // hashes are the ≡ proof.
+  val q225_dist_quantiles: Q = (s, dir) =>
+    graft.analytics.Stats.groupedPercentilesExact(
+      Tables.load(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"),
+      Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+      .select(col("grp").as("l_returnflag"), col("p"),
+        round(col("q"), 6).as("q"))
+      .orderBy("l_returnflag", "p")
+
+  val q225_sql: String = Seq(0.01, 0.25, 0.5, 0.75, 0.99).map { p =>
+    s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
+       |  round(quantile_cont(l_extendedprice, $p), 6) AS q
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  }.mkString("\nUNION ALL\n") + "\nORDER BY l_returnflag, p"
+
   // ---------------------------------------------------------------- q15
   // A11/A12: pairwise Pearson correlation (reference EDA corr matrix).
   val q15_corr: Q = (s, dir) =>
@@ -369,6 +405,7 @@ object Relational {
     "q13_quantiles" -> q13_quantiles,
     "q14_zscore_outliers" -> q14_zscore_outliers,
     "q221_mad_outliers" -> q221_mad_outliers,
+    "q225_dist_quantiles" -> q225_dist_quantiles,
     "q15_corr" -> q15_corr)
 
   val oracle: Map[String, String] = Map(
@@ -387,5 +424,6 @@ object Relational {
     "q13_quantiles" -> q13_sql,
     "q14_zscore_outliers" -> q14_sql,
     "q221_mad_outliers" -> q221_sql,
+    "q225_dist_quantiles" -> q225_sql,
     "q15_corr" -> q15_sql)
 }

@@ -81,6 +81,51 @@ class CleanStatsSpec extends SparkSpec {
     assert(z === 0.0)
   }
 
+  test("groupedPercentilesExact ≡ Spark percentile, bit-for-bit (no 6dp mercy)") {
+    // random-ish doubles with DUPLICATES and skewed group sizes, probed
+    // at percentiles that land on integral ranks, mid-run ranks, and
+    // interpolated positions — the distributed-rank construction must
+    // reproduce the buffered aggregate's exact doubles, since q13/q64/
+    // q83/q221 were re-pointed onto it with their oracles unchanged
+    val ps = Seq(0.0, 0.01, 0.25, 0.37, 0.5, 0.75, 0.99, 1.0)
+    var s = 12345L
+    val rows = (1 to 4000).map { i =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val g = s"g${math.floorMod(s, 7)}"      // 7 groups, uneven
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = math.floorMod(s >>> 20, 500).toDouble / 7.0  // ties guaranteed
+      (g, v)
+    } :+ (("solo", 42.0))                      // n = 1 group
+    val df = rows.toDF("g", "v")
+    val viaBuffer = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val viaRank = Stats.groupedPercentilesExact(df, col("g"), col("v"), ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(viaRank.size === viaBuffer.size * ps.size)
+    for ((g, qs) <- viaBuffer; (p, i) <- ps.zipWithIndex)
+      assert(viaRank((g, p)) === qs(i),
+        s"group $g p=$p: rank construction ${viaRank((g, p))} != buffered ${qs(i)}")
+    // and the plan carries no Percentile aggregate — the whole point
+    val plan = Stats.groupedPercentilesExact(df, col("g"), col("v"), ps)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile"), s"expected no percentile agg:\n$plan")
+  }
+
+  test("percentilesFromCounts: few buckets, one bucket, struct group keys") {
+    // bucket count must not change results (it only balances the sort)
+    val d = (1 to 100).map(i => ("k", i % 10, (i * 37 % 100).toDouble))
+      .toDF("a", "b", "v")
+    val comp = d.groupBy(struct(col("a"), col("b")).as("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val r32 = Stats.percentilesFromCounts(comp, Seq(0.5), buckets = 32)
+      .collect().map(r => r.getStruct(0).toString -> r.getDouble(2)).toMap
+    val r1 = Stats.percentilesFromCounts(comp, Seq(0.5), buckets = 1)
+      .collect().map(r => r.getStruct(0).toString -> r.getDouble(2)).toMap
+    assert(r32 === r1 && r32.size === 10)
+  }
+
   test("equi-depth histogram: ntile semantics with ties straddling boundaries") {
     import spark.implicits._
     // 11 values, 3 buckets -> sizes 4,4,3 (first N mod b take the extra);
