@@ -28,10 +28,15 @@ import org.apache.spark.sql.types._
   *    mean/variance (image) are computed exactly — twice, in fact:
   *    as oracle-checkable integer column expressions, and as the same
   *    math in [[decodeMediaFeatures]] for the per-partition production
-  *    path. Only compressed formats (PNG/JPEG pixels, MP3, H.264)
-  *    still fall back to the labeled hash stub
+  *    path. PNG pixels decode through the pure-JVM Inflater path
+  *    ([[graft.expressions.PngDecode]]), every other raster through
+  *    the JDK's own registry ([[graft.expressions.ImageIoDecode]]),
+  *    and G.711 µ-law/A-law, IMA-ADPCM WAV, AU and AIFF through the
+  *    spec-exact audio decoder ([[graft.expressions.AudioDecode]]).
+  *    Only genuinely-codec-requiring formats (MP3/AAC audio, H.264
+  *    video frames) still fall back to the labeled hash stub
   *    ([[stubDecodeFeatures]]): this container ships no codec
-  *    libraries; swap the fallback for a JNI/FFmpeg/libvips call in
+  *    libraries; swap the fallback for a JNI/FFmpeg call in
   *    production.
   *
   * Scale design: payloads never pass through a shuffle — decode is a
@@ -785,6 +790,45 @@ object Multimodal {
       concat(unhex(lit(PngMagicHex)), ihdr, idat, iend).as("media"))
   }
 
+  /** Synthetic G.711 WAV corpus for the ORACLE-CHECKED audio decode
+    * (q226) — the [[syntheticPngDecodable]] discipline applied to
+    * audio: every data byte is pure id arithmetic
+    * (p(j) = (id·31 + j²·7 + j·13) mod 256), so DuckDB can re-derive
+    * the bytes AND replay the G.711 segment expansion (≤ 6 integer ops
+    * per byte) to recompute the expected per-channel sums — it never
+    * sees the payload. Variants by id mod 5: 0 = µ-law mono, 1 = A-law
+    * mono, 2 = µ-law stereo (channel = j mod 2), 3 = µ-law whose data
+    * chunk declares 40 bytes but carries 10 (census `trunc_data`),
+    * 4 = format tag 85 / MPEG-in-WAV (census `unsupported_codec` — the
+    * one audio family this library censuses rather than decodes). */
+  def syntheticG711Wav(docs: DataFrame,
+                       idCol: Column = col("doc_id")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    val variant = id % 5L
+    def le(v: Column, n: Int): Column = concat((0 until n).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(255L)), 2, "0"))): _*)
+    def p(j: Column): Column = (id * 31L + j * j * 7L + j * 13L) % 256L
+    val nBytes = 40
+    val present = when(variant === 3L, 10).otherwise(nBytes)
+    val data = unhex(array_join(transform(
+      sequence(lit(0L), present.cast("long") - 1L),
+      j => lpad(hex(p(j)), 2, "0")), ""))
+    val codecTag = when(variant === 1L, 6L)
+      .when(variant === 4L, 85L).otherwise(7L)
+    val ch = when(variant === 2L, 2L).otherwise(1L)
+    val fmt = concat(le(codecTag, 2), le(ch, 2), le(lit(8000L), 4),
+      le(lit(8000L) * ch, 4), le(ch, 2), le(lit(8L), 2))
+    val riffLen = lit(4L) + (8L + 16L) + (lit(8L) + present.cast("long"))
+    spread.select(id.as("media_id"),
+      concat(
+        lit("RIFF".getBytes("US-ASCII")), le(riffLen, 4),
+        lit("WAVE".getBytes("US-ASCII")),
+        lit("fmt ".getBytes("US-ASCII")), le(lit(16L), 4), fmt,
+        lit("data".getBytes("US-ASCII")), le(lit(nBytes.toLong), 4),
+        data).as("media"))
+  }
+
   /** media table schema: (id, media binary, meta struct). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -849,20 +893,46 @@ object Multimodal {
     out
   }
 
+  /** [mean/FS, rms/FS, peak/FS] per channel from an
+    * [[graft.expressions.AudioDecode]] result row — the same math and
+    * normalization as the inline PCM path (FS = 128 for 8-bit, 32768
+    * for the 16-bit domain G.711/ADPCM decode into). */
+  private def audioFeatures(r: org.apache.spark.sql.catalyst.InternalRow,
+                            dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val ch = r.getInt(4); val bits = r.getInt(6)
+    val nFrames = r.getLong(7)
+    val sum = r.getArray(8); val sq = r.getArray(9); val pk = r.getArray(10)
+    val fullScale = if (bits == 8) 128f else 32768f
+    var c = 0
+    while (c < ch && 3 * c + 2 < dim) {
+      out(3 * c) = (sum.getLong(c).toDouble / nFrames / fullScale).toFloat
+      out(3 * c + 1) =
+        (math.sqrt(sq.getLong(c).toDouble / nFrames) / fullScale).toFloat
+      out(3 * c + 2) = pk.getLong(c).toFloat / fullScale
+      c += 1
+    }
+    out
+  }
+
   /** REAL sample-level decoder for the JDK-decodable formats —
     * integer-PCM WAV and 24-bit uncompressed BMP (payloads ARE the
     * samples), 8-bit PNG via the pure-JVM Deflate path
     * ([[graft.expressions.PngDecode]]), and — since round 9's second
     * wave — every raster the JDK's own codec registry claims
     * (baseline JPEG with real Huffman + IDCT, interlaced/palette PNG,
-    * GIF) via [[graft.expressions.ImageIoDecode]]. The labeled hash
-    * stub now covers only compressed AUDIO (MP3/AAC genuinely need
-    * codec libraries this container does not ship; swap the fallback
-    * for a JNI/FFmpeg call in production).
+    * GIF) via [[graft.expressions.ImageIoDecode]], plus — round 10 —
+    * G.711 µ-law/A-law and IMA-ADPCM WAV, AU and AIFF via
+    * [[graft.expressions.AudioDecode]]. The labeled hash stub now
+    * covers ONLY MP3/AAC (and video codec frames): those genuinely
+    * need codec libraries this container does not ship; swap the
+    * fallback for a JNI/FFmpeg call in production.
     *
     * Feature layout (normalized to [-1, 1]):
-    *  - WAV:  [mean/FS, rms/FS, peak/FS] per channel (FS = full scale:
-    *    128 for 8-bit, 32768 for 16-bit), then zeros.
+    *  - audio (WAV/AU/AIFF, any supported codec):
+    *    [mean/FS, rms/FS, peak/FS] per channel (FS = full scale: 128
+    *    for 8-bit PCM, 32768 for the 16-bit domain G.711/ADPCM decode
+    *    into), then zeros.
     *  - BMP:  [mean/255, stddev/255] per channel in B, G, R order,
     *    then zeros.
     *  - PNG:  [mean/255, stddev/255] per channel in storage order
@@ -928,6 +998,21 @@ object Multimodal {
           return out
         }
       }
+      // non-PCM WAV codecs the JDK-free decoder claims — G.711 µ-law/
+      // A-law and IMA ADPCM (graft.expressions.AudioDecode): the audio
+      // half of the former codec stub, retired in round 10
+      val r = graft.expressions.AudioDecode.decodeToRow(bytes)
+      if (r.getBoolean(0) && r.getLong(7) > 0) return audioFeatures(r, dim)
+      return stubDecodeFeatures(bytes, dim)
+    }
+    if (bytes.length >= 24 && fourcc(0, ".snd")) {
+      val r = graft.expressions.AudioDecode.decodeToRow(bytes)
+      if (r.getBoolean(0) && r.getLong(7) > 0) return audioFeatures(r, dim)
+      return stubDecodeFeatures(bytes, dim)
+    }
+    if (bytes.length >= 12 && fourcc(0, "FORM") && fourcc(8, "AIFF")) {
+      val r = graft.expressions.AudioDecode.decodeToRow(bytes)
+      if (r.getBoolean(0) && r.getLong(7) > 0) return audioFeatures(r, dim)
       return stubDecodeFeatures(bytes, dim)
     }
     if (bytes.length >= 54 && u8(0) == 'B' && u8(1) == 'M' &&
@@ -1024,6 +1109,16 @@ object Multimodal {
     * [[graft.expressions.ImageAHash]]. */
   def imageAHash(media: Column): Column =
     graft.expressions.ImageIoExpressions.image_ahash(media)
+
+  /** Audio sample decode as a column expression — struct (valid,
+    * reason, container, codec, channels, sample_rate, bits, n_frames,
+    * chan_sum, chan_sqsum, chan_peak); PCM / G.711 µ-law / A-law /
+    * IMA-ADPCM WAV, AU, AIFF — all from public specs with zero codec
+    * libraries. See [[graft.expressions.AudioDecode]]; G.711 is
+    * oracle-checked (q226), the rest spec-pinned vs `javax.sound`'s
+    * own writers. */
+  def audioDecode(media: Column): Column =
+    graft.expressions.AudioExpressions.audio_decode(media)
 
   /** Full PNG pixel decode as a column expression — struct (valid,
     * reason, width, height, bit_depth, color_type, channels, n_px,

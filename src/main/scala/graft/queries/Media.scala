@@ -741,6 +741,82 @@ object Media {
       |  st.s0, st.s1, st.s2, st.q0, st.q1, st.q2
       |FROM v d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q226
+  // Oracle-checked REAL G.711 audio decode — q224's discipline for the
+  // audio half of the former codec stub: the synthetic WAVs carry
+  // µ-law / A-law payloads whose bytes are pure id arithmetic, so the
+  // Spark side must run the actual ITU-T G.711 segment expansion
+  // (graft.expressions.AudioDecode — the same arithmetic javax.sound's
+  // codec produces, pinned byte-for-byte in AudioDecodeSpec) while
+  // DuckDB re-derives each byte AND replays the expansion in ~6 integer
+  // ops to recompute per-channel sum / sum-of-squares / peak. A hash
+  // match proves the chunk walk, both companding laws, the stereo
+  // interleave, and the fused integer stats. The truncated-data and
+  // MPEG-tag variants must land in their census buckets with header
+  // fields surfaced.
+  val q226_g711_decode: Q = (s, dir) => {
+    val m = Multimodal.syntheticG711Wav(Tables.load(s, dir, "documents"))
+    val parsed = m.select(col("media_id").as("doc_id"),
+      Multimodal.audioDecode(col("media")).as("d"))
+    parsed.select(col("doc_id"),
+      col("d.valid").as("valid"), col("d.reason").as("reason"),
+      col("d.codec").as("codec"), col("d.channels").as("channels"),
+      col("d.n_frames").as("n_frames"),
+      element_at(col("d.chan_sum"), 1).as("s0"),
+      when(col("d.channels") >= 2, element_at(col("d.chan_sum"), 2)).as("s1"),
+      element_at(col("d.chan_sqsum"), 1).as("q0"),
+      when(col("d.channels") >= 2, element_at(col("d.chan_sqsum"), 2)).as("q1"),
+      element_at(col("d.chan_peak"), 1).as("p0"),
+      when(col("d.channels") >= 2, element_at(col("d.chan_peak"), 2)).as("p1"))
+      .orderBy("doc_id")
+  }
+
+  val q226_sql: String =
+    """WITH v AS (SELECT doc_id, doc_id % 5 AS var FROM documents),
+      |b AS (
+      |  SELECT doc_id, var, t.j,
+      |    CAST((doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256 AS INT) AS byt,
+      |    CASE WHEN var = 2 THEN t.j % 2 ELSE 0 END AS c
+      |  FROM v, generate_series(0, 39) AS t(j)
+      |  WHERE var IN (0, 1, 2)),
+      |d AS (
+      |  SELECT doc_id, var, c,
+      |    CASE WHEN var IN (0, 2) THEN
+      |      -- ITU-T G.711 mu-law expansion (Sun ulaw2linear arithmetic)
+      |      CASE WHEN (255 - byt) >= 128
+      |        THEN 132 - ((((255 - byt) % 16) * 8 + 132)
+      |                    * (1 << (((255 - byt) // 16) % 8)))
+      |        ELSE ((((255 - byt) % 16) * 8 + 132)
+      |              * (1 << (((255 - byt) // 16) % 8))) - 132 END
+      |    ELSE
+      |      -- ITU-T G.711 A-law expansion (Sun alaw2linear arithmetic)
+      |      CASE WHEN xor(byt, 85) >= 128 THEN 1 ELSE -1 END *
+      |      CASE (xor(byt, 85) // 16) % 8
+      |        WHEN 0 THEN (xor(byt, 85) % 16) * 16 + 8
+      |        WHEN 1 THEN (xor(byt, 85) % 16) * 16 + 264
+      |        ELSE ((xor(byt, 85) % 16) * 16 + 264)
+      |             * (1 << ((xor(byt, 85) // 16) % 8 - 1)) END
+      |    END AS smp
+      |  FROM b),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(smp) FILTER (WHERE c = 0) AS BIGINT) AS s0,
+      |    CAST(sum(smp) FILTER (WHERE c = 1) AS BIGINT) AS s1,
+      |    CAST(sum(smp * smp) FILTER (WHERE c = 0) AS BIGINT) AS q0,
+      |    CAST(sum(smp * smp) FILTER (WHERE c = 1) AS BIGINT) AS q1,
+      |    CAST(max(abs(smp)) FILTER (WHERE c = 0) AS BIGINT) AS p0,
+      |    CAST(max(abs(smp)) FILTER (WHERE c = 1) AS BIGINT) AS p1
+      |  FROM d GROUP BY 1)
+      |SELECT x.doc_id, x.var IN (0, 1, 2) AS valid,
+      |  CASE x.var WHEN 3 THEN 'trunc_data'
+      |             WHEN 4 THEN 'unsupported_codec' END AS reason,
+      |  CASE x.var WHEN 0 THEN 'ulaw' WHEN 2 THEN 'ulaw' WHEN 1 THEN 'alaw'
+      |             WHEN 4 THEN 'tag_85' END AS codec,
+      |  CAST(CASE WHEN x.var = 2 THEN 2 ELSE 1 END AS INT) AS channels,
+      |  CAST(CASE x.var WHEN 2 THEN 20 WHEN 0 THEN 40 WHEN 1 THEN 40
+      |       END AS BIGINT) AS n_frames,
+      |  st.s0, st.s1, st.q0, st.q1, st.p0, st.p1
+      |FROM v x LEFT JOIN st USING (doc_id) ORDER BY x.doc_id""".stripMargin
+
   val q217_sql: String = {
     val (wavWalk, wavLast) = wavWalkSql("mm", "cw")
     val (aviWalk, aviLast) = aviWalkSql("mm", "ca")
@@ -1203,7 +1279,8 @@ object Media {
     "q167_wav_pcm_stats" -> q167_wav_pcm_stats,
     "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats,
     "q217_media_census" -> q217_media_census,
-    "q224_png_decode" -> q224_png_decode)
+    "q224_png_decode" -> q224_png_decode,
+    "q226_g711_decode" -> q226_g711_decode)
 
   val oracle: Map[String, String] = Map(
     "q210_ahash_canonical" -> q210_sql,
@@ -1217,5 +1294,6 @@ object Media {
     "q167_wav_pcm_stats" -> q167_sql,
     "q168_bmp_pixel_stats" -> q168_sql,
     "q217_media_census" -> q217_sql,
-    "q224_png_decode" -> q224_sql)
+    "q224_png_decode" -> q224_sql,
+    "q226_g711_decode" -> q226_sql)
 }
