@@ -312,7 +312,15 @@ object Dedup {
     * function of the edges, so an ANSI oracle can replay it with
     * unrolled CTEs; `iters` bounds the component diameter it can
     * resolve (near-dup clusters are near-cliques — diameter 2-3).
-    * Returns (id, component). */
+    * Returns (id, component).
+    *
+    * THE ORACLE SHAPE, NOT THE SCALE PATH: a component with diameter
+    * > `iters` is silently under-merged — chain-shaped template-
+    * evolution clusters at 100× are exactly that. Production dedup
+    * should call [[connectedComponentsConverged]], which iterates to a
+    * zero-changes fixpoint with pointer-jumping acceleration (O(log
+    * diameter) rounds) and is spec-pinned ≡ this form wherever the
+    * diameter fits. */
   def connectedComponents(edges: DataFrame, iters: Int = 8,
                           checkpointer: DataFrame => DataFrame =
                             _.localCheckpoint(true)): DataFrame = {
@@ -339,6 +347,63 @@ object Dedup {
         .select(col("id"), least(col("l"), coalesce(col("__nmin"), col("l"))).as("l")))
     }
     labels.select(col("id"), col("l").as("component"))
+  }
+
+  /** Convergence-checked connected components — the PRODUCTION variant
+    * of [[connectedComponents]]: iterates until a round changes zero
+    * labels, so components of ANY diameter label correctly (the fixed-
+    * iteration form silently under-merges chains longer than `iters`).
+    * Each round is one min-neighbor propagation (the same join+agg as
+    * the fixed form) followed by one POINTER-JUMPING step
+    * (l ← l∘l — every label skips to its label's label), which doubles
+    * the effective propagation distance per round: convergence in
+    * O(log diameter) rounds instead of O(diameter), one cheap node-
+    * count action per round as the stop check. At the propagation
+    * fixpoint both endpoints of every edge carry equal labels and the
+    * jump is the identity, so a zero-changes round IS component
+    * correctness (labels = component-min, since min labels only ever
+    * propagate). Not oracle-replayable by design — the data-dependent
+    * round count is exactly what ANSI CTE unrolling can't express;
+    * ConnectedComponentsSpec pins it ≡ the fixed form on near-clique
+    * corpora and correct on chains the fixed form under-labels. */
+  def connectedComponentsConverged(edges: DataFrame,
+                                   maxRounds: Int = 64,
+                                   checkpointer: DataFrame => DataFrame =
+                                     _.localCheckpoint(true)): DataFrame =
+    convergedWithRounds(edges, maxRounds, checkpointer)._1
+
+  private[graft] def convergedWithRounds(edges: DataFrame, maxRounds: Int,
+                                         checkpointer: DataFrame => DataFrame)
+  : (DataFrame, Int) = {
+    val adj = checkpointer(
+      edges.select(col("id_a").as("v"), col("id_b").as("u"))
+        .union(edges.select(col("id_b").as("v"), col("id_a").as("u"))))
+    var labels = checkpointer(
+      adj.select(col("v").as("id")).distinct()
+        .select(col("id"), col("id").as("l")))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val neighborMin = adj
+        .join(labels.withColumnsRenamed(Map("id" -> "__u", "l" -> "__lu")),
+          col("u") === col("__u"))
+        .groupBy(col("v")).agg(min(col("__lu")).as("__nmin"))
+      val propagated = labels
+        .join(neighborMin, col("id") === col("v"), "left")
+        .select(col("id"), col("l").as("__prev"),
+          least(col("l"), coalesce(col("__nmin"), col("l"))).as("__lp"))
+      // pointer jump: follow the label one hop (labels are node ids,
+      // so l's own label exists in the table)
+      val jumped = checkpointer(propagated
+        .join(labels.withColumnsRenamed(Map("id" -> "__m", "l" -> "__lm")),
+          col("__lp") === col("__m"), "left")
+        .select(col("id"), col("__prev"),
+          least(col("__lp"), coalesce(col("__lm"), col("__lp"))).as("l")))
+      changed = jumped.filter(col("l") =!= col("__prev")).count()
+      labels = jumped.select("id", "l")
+      rounds += 1
+    }
+    (labels.select(col("id"), col("l").as("component")), rounds)
   }
 
   /** Quality-aware canonical selection: keep, per duplicate component,

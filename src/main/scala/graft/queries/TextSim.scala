@@ -345,7 +345,12 @@ object TextSim {
   // Dedup clustering: connected components over the (oracle-checked)
   // MinHash near-dup pairs — min doc_id per duplicate group becomes the
   // canonical label. Fixed 8-round min-label propagation, replayed in
-  // SQL as 8 unrolled CTE steps over the same pair query.
+  // SQL as 8 unrolled CTE steps over the same pair query. The fixed
+  // round count is what makes the oracle expressible; at 100 TB, where
+  // chain-shaped clusters can exceed diameter 8, production calls
+  // Dedup.connectedComponentsConverged (zero-changes fixpoint +
+  // pointer jumping, O(log diameter) rounds — ConnectedComponentsSpec
+  // pins it ≡ this form on in-diameter graphs).
   val q81_dedup_components: Q = (s, dir) =>
     Dedup.connectedComponents(
       Dedup.minhashNearDups(
