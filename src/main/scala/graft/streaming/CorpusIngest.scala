@@ -255,4 +255,37 @@ object CorpusIngest {
       }
       .start()
   }
+
+  /** The MAINTAINED ingest topology — [[start]]'s plain merge sink
+    * replaced by [[BandPlanMaintainer.processBatch]] driven with the
+    * REAL streaming batch id, so the maintainer's epoch fencing rides
+    * the engine's own replay semantics: a restarted query re-delivers
+    * a micro-batch under its original id, the maintainer sees
+    * `batchId <= epoch` and takes the idempotent replay path, and a
+    * staged band-plan swap lands exactly at a batch boundary — the
+    * whole lifecycle (flood → flip → staged → adopted) now executes
+    * through `writeStream.start()`, not a hand-driven loop
+    * (CorpusIngestSpec pins it end to end; the hand-driven
+    * Round9OpsSpec test keeps the invariant-level pins). The
+    * corpus-fingerprint anti-join of [[transforms]] is subsumed by
+    * the maintainer's keyed merges. */
+  def startWithMaintenance(spark: SparkSession, wireDir: String,
+                           maintainer: BandPlanMaintainer,
+                           checkpointDir: String,
+                           watermarkDelay: String = "10 minutes",
+                           cfg: CorpusPipeline.Config = CorpusPipeline.Config())
+  : StreamingQuery = {
+    val raw = graft.kafka.FileKafka.readStream(spark, wireDir)
+    val parsed = parseWire(raw, col("value").cast("string"))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id")
+    qualityGate(parsed, col("text"), cfg)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { maintainer.processBatch(batch, batchId); () }
+      }
+      .start()
+  }
 }

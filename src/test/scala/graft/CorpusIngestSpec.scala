@@ -61,6 +61,71 @@ class CorpusIngestSpec extends SparkSpec {
       Seq(1L, 4L))
   }
 
+  test("maintained ingest through writeStream: flood flips, stages, adopts") {
+    // the Round9OpsSpec band-plan lifecycle, now driven END TO END by a
+    // real StreamingQuery: FileKafka wire → parse → quality gate →
+    // foreachBatch(maintainer.processBatch) with the engine's own
+    // batch ids — flip, staging and adoption all happen at genuine
+    // micro-batch boundaries
+    val dir = Files.createTempDirectory("graft_bp_stream").toString
+    val topic = s"$dir/docs"
+    val m = new CorpusIngest.BandPlanMaintainer(spark, s"$dir/corpus",
+      s"$dir/cand", initialBands = 4)
+
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // only gate-passing docs reach the maintainer — pick the flood
+    // seeds from those so the banding sees the full 16×3 structure
+    val passing = CorpusIngest.qualityGate(real, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(passing.size >= 16, s"need 16 gate-passing docs, got ${passing.size}")
+    val seedIds = passing.toSeq.sorted.take(16)
+    val basePass = real.filter(col("doc_id").isin(passing.toSeq: _*))
+    val seed = real.filter(col("doc_id").isin(seedIds: _*))
+
+    def produce(df: org.apache.spark.sql.DataFrame): Unit =
+      FileKafka.produce(df.select(to_json(struct(
+        col("doc_id"), lit("s1").as("source"), col("text"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("event_ts")))
+        .as("value")), topic)
+
+    val q = CorpusIngest.startWithMaintenance(spark, topic, m,
+      s"$dir/ckpt")
+    try {
+      // batch 0: bootstrap — corpus lands, nothing to price against
+      produce(basePass)
+      q.processAllAvailable()
+      assert(m.currentBands === 4 && m.stagedPlan.isEmpty)
+
+      // batch 1: near-dup flood (16 seeds × 2 variants) — must flip;
+      // the flagging batch completes under the OLD plan
+      val flood = seed
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" driftvariantx")).as("text"))
+        .unionByName(seed.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" driftvarianty")).as("text")))
+      produce(flood)
+      q.processAllAvailable()
+      assert(m.currentBands === 4, "flagging batch completes under the old plan")
+      val stagedTo = m.stagedPlan
+      assert(stagedTo.nonEmpty && stagedTo.get > 4,
+        "a near-dup flood must stage more bands through the stream")
+
+      // batch 2: adoption at this engine batch boundary
+      produce(seed.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" driftvariantz")).as("text")))
+      q.processAllAvailable()
+      assert(m.currentBands === stagedTo.get && m.swaps === 1,
+        "the staged plan must be adopted at the next micro-batch")
+      val cand = UpsertSink.ParquetMergeSink.read(spark, s"$dir/cand")
+      assert(cand.count() > 0, "flood variants must band-collide with bases")
+      assert(cand.filter(col("new_id") >= 300000L)
+        .select("bands_at_discovery").distinct()
+        .as[Long].collect().forall(_ === stagedTo.get.toLong),
+        "post-swap discoveries carry the new operating point")
+    } finally q.stop()
+  }
+
   test("qualityGate thresholds are the batch pipeline's, verbatim") {
     val cfg = graft.pipeline.CorpusPipeline.Config()
     val df = Seq((1L, goodText("a")), (2L, "x y z")).toDF("doc_id", "text")

@@ -56,7 +56,9 @@ class ImageIoDecodeSpec extends SparkSpec {
   test("lossless formats round-trip exact stats (png incl. what PngDecode rejects)") {
     val img = rgb(9, 7, seed = 5)
     val (sum, sq) = rasterStats(img)
-    for (fmt <- Seq("png", "gif", "bmp")) {
+    // tiff: JDK 9+ ships a TIFF ImageIO plugin (verified present in
+    // this JDK's registry) — the registry decoder claims it for free
+    for (fmt <- Seq("png", "gif", "bmp", "tiff")) {
       val bytes = encode(img, fmt)
       val r = decodeOne(bytes)
       assert(r.getBoolean(0), s"$fmt must decode")
