@@ -486,6 +486,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** SAMPLED LSH recall/precision audit — the bounded-at-any-scale
+    * variant of the full audit (q149/q214): the exact truth set there
+    * is a full-corpus inverted-index self-join, which is PAIR-shaped
+    * (262 MB of spill at sf1, growing quadratically in the near-dup
+    * mass). This version anchors the audit on a deterministic
+    * md5-ordered doc sample (the q212 planner's sampling discipline —
+    * cross-engine replayable, no RNG): truth and candidate sets are
+    * restricted to pairs with AT LEAST ONE anchored endpoint, so the
+    * exact-Jaccard side joins `sampleSize` posting lists against the
+    * corpus instead of the corpus against itself — work linear in the
+    * corpus at fixed sample size, flat through any SF. Anchored truth
+    * is an unbiased pair sample (each true pair enters iff an endpoint
+    * lands in the sample), so recall/precision estimate the full
+    * audit's rates; the estimates' variance shrinks as `sampleSize`
+    * grows — the audit knob a 100 TB run turns instead of paying the
+    * quadratic truth set. One output row: n_anchors, n_true, n_cand,
+    * n_caught, recall, candidate_precision (rates null when the
+    * denominator is empty). */
+  def lshRecallAuditSampled(df: DataFrame, id: Column, text: Column,
+                            threshold: Double, bands: Int = 16,
+                            sampleSize: Int = 128, seed: Long = 42L,
+                            shingleSize: Int = 3,
+                            shingleHasher: (Column, Int) => Column = shingleHashes32)
+  : DataFrame = {
+    import graft.text.TextAnalysis
+    val items = TextAnalysis.ngrams(TextAnalysis.tokens(text), shingleSize)
+    // deterministic md5-ordered anchors among docs with ≥1 shingle
+    // (the samplePairSims key, verbatim — ANSI-replayable)
+    val key = conv(substring(md5(concat(id.cast("string"), lit("|" + seed))),
+      1, 8), 16, 10).cast("long")
+    val anchors = df.select(id.as("__aid"), key.as("__k"),
+        size(items).as("__ni"))
+      .filter(col("__ni") > 0)
+      .orderBy(col("__k"), col("__aid")).limit(sampleSize)
+      .select("__aid")
+    // corpus-wide distinct postings; only the ANCHORED side is joined
+    // against them — the pair space is sample × corpus, never corpus²
+    val posts = df.select(id.as("pid"), explode(items).as("tok")).distinct()
+    val sz = posts.groupBy("pid").agg(count(lit(1)).as("psz"))
+    val aPosts = posts.join(broadcast(anchors), col("pid") === col("__aid"))
+      .select(col("pid").as("apid"), col("tok"))
+    val inter = aPosts.join(posts, Seq("tok"))
+      .filter(col("apid") =!= col("pid"))
+      // normalize before counting: a both-anchored pair arrives in both
+      // orientations and must contribute each shared shingle once
+      .select(least(col("apid"), col("pid")).as("id_a"),
+        greatest(col("apid"), col("pid")).as("id_b"), col("tok"))
+      .distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sz.select(col("pid").as("id_a"), col("psz").as("sa")), "id_a")
+      .join(sz.select(col("pid").as("id_b"), col("psz").as("sb")), "id_b")
+      .filter(round(col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")), 6) >= threshold)
+      .select("id_a", "id_b")
+    val cand = minhashCandidates(df, id, text, bands = bands,
+        shingleSize = shingleSize, seed = seed, shingleHasher = shingleHasher)
+      .join(broadcast(anchors),
+        col("id_a") === col("__aid") || col("id_b") === col("__aid"),
+        "left_semi")
+      .select("id_a", "id_b")
+    val na = anchors.agg(count(lit(1)).as("n_anchors"))
+    val m = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val j = truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    na.crossJoin(m).crossJoin(c).crossJoin(j).select(
+      col("n_anchors"), col("n_true"), col("n_cand"), col("n_caught"),
+      when(col("n_true") > 0,
+        round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
+        .as("recall"),
+      when(col("n_cand") > 0,
+        round(col("n_caught").cast("double") / col("n_cand").cast("double"), 6))
+        .as("candidate_precision"))
+  }
+
   /** Asymmetric set-containment join: |A∩B| / |A| and |A∩B| / |B| per
     * candidate pair, kept when EITHER direction reaches `threshold`.
     * Catches quote/boilerplate CONTAINMENT that symmetric Jaccard

@@ -1255,6 +1255,67 @@ object TextSim {
        |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END AS candidate_precision
        |FROM m, c, j""".stripMargin
 
+  // --------------------------------------------------------------- q227
+  // SAMPLED recall/precision audit — q149's audit with the pair-shaped
+  // exact-truth cost removed: a deterministic md5-ordered 128-doc
+  // anchor sample (the q212 planner's sampling discipline) restricts
+  // truth and candidates to pairs with ≥1 anchored endpoint, so the
+  // exact-Jaccard side joins 128 posting lists against the corpus
+  // instead of corpus × corpus. Work is linear in the corpus at fixed
+  // sample size — the audit q149 runs once per parameter choice can
+  // now run continuously at 100 TB. DedupSpec pins sampled ≡ full when
+  // the sample covers the corpus, and the estimates against the full
+  // audit's rates at test SFs.
+  val q227_lsh_recall_sampled: Q = (s, dir) =>
+    Dedup.lshRecallAuditSampled(Tables.load(s, dir, "documents"),
+      col("doc_id"), col("text"), threshold = 0.5, bands = 16,
+      sampleSize = 128, seed = 42L,
+      shingleHasher = Dedup.shingleHashes32Md5)
+
+  val q227_sql: String =
+    s"""WITH ${minhashCandCtes("")},
+       |td AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |       FROM documents),
+       |tg AS (SELECT doc_id, list_transform(
+       |         generate_series(1, greatest(len(toks) - 2, 0)),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+       |       FROM td),
+       |anchors AS MATERIALIZED (
+       |  SELECT doc_id AS aid FROM (
+       |    SELECT doc_id,
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)
+       |        AS BIGINT) AS k
+       |    FROM tg WHERE len(gs) > 0)
+       |  ORDER BY k, doc_id LIMIT 128),
+       |tw AS MATERIALIZED (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM tg),
+       |tsz AS (SELECT doc_id, count(*) AS sz FROM tw GROUP BY doc_id),
+       |ti AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |         greatest(a.doc_id, b.doc_id) AS id_b, a.tok
+       |       FROM tw a JOIN anchors ON a.doc_id = anchors.aid
+       |       JOIN tw b ON a.tok = b.tok AND a.doc_id <> b.doc_id),
+       |ic AS (SELECT id_a, id_b, count(*) AS i FROM ti GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT id_a, id_b FROM ic
+       |  JOIN tsz sa ON id_a = sa.doc_id JOIN tsz sb ON id_b = sb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5),
+       |ca AS MATERIALIZED (SELECT id_a, id_b FROM cand
+       |  WHERE id_a IN (SELECT aid FROM anchors)
+       |     OR id_b IN (SELECT aid FROM anchors)),
+       |na AS (SELECT count(*) AS n_anchors FROM anchors),
+       |m AS (SELECT count(*) AS n_true FROM truth),
+       |c AS (SELECT count(*) AS n_cand FROM ca),
+       |j AS (SELECT count(*) AS n_caught FROM truth JOIN ca USING (id_a, id_b))
+       |SELECT CAST(n_anchors AS BIGINT) AS n_anchors,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CASE WHEN n_true > 0
+       |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+       |  END AS recall,
+       |  CASE WHEN n_cand > 0
+       |    THEN round(CAST(n_caught AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+       |  END AS candidate_precision
+       |FROM na, m, c, j""".stripMargin
+
   val q149_sql: String =
     s"""WITH ${minhashCandCtes("")},
        |td AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -1896,6 +1957,7 @@ object TextSim {
     "q214_lsh_plan_applied" -> q214_lsh_plan_applied,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
     "q149_lsh_recall" -> q149_lsh_recall,
+    "q227_lsh_recall_sampled" -> q227_lsh_recall_sampled,
     "q153_ivf_balance" -> q153_ivf_balance,
     "q155_cross_source_dups" -> q155_cross_source_dups,
     "q156_incremental_dedup" -> q156_incremental_dedup,
@@ -1947,6 +2009,7 @@ object TextSim {
     "q214_lsh_plan_applied" -> q214_sql,
     "q92_minhash_bands_full" -> q92_sql,
     "q149_lsh_recall" -> q149_sql,
+    "q227_lsh_recall_sampled" -> q227_sql,
     "q153_ivf_balance" -> q153_sql,
     "q155_cross_source_dups" -> q155_sql,
     "q156_incremental_dedup" -> q156_sql,

@@ -364,6 +364,47 @@ class DedupSpec extends SparkSpec {
       "a same-distribution batch must not flip the plan")
   }
 
+  test("sampled recall audit: full-coverage sample ≡ the exact q149 audit") {
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    // sample size past the corpus size -> every doc anchors -> the
+    // anchored truth/candidate sets ARE the full audit's
+    val sampled = Dedup.lshRecallAuditSampled(real, col("doc_id"),
+      col("text"), threshold = 0.5, sampleSize = 1000000,
+      shingleHasher = Dedup.shingleHashes32Md5)
+      .collect().head
+    val truth = Dedup.jaccardSimJoinOn(real, col("doc_id"),
+      TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
+      threshold = 0.5).select("id_a", "id_b")
+    val cand = Dedup.minhashCandidates(real, col("doc_id"), col("text"),
+      shingleHasher = Dedup.shingleHashes32Md5).select("id_a", "id_b")
+    val nTrue = truth.count(); val nCand = cand.count()
+    val nCaught = truth.join(cand, Seq("id_a", "id_b")).count()
+    assert(sampled.getLong(1) === nTrue && sampled.getLong(2) === nCand &&
+      sampled.getLong(3) === nCaught,
+      s"full-coverage sample must reproduce the exact audit: $sampled " +
+        s"vs ($nTrue, $nCand, $nCaught)")
+
+    // a partial sample is an unbiased pair sample: counts bounded by
+    // the full audit's, estimates deterministic (same seed -> same row)
+    val s1 = Dedup.lshRecallAuditSampled(real, col("doc_id"), col("text"),
+      threshold = 0.5, sampleSize = 128,
+      shingleHasher = Dedup.shingleHashes32Md5).collect().head
+    val s2 = Dedup.lshRecallAuditSampled(real, col("doc_id"), col("text"),
+      threshold = 0.5, sampleSize = 128,
+      shingleHasher = Dedup.shingleHashes32Md5).collect().head
+    assert(s1 === s2, "md5-ordered sampling must be deterministic")
+    assert(s1.getLong(0) === 128L)
+    assert(s1.getLong(1) <= nTrue && s1.getLong(2) <= nCand)
+    // estimates within a coarse band of the full audit where defined
+    // (the anchored subset is small at sf0.001 — this pins sanity, the
+    // full-coverage equality above pins exactness)
+    if (!s1.isNullAt(4) && nTrue > 0) {
+      val fullRecall = nCaught.toDouble / nTrue
+      assert(math.abs(s1.getDouble(4) - fullRecall) <= 0.5,
+        s"sampled recall ${s1.getDouble(4)} vs full $fullRecall")
+    }
+  }
+
   test("prefix index is a strict subset of the full inverted index") {
     val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
