@@ -11,22 +11,61 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** describe(): count/mean/stddev/min/max per column, exact quartiles
-    * via `percentile` (pandas-interpolation-compatible, A6/A8). */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val rows = cols.map { c =>
-      df.agg(
-        lit(c).as("column"),
-        count(col(c)).as("count"),
-        round(avg(col(c)), 6).as("mean"),
-        round(stddev_pop(col(c)), 6).as("std_pop"),
-        round(min(col(c)).cast("double"), 6).as("min"),
-        round(expr(s"percentile(`$c`, 0.25)"), 6).as("q25"),
-        round(expr(s"percentile(`$c`, 0.50)"), 6).as("q50"),
-        round(expr(s"percentile(`$c`, 0.75)"), 6).as("q75"),
-        round(max(col(c)).cast("double"), 6).as("max"))
+  /** Melt `cols` to a tall (feature, v-as-double) frame — one scan
+    * serves every per-column statistic below and in
+    * [[graft.etl.Clean]]'s censuses. */
+  private[graft] def meltToDouble(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)")
+        .mkString(", ") + ") AS (feature, v)"
+    df.selectExpr(stackExpr)
+  }
+
+  /** Per-column exact quantiles as a single broadcastable row:
+    * `__q<i>_<col>` for each requested percentile index × column, from
+    * ONE melted compressed pass through [[percentilesFromCounts]] —
+    * the shared fence builder behind describe / winsorize / iqrFilter,
+    * replacing their per-column `percentile` buffers (the q221 scale
+    * fix applied to the whole family). */
+  private[graft] def columnQuantilesRow(df: DataFrame, cols: Seq[String],
+                                        ps: Seq[Double]): DataFrame = {
+    val tall = meltToDouble(df, cols)
+    val comp = tall.filter(col("v").isNotNull)
+      .groupBy(col("feature").as("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val qs = percentilesFromCounts(comp, ps)
+    val aggs = cols.flatMap { c =>
+      ps.zipWithIndex.map { case (p, i) =>
+        min(when(col("grp") === c && col("p") === p, col("q")))
+          .as(s"__q${i}_$c")
+      }
     }
-    rows.reduce(_.unionByName(_)).orderBy("column")
+    qs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** describe(): count/mean/stddev/min/max per column, exact quartiles
+    * (pandas-interpolation-compatible, A6/A8) — quartiles through the
+    * distributed-rank construction ([[groupedPercentilesExact]], q225),
+    * moments in one melted aggregate: two passes total for ANY number
+    * of columns, no per-column value buffer. */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val tall = meltToDouble(df, cols)
+    val moments = tall.groupBy(col("feature").as("column"))
+      .agg(count(col("v")).as("count"),
+        round(avg(col("v")), 6).as("mean"),
+        round(stddev_pop(col("v")), 6).as("std_pop"),
+        round(min(col("v")), 6).as("min"),
+        round(max(col("v")), 6).as("max"))
+    val comp = tall.filter(col("v").isNotNull)
+      .groupBy(col("feature").as("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val quartiles = percentilesFromCounts(comp, Seq(0.25, 0.50, 0.75))
+      .groupBy(col("grp").as("column"))
+      .agg(round(min(when(col("p") === 0.25, col("q"))), 6).as("q25"),
+        round(min(when(col("p") === 0.50, col("q"))), 6).as("q50"),
+        round(min(when(col("p") === 0.75, col("q"))), 6).as("q75"))
+    moments.join(quartiles, Seq("column"), "left")
+      .select("column", "count", "mean", "std_pop", "min", "q25", "q50",
+        "q75", "max")
+      .orderBy("column")
   }
 
   /** z-score columns (population stddev — pandas ddof=0, A7). */

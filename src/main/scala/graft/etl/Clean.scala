@@ -29,33 +29,34 @@ object Clean {
   }
 
   /** Winsorize: clip each column at its exact (qLo, qHi) quantiles
-    * (EDA cell 18). One aggregate computes every fence; the clip is a
-    * codegen'd least/greatest per row. */
+    * (EDA cell 18). Fences come from the distributed-rank construction
+    * ([[graft.analytics.Stats.columnQuantilesRow]] — same bits as
+    * `percentile`, no per-column value buffer, one melted pass for any
+    * number of columns); the clip is a codegen'd least/greatest per
+    * row. */
   def winsorize(df: DataFrame, cols: Seq[String],
                 qLo: Double = 0.01, qHi: Double = 0.99): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(expr(s"percentile(`$c`, $qLo)").as(s"__lo_$c"),
-        expr(s"percentile(`$c`, $qHi)").as(s"__hi_$c"))
-    }
-    val fences = df.agg(aggs.head, aggs.tail: _*)
+    val fences = graft.analytics.Stats
+      .columnQuantilesRow(df, cols, Seq(qLo, qHi))
+      .select(cols.flatMap(c => Seq(
+        col(s"__q0_$c").as(s"__lo_$c"), col(s"__q1_$c").as(s"__hi_$c"))): _*)
     val clipped = cols.foldLeft(df.crossJoin(broadcast(fences))) { (d, c) =>
       d.withColumn(c, least(greatest(col(c), col(s"__lo_$c")), col(s"__hi_$c")))
     }
     clipped.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
-  /** IQR fences per column: (q1 − k·IQR, q3 + k·IQR) (EDA cell 13). */
-  private def iqrFenceCols(cols: Seq[String], k: Double): Seq[Column] =
-    cols.flatMap { c =>
-      val q1 = expr(s"percentile(`$c`, 0.25)")
-      val q3 = expr(s"percentile(`$c`, 0.75)")
-      Seq((q1 - (q3 - q1) * k).as(s"__lo_$c"), (q3 + (q3 - q1) * k).as(s"__hi_$c"))
-    }
-
   /** Drop rows outside the IQR fences on any column; nulls pass
-    * (EDA cell 19's `between | isna` semantics, P8). */
+    * (EDA cell 19's `between | isna` semantics, P8). Fences via the
+    * same distributed-rank quantiles as [[winsorize]]. */
   def iqrFilter(df: DataFrame, cols: Seq[String], k: Double = 1.5): DataFrame = {
-    val fences = df.agg(iqrFenceCols(cols, k).head, iqrFenceCols(cols, k).tail: _*)
+    val fences = graft.analytics.Stats
+      .columnQuantilesRow(df, cols, Seq(0.25, 0.75))
+      .select(cols.flatMap { c =>
+        val q1 = col(s"__q0_$c"); val q3 = col(s"__q1_$c")
+        Seq((q1 - (q3 - q1) * k).as(s"__lo_$c"),
+          (q3 + (q3 - q1) * k).as(s"__hi_$c"))
+      }: _*)
     val pred = cols
       .map(c => col(c).between(col(s"__lo_$c"), col(s"__hi_$c")) || col(c).isNull)
       .reduce(_ && _)

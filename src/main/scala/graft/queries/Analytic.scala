@@ -167,12 +167,17 @@ object Analytic {
 
   // ---------------------------------------------------------------- q23
   // P9: winsorize / clip at the exact 1%/99% quantiles (reference EDA
-  // cell 18), quantiles broadcast from a 1-row aggregate.
+  // cell 18), quantiles broadcast from a 1-row frame — computed by the
+  // distributed-rank construction (Stats.groupedPercentilesExact, q225)
+  // since round 10: same bits as `percentile`, no value buffer.
   val q23_winsorize: Q = (s, dir) => {
     val c = Tables.load(s, dir, "customer")
-    val q = c.agg(
-      expr("percentile(c_acctbal, 0.01)").as("lo"),
-      expr("percentile(c_acctbal, 0.99)").as("hi"))
+    val q = graft.analytics.Stats.groupedPercentilesExact(
+      c, lit(1), col("c_acctbal"), Seq(0.01, 0.99))
+      .groupBy("grp")
+      .agg(min(when(col("p") === 0.01, col("q"))).as("lo"),
+        min(when(col("p") === 0.99, col("q"))).as("hi"))
+      .drop("grp")
     c.crossJoin(broadcast(q))
       .select(
         col("c_custkey"),
