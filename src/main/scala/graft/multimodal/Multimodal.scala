@@ -829,6 +829,58 @@ object Multimodal {
         data).as("media"))
   }
 
+  /** Synthetic AIFF/AU corpus for the container-walk ORACLE (q229) —
+    * completes the audio story q226 started: where q226 proves the
+    * G.711 expansion inside RIFF/WAVE, this proves the OTHER two
+    * containers end to end: the AIFF FORM chunk walk with its 80-bit
+    * IEEE-extended sample rate and big-endian PCM, and the Sun AU
+    * header with µ-law and BE PCM payloads. Samples/bytes are pure id
+    * arithmetic so DuckDB recomputes expected stats from the formulas
+    * without ever parsing a byte. Variants by id mod 5:
+    * 0 = AIFF PCM16BE mono (20 frames), 1 = AU µ-law mono (20 bytes),
+    * 2 = AU PCM16BE stereo (10 frames), 3 = AIFF whose COMM declares
+    * 20 frames over a 10-byte SSND body (census `trunc_data`),
+    * 4 = AU encoding 7 (census `unsupported_codec`). */
+  def syntheticAudioContainers(docs: DataFrame,
+                               idCol: Column = col("doc_id")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    val variant = id % 5L
+    def be(v: Column, n: Int): Column = unhex(lpad(hex(v), 2 * n, "0"))
+    // 16-bit sample stream (two's-complement wire value 0..65535)
+    def s16(j: Column): Column = (id * 37L + j * j * 11L + j * 17L) % 65536L
+    // µ-law byte stream (the q226 formula)
+    def ub(j: Column): Column = (id * 31L + j * j * 7L + j * 13L) % 256L
+    val pcm20 = unhex(array_join(transform(sequence(lit(0L), lit(19L)),
+      j => lpad(hex(s16(j)), 4, "0")), ""))
+    val ulaw20 = unhex(array_join(transform(sequence(lit(0L), lit(19L)),
+      j => lpad(hex(ub(j)), 2, "0")), ""))
+    // 80-bit extended 8000 Hz: sign 0, exp 16383+12, mantissa
+    // 8000·2^51 → bytes 400CFA00 00000000 0000
+    val rate80 = unhex(lit("400CFA0000000000" + "0000"))
+    def comm(frames: Long): Column = concat(
+      lit("COMM".getBytes("US-ASCII")), be(lit(18L), 4),
+      be(lit(1L), 2), be(lit(frames), 4), be(lit(16L), 2), rate80)
+    def ssnd(data: Column, nBytes: Int): Column = concat(
+      lit("SSND".getBytes("US-ASCII")), be(lit(nBytes.toLong + 8L), 4),
+      be(lit(0L), 4), be(lit(0L), 4), data)
+    def aiff(data: Column, frames: Long, nBytes: Int): Column = concat(
+      lit("FORM".getBytes("US-ASCII")), be(lit(4L + 26L + 16L + nBytes), 4),
+      lit("AIFF".getBytes("US-ASCII")), comm(frames), ssnd(data, nBytes))
+    def au(enc: Long, ch: Long, data: Column, nBytes: Int): Column = concat(
+      lit(".snd".getBytes("US-ASCII")), be(lit(24L), 4),
+      be(lit(nBytes.toLong), 4), be(lit(enc), 4), be(lit(8000L), 4),
+      be(lit(ch), 2 + 2), data)
+    val media =
+      when(variant === 0L, aiff(pcm20, frames = 20L, nBytes = 40))
+        .when(variant === 1L, au(1L, 1L, ulaw20, 20))
+        .when(variant === 2L, au(3L, 2L, pcm20, 40))
+        .when(variant === 3L, aiff(substring(pcm20, 1, 10), frames = 20L,
+          nBytes = 10))
+        .otherwise(au(7L, 1L, ulaw20, 20))
+    spread.select(id.as("media_id"), media.as("media"))
+  }
+
   /** media table schema: (id, media binary, meta struct). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -329,6 +329,39 @@ object Extended {
       |  round(quantile_cont(l_quantity, 0.75), 6) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q228
+  // Grouped IQR outlier census (A10 as an ORACLE query — previously
+  // spec-only): fences within each (group × feature), both features
+  // from ONE melted compressed pass through the distributed-rank
+  // construction with a STRUCT group key (feature, l_returnflag) —
+  // the exact shape Clean.iqrOutlierCensusBy ships for production,
+  // hash-checked end to end against DuckDB's quantile_cont.
+  val q228_iqr_census_by: Q = (s, dir) =>
+    graft.etl.Clean.iqrOutlierCensusBy(Tables.load(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice"), Seq("l_returnflag"))
+
+  val q228_sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, 'l_quantity' AS feature,
+      |         CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice',
+      |         CAST(l_extendedprice AS DOUBLE) FROM lineitem),
+      |f AS (SELECT l_returnflag, feature,
+      |        quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+      |      FROM t GROUP BY 1, 2),
+      |g AS (SELECT t.l_returnflag, t.feature,
+      |        count(t.v) AS n,
+      |        sum(CASE WHEN t.v < (q1 - (q3 - q1) * 1.5)
+      |                   OR t.v > (q3 + (q3 - q1) * 1.5)
+      |                 THEN 1 ELSE 0 END) AS n_outliers
+      |      FROM t JOIN f USING (l_returnflag, feature)
+      |      GROUP BY 1, 2)
+      |SELECT l_returnflag, feature, CAST(n AS BIGINT) AS n,
+      |  CAST(n_outliers AS BIGINT) AS n_outliers,
+      |  round(CAST(n_outliers AS DOUBLE) / n * 100, 6) AS pct_outliers
+      |FROM g ORDER BY feature, l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q65
   // Conditional aggregation: count_if / filtered avg via null-skipping
   // when() — the FILTER-clause surface.
@@ -1084,6 +1117,7 @@ object Extended {
     "q62_range_join" -> q62_range_join,
     "q63_salted_join" -> q63_salted_join,
     "q64_group_quantiles" -> q64_group_quantiles,
+    "q228_iqr_census_by" -> q228_iqr_census_by,
     "q65_conditional_agg" -> q65_conditional_agg,
     "q66_dedup_first" -> q66_dedup_first,
     "q67_json_extract" -> q67_json_extract)
@@ -1123,6 +1157,7 @@ object Extended {
     "q62_range_join" -> q62_sql,
     "q63_salted_join" -> q63_sql,
     "q64_group_quantiles" -> q64_sql,
+    "q228_iqr_census_by" -> q228_sql,
     "q65_conditional_agg" -> q65_sql,
     "q66_dedup_first" -> q66_sql,
     "q67_json_extract" -> q67_sql)

@@ -817,6 +817,73 @@ object Media {
       |  st.s0, st.s1, st.q0, st.q1, st.p0, st.p1
       |FROM v x LEFT JOIN st USING (doc_id) ORDER BY x.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q229
+  // AIFF/AU container-walk oracle — q226's sibling for the OTHER two
+  // audio containers: the synthetic corpus carries big-endian PCM16
+  // AIFF (incl. a real 80-bit IEEE-extended sample-rate field the
+  // decoder must parse), µ-law-in-AU, and stereo BE-PCM-in-AU, all
+  // from id arithmetic, so DuckDB recomputes per-channel stats from
+  // the sample formulas while Spark walks the real containers. The
+  // truncated-SSND and unknown-encoding variants must census. With
+  // this, every audio container this library claims is hash-checked;
+  // only ADPCM's sequential state machine stays spec-pinned.
+  val q229_au_aiff_decode: Q = (s, dir) => {
+    val m = Multimodal.syntheticAudioContainers(Tables.load(s, dir, "documents"))
+    val parsed = m.select(col("media_id").as("doc_id"),
+      Multimodal.audioDecode(col("media")).as("d"))
+    parsed.select(col("doc_id"),
+      col("d.valid").as("valid"), col("d.reason").as("reason"),
+      col("d.container").as("container"), col("d.codec").as("codec"),
+      col("d.channels").as("channels"), col("d.n_frames").as("n_frames"),
+      element_at(col("d.chan_sum"), 1).as("s0"),
+      when(col("d.channels") >= 2, element_at(col("d.chan_sum"), 2)).as("s1"),
+      element_at(col("d.chan_sqsum"), 1).as("q0"),
+      when(col("d.channels") >= 2, element_at(col("d.chan_sqsum"), 2)).as("q1"),
+      element_at(col("d.chan_peak"), 1).as("p0"),
+      when(col("d.channels") >= 2, element_at(col("d.chan_peak"), 2)).as("p1"))
+      .orderBy("doc_id")
+  }
+
+  val q229_sql: String =
+    """WITH v AS (SELECT doc_id, doc_id % 5 AS var FROM documents),
+      |b AS (
+      |  SELECT doc_id, var, t.j,
+      |    CASE WHEN var IN (0, 2) THEN
+      |      -- 16-bit two's-complement wire value, signed
+      |      CASE WHEN (doc_id * 37 + t.j * t.j * 11 + t.j * 17) % 65536 >= 32768
+      |        THEN (doc_id * 37 + t.j * t.j * 11 + t.j * 17) % 65536 - 65536
+      |        ELSE (doc_id * 37 + t.j * t.j * 11 + t.j * 17) % 65536 END
+      |    ELSE
+      |      -- G.711 mu-law expansion of the q226 byte formula
+      |      CASE WHEN (255 - (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256) >= 128
+      |        THEN 132 - ((((255 - (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256) % 16) * 8 + 132)
+      |             * (1 << (((255 - (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256) // 16) % 8)))
+      |        ELSE ((((255 - (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256) % 16) * 8 + 132)
+      |             * (1 << (((255 - (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256) // 16) % 8))) - 132 END
+      |    END AS smp,
+      |    CASE WHEN var = 2 THEN t.j % 2 ELSE 0 END AS c
+      |  FROM v, generate_series(0, 19) AS t(j)
+      |  WHERE var IN (0, 1, 2)),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(smp) FILTER (WHERE c = 0) AS BIGINT) AS s0,
+      |    CAST(sum(smp) FILTER (WHERE c = 1) AS BIGINT) AS s1,
+      |    CAST(sum(smp * smp) FILTER (WHERE c = 0) AS BIGINT) AS q0,
+      |    CAST(sum(smp * smp) FILTER (WHERE c = 1) AS BIGINT) AS q1,
+      |    CAST(max(abs(smp)) FILTER (WHERE c = 0) AS BIGINT) AS p0,
+      |    CAST(max(abs(smp)) FILTER (WHERE c = 1) AS BIGINT) AS p1
+      |  FROM b GROUP BY 1)
+      |SELECT x.doc_id, x.var IN (0, 1, 2) AS valid,
+      |  CASE x.var WHEN 3 THEN 'trunc_data'
+      |             WHEN 4 THEN 'unsupported_codec' END AS reason,
+      |  CASE WHEN x.var IN (0, 3) THEN 'aiff' ELSE 'au' END AS container,
+      |  CASE x.var WHEN 0 THEN 'pcm' WHEN 2 THEN 'pcm' WHEN 3 THEN 'pcm'
+      |             WHEN 1 THEN 'ulaw' WHEN 4 THEN 'enc_7' END AS codec,
+      |  CAST(CASE WHEN x.var = 2 THEN 2 ELSE 1 END AS INT) AS channels,
+      |  CAST(CASE x.var WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 10
+      |       END AS BIGINT) AS n_frames,
+      |  st.s0, st.s1, st.q0, st.q1, st.p0, st.p1
+      |FROM v x LEFT JOIN st USING (doc_id) ORDER BY x.doc_id""".stripMargin
+
   val q217_sql: String = {
     val (wavWalk, wavLast) = wavWalkSql("mm", "cw")
     val (aviWalk, aviLast) = aviWalkSql("mm", "ca")
@@ -1280,7 +1347,8 @@ object Media {
     "q168_bmp_pixel_stats" -> q168_bmp_pixel_stats,
     "q217_media_census" -> q217_media_census,
     "q224_png_decode" -> q224_png_decode,
-    "q226_g711_decode" -> q226_g711_decode)
+    "q226_g711_decode" -> q226_g711_decode,
+    "q229_au_aiff_decode" -> q229_au_aiff_decode)
 
   val oracle: Map[String, String] = Map(
     "q210_ahash_canonical" -> q210_sql,
@@ -1295,5 +1363,6 @@ object Media {
     "q168_bmp_pixel_stats" -> q168_sql,
     "q217_media_census" -> q217_sql,
     "q224_png_decode" -> q224_sql,
-    "q226_g711_decode" -> q226_sql)
+    "q226_g711_decode" -> q226_sql,
+    "q229_au_aiff_decode" -> q229_sql)
 }
