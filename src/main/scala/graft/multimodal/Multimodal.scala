@@ -881,6 +881,45 @@ object Multimodal {
     spread.select(id.as("media_id"), media.as("media"))
   }
 
+  /** Synthetic IMA-ADPCM WAV corpus for the state-machine ORACLE
+    * (q230) — the last audio codec to get one: ADPCM decode is a
+    * SEQUENTIAL recurrence over (predictor, step-index), which
+    * set-oriented SQL can't express — but a RECURSIVE CTE can, and the
+    * corpus is sized so the recursion is trivial (one mono block of 17
+    * samples per doc). Block header predictor/index and the 16 nibbles
+    * are pure id arithmetic, so DuckDB walks the exact IMA recurrence
+    * (step table, magnitude reconstruction, both clamps) while Spark
+    * runs the real block decoder. Variant id mod 4 = 3 declares
+    * samples-per-block 25 against a 12-byte blockAlign — the geometry
+    * gate must census it as `bad_fmt`. */
+  def syntheticAdpcmWav(docs: DataFrame,
+                        idCol: Column = col("doc_id")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    val variant = id % 4L
+    def le(v: Column, n: Int): Column = concat((0 until n).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(255L)), 2, "0"))): _*)
+    def nib(j: Column): Column = (id * 7L + j * j * 3L + j * 5L) % 16L
+    // 8 nibble bytes: byte k carries samples 2k+1 (low) and 2k+2 (high)
+    val data = unhex(array_join(transform(sequence(lit(0L), lit(7L)),
+      k => lpad(hex(nib(k * 2L) + nib(k * 2L + 1L) * 16L), 2, "0")), ""))
+    val pred16 = ((id % 1024L) - 512L + 65536L) % 65536L
+    val block = concat(le(lit(0L) + pred16, 2), le(id % 89L, 1),
+      le(lit(0L), 1), data)
+    val spb = when(variant === 3L, 25L).otherwise(17L)
+    val fmt = concat(le(lit(0x11L), 2), le(lit(1L), 2), le(lit(8000L), 4),
+      le(lit(4000L), 4), le(lit(12L), 2), le(lit(4L), 2),
+      le(lit(2L), 2), le(spb, 2))
+    val riffLen = lit(4L + (8L + 20L) + (8L + 12L))
+    spread.select(id.as("media_id"),
+      concat(
+        lit("RIFF".getBytes("US-ASCII")), le(riffLen, 4),
+        lit("WAVE".getBytes("US-ASCII")),
+        lit("fmt ".getBytes("US-ASCII")), le(lit(20L), 4), fmt,
+        lit("data".getBytes("US-ASCII")), le(lit(12L), 4), block)
+        .as("media"))
+  }
+
   /** media table schema: (id, media binary, meta struct). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

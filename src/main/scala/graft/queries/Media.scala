@@ -884,6 +884,75 @@ object Media {
       |  st.s0, st.s1, st.q0, st.q1, st.p0, st.p1
       |FROM v x LEFT JOIN st USING (doc_id) ORDER BY x.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q230
+  // IMA-ADPCM state-machine oracle — the one audio codec q226/q229
+  // left spec-pinned, on the grounds that its SEQUENTIAL recurrence
+  // over (predictor, step index) isn't set-expressible. It is,
+  // however, RECURSION-expressible: the corpus is one mono block of 17
+  // samples per doc, so a DuckDB recursive CTE walks the exact IMA
+  // recurrence (89-entry step table, nibble magnitude reconstruction,
+  // both clamps) in 17 steps per doc while Spark runs the real block
+  // decoder. A hash match proves the step/index tables, the clamp
+  // order, the header-predictor-is-sample-0 convention, and the
+  // low-nibble-first packing. The geometry-defect variant (declared
+  // samples-per-block inconsistent with blockAlign) must census.
+  val q230_adpcm_decode: Q = (s, dir) => {
+    val m = Multimodal.syntheticAdpcmWav(Tables.load(s, dir, "documents"))
+    val parsed = m.select(col("media_id").as("doc_id"),
+      Multimodal.audioDecode(col("media")).as("d"))
+    parsed.select(col("doc_id"),
+      col("d.valid").as("valid"), col("d.reason").as("reason"),
+      col("d.codec").as("codec"), col("d.channels").as("channels"),
+      col("d.n_frames").as("n_frames"),
+      element_at(col("d.chan_sum"), 1).as("s0"),
+      element_at(col("d.chan_sqsum"), 1).as("q0"),
+      element_at(col("d.chan_peak"), 1).as("p0"))
+      .orderBy("doc_id")
+  }
+
+  val q230_sql: String = {
+    val steps = "[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, " +
+      "28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, " +
+      "130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, " +
+      "449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, " +
+      "1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, " +
+      "4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, " +
+      "11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, " +
+      "27086, 29794, 32767]"
+    val idxTab = "[-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]"
+    // nibble for the step from sample s to s+1 (the builder's formula)
+    val nb = "((r.doc_id * 7 + r.s * r.s * 3 + r.s * 5) % 16)"
+    val st = s"($steps)[r.idx + 1]"
+    val diff = s"($st // 8" +
+      s" + CASE WHEN $nb % 2 = 1 THEN $st // 4 ELSE 0 END" +
+      s" + CASE WHEN ($nb // 2) % 2 = 1 THEN $st // 2 ELSE 0 END" +
+      s" + CASE WHEN ($nb // 4) % 2 = 1 THEN $st ELSE 0 END)"
+    s"""WITH RECURSIVE v AS (SELECT doc_id, doc_id % 4 AS var FROM documents),
+       |p AS (SELECT doc_id, CAST((doc_id % 1024) - 512 AS BIGINT) AS pred0,
+       |        CAST(doc_id % 89 AS BIGINT) AS idx0
+       |      FROM v WHERE var < 3),
+       |rec AS (
+       |  SELECT doc_id, 0 AS s, pred0 AS pred, idx0 AS idx FROM p
+       |  UNION ALL
+       |  SELECT r.doc_id, r.s + 1,
+       |    CASE WHEN $nb >= 8
+       |      THEN greatest(-32768, r.pred - $diff)
+       |      ELSE least(32767, r.pred + $diff) END,
+       |    least(88, greatest(0, r.idx + ($idxTab)[$nb + 1]))
+       |  FROM rec r WHERE r.s < 16),
+       |st2 AS (SELECT doc_id,
+       |    CAST(sum(pred) AS BIGINT) AS s0,
+       |    CAST(sum(pred * pred) AS BIGINT) AS q0,
+       |    CAST(max(abs(pred)) AS BIGINT) AS p0
+       |  FROM rec GROUP BY 1)
+       |SELECT x.doc_id, x.var < 3 AS valid,
+       |  CASE WHEN x.var = 3 THEN 'bad_fmt' END AS reason,
+       |  'ima_adpcm' AS codec, CAST(1 AS INT) AS channels,
+       |  CAST(CASE WHEN x.var < 3 THEN 17 END AS BIGINT) AS n_frames,
+       |  st2.s0, st2.q0, st2.p0
+       |FROM v x LEFT JOIN st2 USING (doc_id) ORDER BY x.doc_id""".stripMargin
+  }
+
   val q217_sql: String = {
     val (wavWalk, wavLast) = wavWalkSql("mm", "cw")
     val (aviWalk, aviLast) = aviWalkSql("mm", "ca")
@@ -1348,7 +1417,8 @@ object Media {
     "q217_media_census" -> q217_media_census,
     "q224_png_decode" -> q224_png_decode,
     "q226_g711_decode" -> q226_g711_decode,
-    "q229_au_aiff_decode" -> q229_au_aiff_decode)
+    "q229_au_aiff_decode" -> q229_au_aiff_decode,
+    "q230_adpcm_decode" -> q230_adpcm_decode)
 
   val oracle: Map[String, String] = Map(
     "q210_ahash_canonical" -> q210_sql,
@@ -1364,5 +1434,6 @@ object Media {
     "q217_media_census" -> q217_sql,
     "q224_png_decode" -> q224_sql,
     "q226_g711_decode" -> q226_sql,
-    "q229_au_aiff_decode" -> q229_sql)
+    "q229_au_aiff_decode" -> q229_sql,
+    "q230_adpcm_decode" -> q230_sql)
 }
