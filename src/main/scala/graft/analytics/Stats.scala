@@ -144,7 +144,82 @@ object Stats {
     * approxQuantile sketch (model-sized). */
   def percentilesFromCounts(comp: DataFrame, ps: Seq[Double],
                             buckets: Int = 8): DataFrame =
-    fromCountsWithBounds(comp, ps, sketchBounds(comp, buckets))
+    if (planBytes(comp) <= SmallPlanBytes) foldPercentilesFromCounts(comp, ps)
+    else fromCountsWithBounds(comp, ps, sketchBounds(comp, buckets))
+
+  /** Adaptive cut-over threshold for the single-fold small path, in
+    * optimizer-estimated bytes — the broadcast-join sizing discipline
+    * applied to percentile planning: the decision costs ZERO actions
+    * (it reads `optimizedPlan.stats.sizeInBytes`, which Spark
+    * propagates through scans, projections, aggregates and
+    * `localCheckpoint`), and unknown stats report huge, so anything
+    * the optimizer can't bound takes the scale construction. 8 MB
+    * keeps sf0.1 lineitem (~3.4 MB estimate) on the fold plan and
+    * sf1 (~34 MB) on the range-bucketed one — a mis-estimate costs
+    * one oversized (but still value-COMPRESSED) per-group array,
+    * never correctness: both paths are pinned bit-identical to
+    * Spark's `percentile` by CleanStatsSpec. */
+  private[graft] val SmallPlanBytes = BigInt(8L << 20)
+
+  private def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** The small-frame percentile plan: two exchanges, no sketch action,
+    * no window, no broadcast — per group, the compressed `(v, c)` pairs
+    * collect into ONE sorted array (bounded by [[SmallPlanBytes]]'s
+    * gate — this is deliberately the "value buffer" shape, safe only
+    * because the optimizer just proved the COMPRESSED frame tiny) and
+    * a single `aggregate` fold walks it once, claiming the value at
+    * every requested rank as the running count crosses it. Rank
+    * selection and the interpolation expressions are shared with the
+    * bucketed construction ([[rankExprs]]), so bit-equality with
+    * `percentile` holds by the same argument. At sf0.1 this returns
+    * q13 to its pre-rework sub-second shape (the bucketed plan's
+    * sketch job + offsets self-join + window cost ~1.1 s of fixed
+    * overhead there, measured round 11). */
+  private[graft] def foldPercentilesFromCounts(comp: DataFrame,
+                                               ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles must be in [0, 1]")
+    val packed = comp.groupBy("grp")
+      .agg(sum("c").as("__n"),
+        sort_array(collect_list(struct(col("v"), col("c")))).as("__vc"))
+    val zero = struct(
+      lit(0L).as("cum") +:
+        ps.indices.flatMap(i => Seq(
+          lit(null).cast("double").as(s"vlo_$i"),
+          lit(null).cast("double").as(s"vhi_$i"))): _*)
+    val folded = aggregate(col("__vc"), zero, (acc, x) => {
+      val cum2 = acc("cum") + x("c")
+      struct(
+        cum2.as("cum") +:
+          ps.zipWithIndex.flatMap { case (p, i) => Seq(
+            coalesce(acc(s"vlo_$i"),
+              when(cum2 >= Rank.lo(p) + 1, x("v"))).as(s"vlo_$i"),
+            coalesce(acc(s"vhi_$i"),
+              when(cum2 >= Rank.hi(p) + 1, x("v"))).as(s"vhi_$i")) }: _*)
+    })
+    packed.withColumn("__f", folded)
+      .select(col("grp"), explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"),
+          Rank.interp(p, col(s"__f.vlo_$i"), col(s"__f.vhi_$i")).as("q"))
+      }: _*)).as("__pq"))
+      .select(col("grp"), col("__pq.p").as("p"), col("__pq.q").as("q"))
+  }
+
+  /** The rank/interpolation expressions BOTH percentile plans share —
+    * Spark `Percentile.getPercentile`'s exact double operation order
+    * (pos = p·(n−1); floor/ceil to LONG ranks; per-term promotion in
+    * the interpolation), factored so the fold path and the bucketed
+    * path cannot drift apart. Expressions reference `__n`. */
+  private object Rank {
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1)
+    def lo(p: Double): Column = floor(pos(p))
+    def hi(p: Double): Column = ceil(pos(p))
+    def interp(p: Double, vlo: Column, vhi: Column): Column =
+      when(lo(p) === hi(p), vlo)
+        .otherwise((hi(p) - pos(p)) * vlo + (pos(p) - lo(p)) * vhi)
+  }
 
   /** The range-split sketch for the bucketed prefix sum: ~`buckets`
     * approximate quantile split points of `v`, from a BOUNDED row
@@ -156,13 +231,13 @@ object Stats {
     * expensive as the entire buffered `percentile` it replaces. */
   private val SketchSampleRows = 1 << 17
 
-  private def sketchBounds(df: DataFrame, buckets: Int): Array[Double] =
+  private[graft] def sketchBounds(df: DataFrame, buckets: Int): Array[Double] =
     if (buckets <= 1) Array.empty[Double]
     else df.select("v").limit(SketchSampleRows).stat.approxQuantile("v",
       (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
 
-  private def fromCountsWithBounds(comp: DataFrame, ps: Seq[Double],
+  private[graft] def fromCountsWithBounds(comp: DataFrame, ps: Seq[Double],
                                    bounds: Array[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must be in [0, 1]")
@@ -191,13 +266,12 @@ object Stats {
       .withColumn("__s", col("__e") - col("c") + 1)
     // Spark's Percentile: pos = p·(n−1) 0-based; ranks lo+1 / hi+1 in
     // the 1-based [s, e] intervals; interpolation in its exact double
-    // operation order (ceil/floor return LONG, promoted per-term).
+    // operation order (ceil/floor return LONG, promoted per-term) —
+    // the [[RankExprs]] shared with the fold path.
     // The requested percentiles are plan-time LITERALS, so each gets
     // its own pair of conditional-min aggregate columns — one pass,
     // no percentile×values row blowup, no extra join or exchange.
-    def pos(p: Double) = lit(p) * (col("__n") - 1)
-    def lo(p: Double) = floor(pos(p))
-    def hi(p: Double) = ceil(pos(p))
+    import Rank.{lo, hi}
     val candidate = ps
       .map(p => col("__e") >= lo(p) + 1 && col("__s") <= hi(p) + 1)
       .reduce(_ || _)
@@ -211,10 +285,8 @@ object Stats {
       .groupBy("grp")
       .agg(min("__n").as("__n"), aggCols: _*)
     val pqCols = ps.zipWithIndex.map { case (p, i) =>
-      val q = when(lo(p) === hi(p), col(s"__vlo_$i"))
-        .otherwise((hi(p) - pos(p)) * col(s"__vlo_$i") +
-          (pos(p) - lo(p)) * col(s"__vhi_$i"))
-      struct(lit(p).as("p"), q.as("q"))
+      struct(lit(p).as("p"),
+        Rank.interp(p, col(s"__vlo_$i"), col(s"__vhi_$i")).as("q"))
     }
     picked.select(col("grp"), explode(array(pqCols: _*)).as("__pq"))
       .select(col("grp"), col("__pq.p").as("p"), col("__pq.q").as("q"))
@@ -232,7 +304,11 @@ object Stats {
     val base = df.select(group.as("grp"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
     val comp = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
-    fromCountsWithBounds(comp, ps, sketchBounds(base, buckets))
+    // adaptive cut-over on the RAW frame's optimizer estimate (which
+    // upper-bounds the compressed frame): small inputs skip the sketch
+    // action and the bucket-offset machinery entirely
+    if (planBytes(base) <= SmallPlanBytes) foldPercentilesFromCounts(comp, ps)
+    else fromCountsWithBounds(comp, ps, sketchBounds(base, buckets))
   }
 
   /** Equi-depth (equal-frequency) histogram — the optimizer-stats

@@ -365,16 +365,38 @@ object Dedup {
     * propagate). Not oracle-replayable by design — the data-dependent
     * round count is exactly what ANSI CTE unrolling can't express;
     * ConnectedComponentsSpec pins it ≡ the fixed form on near-clique
-    * corpora and correct on chains the fixed form under-labels. */
+    * corpora and correct on chains the fixed form under-labels.
+    *
+    * `maxRounds` is a runaway backstop, not a quality knob: pointer
+    * jumping needs ~log₂(diameter) rounds, so 64 covers any graph that
+    * fits in a cluster. If the backstop ever trips before the
+    * zero-changes fixpoint, the labels are UNDER-MERGED — this method
+    * throws rather than returning them as if converged (the silent
+    * under-merge is exactly the defect of the fixed-iteration form
+    * this variant exists to close). Callers that prefer partial labels
+    * over failure use [[convergedWithRounds]] and read the flag. */
   def connectedComponentsConverged(edges: DataFrame,
                                    maxRounds: Int = 64,
                                    checkpointer: DataFrame => DataFrame =
-                                     _.localCheckpoint(true)): DataFrame =
-    convergedWithRounds(edges, maxRounds, checkpointer)._1
+                                     _.localCheckpoint(true)): DataFrame = {
+    val (labels, _, converged) =
+      convergedWithRounds(edges, maxRounds, checkpointer)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach the zero-changes fixpoint " +
+          s"within maxRounds=$maxRounds — labels would be under-merged; " +
+          s"raise maxRounds (log2(diameter) rounds suffice) or use " +
+          s"convergedWithRounds to accept partial labels explicitly")
+    labels
+  }
 
+  /** The raw loop behind [[connectedComponentsConverged]]: returns the
+    * labels, the rounds actually run, and whether the zero-changes
+    * fixpoint was reached (false ⇒ the labels are a lower bound —
+    * some components may still be split). */
   private[graft] def convergedWithRounds(edges: DataFrame, maxRounds: Int,
                                          checkpointer: DataFrame => DataFrame)
-  : (DataFrame, Int) = {
+  : (DataFrame, Int, Boolean) = {
     val adj = checkpointer(
       edges.select(col("id_a").as("v"), col("id_b").as("u"))
         .union(edges.select(col("id_b").as("v"), col("id_a").as("u"))))
@@ -403,7 +425,7 @@ object Dedup {
       labels = jumped.select("id", "l")
       rounds += 1
     }
-    (labels.select(col("id"), col("l").as("component")), rounds)
+    (labels.select(col("id"), col("l").as("component")), rounds, changed == 0L)
   }
 
   /** Quality-aware canonical selection: keep, per duplicate component,

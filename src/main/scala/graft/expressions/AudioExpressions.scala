@@ -342,11 +342,16 @@ object AudioDecode {
             val exp = (be(off + 16, 2) & 0x7fff).toInt - 16383
             val mantHi = be(off + 18, 4)
             // rate = mantissa * 2^(exp-63); real rates fit the top 32
-            // mantissa bits: rate = mantHi * 2^(exp-31)
-            rate =
-              if (exp < 0 || exp > 62) -1
-              else if (exp >= 31) (mantHi << (exp - 31)).toInt
-              else (mantHi >> (31 - exp)).toInt
+            // mantissa bits: rate = mantHi * 2^(exp-31). Shift in LONG
+            // and reject anything past Int.MaxValue: mantHi is up to
+            // 2^32-1 and exp up to 62, so the Int shift could wrap to
+            // a plausible positive garbage rate that passes rate > 0
+            // (a hostile COMM would then census as valid).
+            val rateL =
+              if (exp < 0 || exp > 62) -1L
+              else if (exp >= 31) mantHi << (exp - 31)
+              else mantHi >> (31 - exp)
+            rate = if (rateL > Int.MaxValue) -1 else rateL.toInt
           } else if (tag(off, "SSND")) {
             if (off + 16 > bytes.length) return fail("trunc_chunk", "aiff")
             val dataOffset = be(off + 8, 4)

@@ -855,9 +855,12 @@ object Multimodal {
       j => lpad(hex(s16(j)), 4, "0")), ""))
     val ulaw20 = unhex(array_join(transform(sequence(lit(0L), lit(19L)),
       j => lpad(hex(ub(j)), 2, "0")), ""))
-    // 80-bit extended 8000 Hz: sign 0, exp 16383+12, mantissa
-    // 8000·2^51 → bytes 400CFA00 00000000 0000
-    val rate80 = unhex(lit("400CFA0000000000" + "0000"))
+    // 80-bit extended 8000 Hz: sign 0, biased exponent 16383+12 =
+    // 0x400B, 64-bit mantissa with explicit integer bit = 8000·2^51
+    // (top 13 bits 0x1F40) → bytes 400BFA00 00000000 0000. The old
+    // 0x400C exponent silently encoded 16000 Hz; q229 now projects
+    // sample_rate so the 80-bit parse is oracle-covered.
+    val rate80 = unhex(lit("400BFA0000000000" + "0000"))
     def comm(frames: Long): Column = concat(
       lit("COMM".getBytes("US-ASCII")), be(lit(18L), 4),
       be(lit(1L), 2), be(lit(frames), 4), be(lit(16L), 2), rate80)

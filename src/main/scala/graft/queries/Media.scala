@@ -834,7 +834,12 @@ object Media {
     parsed.select(col("doc_id"),
       col("d.valid").as("valid"), col("d.reason").as("reason"),
       col("d.container").as("container"), col("d.codec").as("codec"),
-      col("d.channels").as("channels"), col("d.n_frames").as("n_frames"),
+      col("d.channels").as("channels"),
+      // the 80-bit IEEE-extended COMM rate (AIFF) and the AU header
+      // rate, oracle-covered since round 11; only-valid so the census
+      // rows stay independent of which parse step failed
+      when(col("d.valid"), col("d.sample_rate")).as("sample_rate"),
+      col("d.n_frames").as("n_frames"),
       element_at(col("d.chan_sum"), 1).as("s0"),
       when(col("d.channels") >= 2, element_at(col("d.chan_sum"), 2)).as("s1"),
       element_at(col("d.chan_sqsum"), 1).as("q0"),
@@ -879,6 +884,7 @@ object Media {
       |  CASE x.var WHEN 0 THEN 'pcm' WHEN 2 THEN 'pcm' WHEN 3 THEN 'pcm'
       |             WHEN 1 THEN 'ulaw' WHEN 4 THEN 'enc_7' END AS codec,
       |  CAST(CASE WHEN x.var = 2 THEN 2 ELSE 1 END AS INT) AS channels,
+      |  CAST(CASE WHEN x.var IN (0, 1, 2) THEN 8000 END AS INT) AS sample_rate,
       |  CAST(CASE x.var WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 10
       |       END AS BIGINT) AS n_frames,
       |  st.s0, st.s1, st.q0, st.q1, st.p0, st.p1

@@ -287,6 +287,28 @@ class AudioDecodeSpec extends SparkSpec {
     assert(reasonOf(good.take(20)) === (false, "no_fmt"))
   }
 
+  test("hostile AIFF 80-bit rate that overflows Int censuses bad_fmt, not garbage") {
+    def reasonOf(b: Array[Byte]): (Boolean, String) = {
+      val r = decodeOne(b)
+      (r.getBoolean(0), if (r.isNullAt(1)) null else r.getString(1))
+    }
+    // biased exponent 16383+32 with mantissa 0x80000001·2^32: the true
+    // rate is mantHi·2^(32−31) = 0x100000002 ≈ 4.3 GHz — an Int
+    // truncation of the shift yields 2, a plausible positive rate that
+    // would pass the rate > 0 gate and census a hostile COMM as valid
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](8)), fmt, 4)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    val hostile = bos.toByteArray.clone()
+    // COMM rate field: FORM(12) + 'COMM'+size(8) + ch(2) + frames(4) +
+    // bits(2) = offset 28, 10 bytes of 80-bit extended
+    val rate80 = be(0x401fL, 2) ++ be(0x80000001L, 4) ++ be(0L, 4)
+    System.arraycopy(rate80, 0, hostile, 28, 10)
+    assert(reasonOf(hostile) === (false, "bad_fmt"))
+  }
+
   test("decodeMediaFeatures routes G.711/ADPCM/AU/AIFF to real decode") {
     import graft.multimodal.Multimodal
     val n = 64

@@ -100,6 +100,7 @@ class CleanStatsSpec extends SparkSpec {
     val viaBuffer = df.groupBy("g")
       .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // the adaptive entry point (small frame → the fold path)
     val viaRank = Stats.groupedPercentilesExact(df, col("g"), col("v"), ps)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
       .toMap
@@ -107,23 +108,74 @@ class CleanStatsSpec extends SparkSpec {
     for ((g, qs) <- viaBuffer; (p, i) <- ps.zipWithIndex)
       assert(viaRank((g, p)) === qs(i),
         s"group $g p=$p: rank construction ${viaRank((g, p))} != buffered ${qs(i)}")
+    // and the BUCKETED path, forced explicitly — the round-11 adaptive
+    // gate must leave both constructions bit-identical to `percentile`
+    val base = df.select(col("g").as("grp"), col("v").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val comp = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val viaBuckets = Stats
+      .fromCountsWithBounds(comp, ps, Stats.sketchBounds(base, 8))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for ((g, qs) <- viaBuffer; (p, i) <- ps.zipWithIndex)
+      assert(viaBuckets((g, p)) === qs(i),
+        s"group $g p=$p: bucketed ${viaBuckets((g, p))} != buffered ${qs(i)}")
     // and the plan carries no Percentile aggregate — the whole point
     val plan = Stats.groupedPercentilesExact(df, col("g"), col("v"), ps)
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("percentile"), s"expected no percentile agg:\n$plan")
   }
 
+  test("adaptive gate: small frames fold (no window/sketch), big frames bucket") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // small: a local frame well under the 8 MB estimate → the fold
+    // plan, which must carry NO window (and NO single-partition window
+    // shape for a constant group key — PlanAuditSpec's fleet rule)
+    val small = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val smallPlan = Stats
+      .groupedPercentilesExact(small, lit(1), col("v"), Seq(0.5))
+      .queryExecution.optimizedPlan
+    assert(smallPlan.collect { case w: LWindow => w }.isEmpty,
+      s"fold path must not window:\n$smallPlan")
+    // big: spark.range(3M) estimates ~24 MB > the 8 MB gate → the
+    // range-bucketed construction (window keyed on (grp, bucket))
+    val big = spark.range(3000000).select(
+      (col("id") % 7).as("g"), col("id").cast("double").as("v"))
+    val bigPlan = Stats
+      .groupedPercentilesExact(big, col("g"), col("v"), Seq(0.5))
+      .queryExecution.optimizedPlan
+    assert(bigPlan.collect { case w: LWindow => w }.nonEmpty,
+      s"large input must take the bucketed construction:\n$bigPlan")
+    // and the fold path agrees with the bucketed path on the same data
+    val base = small.select(lit(1).as("grp"), col("v"))
+    val comp = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val fold = Stats.foldPercentilesFromCounts(comp, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val bucketed = Stats
+      .fromCountsWithBounds(comp, Seq(0.25, 0.5, 0.75),
+        Stats.sketchBounds(base, 8))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(fold === bucketed)
+  }
+
   test("percentilesFromCounts: few buckets, one bucket, struct group keys") {
-    // bucket count must not change results (it only balances the sort)
+    // bucket count must not change results (it only balances the sort);
+    // forced through the bucketed construction — the adaptive public
+    // entry would fold a frame this small
     val d = (1 to 100).map(i => ("k", i % 10, (i * 37 % 100).toDouble))
       .toDF("a", "b", "v")
     val comp = d.groupBy(struct(col("a"), col("b")).as("grp"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val r32 = Stats.percentilesFromCounts(comp, Seq(0.5), buckets = 32)
+    val r32 = Stats
+      .fromCountsWithBounds(comp, Seq(0.5), Stats.sketchBounds(comp, 32))
       .collect().map(r => r.getStruct(0).toString -> r.getDouble(2)).toMap
-    val r1 = Stats.percentilesFromCounts(comp, Seq(0.5), buckets = 1)
+    val r1 = Stats.fromCountsWithBounds(comp, Seq(0.5), Array.empty)
       .collect().map(r => r.getStruct(0).toString -> r.getDouble(2)).toMap
     assert(r32 === r1 && r32.size === 10)
+    // the adaptive entry (fold, struct keys) agrees with both
+    val rf = Stats.percentilesFromCounts(comp, Seq(0.5))
+      .collect().map(r => r.getStruct(0).toString -> r.getDouble(2)).toMap
+    assert(rf === r32)
   }
 
   test("equi-depth histogram: ntile semantics with ties straddling boundaries") {

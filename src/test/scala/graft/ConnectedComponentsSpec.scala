@@ -23,13 +23,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     // min-label propagation moves one hop per round, so node 12 can
     // only have seen labels within 8 hops
     assert(fixed(12L) > 0L, "fixed-8 should under-merge a diameter-12 chain")
-    val (conv, rounds) = Dedup.convergedWithRounds(chain, 64,
+    val (conv, rounds, converged) = Dedup.convergedWithRounds(chain, 64,
       _.localCheckpoint(true))
     val labels = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L), s"one component, got $labels")
     assert(labels.size === 13)
+    assert(converged, "fixpoint flag must be set when zero-changes reached")
     // pointer jumping: effective distance doubles per round
     assert(rounds <= 6, s"expected O(log d) rounds, took $rounds")
+  }
+
+  test("exhausting maxRounds before the fixpoint throws, never under-merges silently") {
+    // diameter-12 chain again, but with a 1-round budget: propagation
+    // cannot finish, so the production API must refuse the labels
+    val chain = edgesDf((0L until 12L).map(i => (i, i + 1)))
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponentsConverged(chain, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("under-merged"))
+    // the raw loop reports the same condition as a flag instead
+    val (_, rounds, converged) =
+      Dedup.convergedWithRounds(chain, 1, _.localCheckpoint(true))
+    assert(rounds === 1 && !converged)
   }
 
   test("near-clique corpora: converged ≡ fixed-iteration (the oracle shape)") {
