@@ -602,6 +602,42 @@ object Dedup {
         col("sz_b").cast("long").as("sz_b"),
         col("cont_a_in_b"), col("cont_b_in_a"))
 
+  /** Per-document census over the containment join — the count-first
+    * scale path next to [[containmentJoinOn]]'s pair list (the
+    * q195→q210 / [[weightedOverlapCensus]] pattern): the pair list's
+    * size IS its answer at corpus scale, so the shipping form is one
+    * row per document having ≥1 containment partner, carrying the
+    * partner count, the document's strongest containment INSIDE a
+    * partner (the "am I a quote of something bigger" signal — the
+    * direction with THIS doc's size in the denominator), and the
+    * deterministic top partner (highest such containment, ties to the
+    * lower id). The intersection aggregation is unchanged (token-keyed
+    * shuffle, map-side combine); what disappears is the answer-sized
+    * sorted pair output — the census reduces per doc id in one more
+    * keyed shuffle, and its window partitions per doc (bounded by
+    * partner count, never corpus-sized). */
+  def containmentCensus(df: DataFrame, id: Column, items: Column,
+                        threshold: Double,
+                        maxDocFrequency: Double = 1.0): DataFrame = {
+    val pairs = containmentJoinOn(df, id, items, threshold, maxDocFrequency)
+    // both directions via ONE explode — a unionAll of two selects over
+    // `pairs` would duplicate the whole token-self-join lineage
+    val perDir = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("partner"),
+          col("cont_a_in_b").as("c_in_partner")),
+        struct(col("id_b").as("id"), col("id_a").as("partner"),
+          col("cont_b_in_a").as("c_in_partner")))).as("e"))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"),
+        col("e.c_in_partner").as("c_in_partner"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("c_in_partner").desc, col("partner").asc)
+    perDir.withColumn("rn", row_number().over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_partners"),
+        max("c_in_partner").as("c_max"),
+        min(when(col("rn") === 1, col("partner"))).as("top_partner"))
+  }
+
   /** Rarity-weighted set-overlap join (IDF-style without the libm
     * log): each shared item contributes `1e6 div df(item)` micro-units
     * (BIGINT — exact, order-free sums), so one rare shared shingle

@@ -89,8 +89,14 @@ object Mining {
       threshold = CtThreshold, maxDocFrequency = CtMaxDf)
       .orderBy("id_a", "id_b")
 
-  val q119_sql: String =
-    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  /** Shared CTE chain for the df-cut containment pair table — q119
+    * (pair-list demo) and q231 (per-doc census) select from the SAME
+    * `pairs` relation, so the two oracles cannot drift (the q122/q222
+    * discipline). `pairs` is MATERIALIZED: q231 references it twice
+    * (both pair directions) and DuckDB inlines plain CTEs per
+    * reference. */
+  private val ctPairCtes: String =
+    s"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |           FROM documents),
        |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
@@ -103,17 +109,50 @@ object Mining {
        |         WHERE dfreq.df <= cut.c),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |          FROM wcut a JOIN wcut b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
-       |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
-       |  round(CAST(i AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
-       |  round(CAST(i AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
-       |FROM inter
-       |JOIN sz sa ON id_a = sa.doc_id
-       |JOIN sz sb ON id_b = sb.doc_id
-       |WHERE greatest(round(CAST(i AS DOUBLE) / sa.sz, 6),
-       |               round(CAST(i AS DOUBLE) / sb.sz, 6)) >= $CtThreshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |          GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+       |    CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       |    round(CAST(i AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+       |    round(CAST(i AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+       |  FROM inter
+       |  JOIN sz sa ON id_a = sa.doc_id
+       |  JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE greatest(round(CAST(i AS DOUBLE) / sa.sz, 6),
+       |                 round(CAST(i AS DOUBLE) / sb.sz, 6)) >= $CtThreshold)""".stripMargin
+
+  val q119_sql: String =
+    s"""WITH $ctPairCtes
+       |SELECT id_a, id_b, inter, sz_a, sz_b, cont_a_in_b, cont_b_in_a
+       |FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q231
+  // Per-document containment census — q119's count-first scale path
+  // (the q122→q222 pattern, closing the last answer-sized pair demo):
+  // one row per doc with its partner count, strongest containment
+  // inside a partner, and deterministic top partner. The sorted
+  // answer-sized pair output disappears; only the census shuffles.
+  val q231_containment_census: Q = (s, dir) =>
+    graft.dedup.Dedup.containmentCensus(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(
+        graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = CtThreshold, maxDocFrequency = CtMaxDf)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q231_sql: String =
+    s"""WITH $ctPairCtes,
+       |perdir AS (SELECT id_a AS id, id_b AS partner, cont_a_in_b AS c FROM pairs
+       |           UNION ALL
+       |           SELECT id_b AS id, id_a AS partner, cont_b_in_a AS c FROM pairs),
+       |r AS (SELECT id, partner, c,
+       |        row_number() OVER (PARTITION BY id ORDER BY c DESC, partner ASC) AS rn
+       |      FROM perdir)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+       |  max(c) AS c_max,
+       |  CAST(min(CASE WHEN rn = 1 THEN partner END) AS BIGINT) AS top_partner
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q120
   // First-order Markov transition matrix over per-user event streams:
@@ -1455,6 +1494,7 @@ object Mining {
     "q117_triangles" -> q117_triangles,
     "q118_edit_distance" -> q118_edit_distance,
     "q119_containment" -> q119_containment,
+    "q231_containment_census" -> q231_containment_census,
     "q120_markov" -> q120_markov,
     "q121_temperature_mixture" -> q121_temperature_mixture,
     "q122_weighted_overlap" -> q122_weighted_overlap,
@@ -1491,6 +1531,7 @@ object Mining {
     "q117_triangles" -> q117_sql,
     "q118_edit_distance" -> q118_sql,
     "q119_containment" -> q119_sql,
+    "q231_containment_census" -> q231_sql,
     "q120_markov" -> q120_sql,
     "q121_temperature_mixture" -> q121_sql,
     "q122_weighted_overlap" -> q122_sql,

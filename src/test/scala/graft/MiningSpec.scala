@@ -59,6 +59,36 @@ class MiningSpec extends SparkSpec {
     assert(j.isEmpty)
   }
 
+  test("containmentCensus agrees with the pair list it summarizes") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    // the q119 operating point, so the census summarizes the shipped demo
+    val pairs = graft.dedup.Dedup
+      .containmentJoinOn(docs, col("doc_id"), grams,
+        threshold = 0.6, maxDocFrequency = 0.006).collect()
+    assert(pairs.nonEmpty) // the corpus must actually exercise the shape
+    val census = graft.dedup.Dedup
+      .containmentCensus(docs, col("doc_id"), grams,
+        threshold = 0.6, maxDocFrequency = 0.006)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // per-direction replay: each doc carries the containment with ITS
+    // size in the denominator (cont_a_in_b rides with id_a)
+    val perDoc = pairs.flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (cab, cba) = (r.getDouble(5), r.getDouble(6))
+      Seq(a -> (b, cab), b -> (a, cba))
+    }.groupBy(_._1)
+    assert(census.keySet === perDoc.keySet)
+    perDoc.foreach { case (id, ps) =>
+      val (n, cMax, top) = census(id)
+      assert(n === ps.length)
+      assert(cMax === ps.map(_._2._2).max)
+      assert(top === ps.map(_._2).filter(_._2 == cMax).map(_._1).min)
+    }
+  }
+
   test("weightedOverlapJoinOn: one rare shared item outweighs common ones") {
     // item x in 3 docs (w=333333), item r in 2 docs (w=500000)
     val docs = Seq(
