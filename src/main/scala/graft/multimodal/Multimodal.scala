@@ -33,10 +33,12 @@ import org.apache.spark.sql.types._
   *    the JDK's own registry ([[graft.expressions.ImageIoDecode]]),
   *    and G.711 µ-law/A-law, IMA-ADPCM WAV, AU and AIFF through the
   *    spec-exact audio decoder ([[graft.expressions.AudioDecode]]).
-  *    Only genuinely-codec-requiring formats (MP3/AAC audio, H.264
-  *    video frames) still fall back to the labeled hash stub
-  *    ([[stubDecodeFeatures]]): this container ships no codec
-  *    libraries; swap the fallback for a JNI/FFmpeg call in
+  *    Only genuinely-codec-requiring SAMPLE reconstruction (MP3/AAC
+  *    audio, H.264 video frames) still falls back to the labeled hash
+  *    stub ([[stubDecodeFeatures]]) — MPEG-audio METADATA (headers,
+  *    frame walk, duration, VBR tags) is real and oracle-checked via
+  *    [[graft.expressions.MpegProbe]] (q232): this container ships no
+  *    codec libraries; swap the fallback for a JNI/FFmpeg call in
   *    production.
   *
   * Scale design: payloads never pass through a shuffle — decode is a
@@ -923,6 +925,108 @@ object Multimodal {
         .as("media"))
   }
 
+  /** Synthetic MPEG-audio corpus for the frame-header-walk ORACLE
+    * (q232) — the q229 discipline applied to MP3: headers are pure id
+    * arithmetic (bitrate/samplerate indices, frame counts, Xing
+    * fields, ID3 tag sizes), so DuckDB recomputes the expected walk
+    * (frame lengths from the public arithmetic, CBR duration, VBR
+    * frame counts) from the published tables without parsing a byte,
+    * while Spark runs the real [[graft.expressions.MpegProbe]] walk.
+    * Variants by id mod 7 (bri = 1 + id%14, sri = id%3 throughout):
+    * 0 = MPEG1 Layer III stereo CBR, 4 frames;
+    * 1 = MPEG2 Layer III mono, 5 frames with alternating padding;
+    * 2 = MPEG1 L3 mono 160 kbps @ 44100 with a Xing header (frames
+    *     field 1000 + id%100) after the 17-byte side info, 3 frames;
+    * 3 = ID3v2-prefixed (10 + id%20 payload bytes) MPEG1 L3 stereo,
+    *     3 frames — the walk must skip the tag;
+    * 4 = MPEG1 L3 stereo, 2 full frames + the first half of a third
+    *     (census `trunc_frame` with the walked prefix surfaced);
+    * 5 = MPEG1 Layer I stereo, 3 frames — the (12·br/sr + pad)·4
+    *     slot arithmetic and 384 samples/frame;
+    * 6 = sync present but samplerate index 3 (census `bad_header`). */
+  def syntheticMpeg(docs: DataFrame,
+                    idCol: Column = col("doc_id")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    val variant = id % 7L
+    val bri = (id % 14L) + 1L
+    val sri = id % 3L
+    def tbl(vals: Seq[Int], idx: Column): Column =
+      element_at(array(vals.map(v => lit(v.toLong)): _*), idx.cast("int"))
+    val brV1L1 = Seq(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+      384, 416, 448)
+    val brV1L3 = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      256, 320)
+    val brV2L3 = Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160)
+    val srV1 = Seq(44100, 48000, 32000)
+    val srV2 = Seq(22050, 24000, 16000)
+    def byteC(v: Column): Column = unhex(lpad(hex(v), 2, "0"))
+    def zeros(n: Column): Column =
+      when(n > 0L, unhex(array_join(
+        transform(sequence(lit(1L), n), _ => lit("00")), "")))
+        .otherwise(lit(Array.emptyByteArray))
+    // exact for these magnitudes (≪ 2^53); positive → trunc = floor
+    def idiv(a: Column, b: Column): Column =
+      (a.cast("double") / b.cast("double")).cast("long")
+    // header: FF | sync+ver+layer+noCRC | bri,sri,pad | channel mode
+    def hdr(b1: Int, briC: Column, sriC: Column, pad: Column,
+            mono: Boolean): Column = concat(
+      byteC(lit(0xffL)), byteC(lit(b1.toLong)),
+      byteC(briC * 16L + sriC * 4L + pad * 2L),
+      byteC(lit(if (mono) 0xc0L else 0x00L)))
+    def frame(b1: Int, briC: Column, sriC: Column, pad: Column,
+              mono: Boolean, len: Column): Column =
+      concat(hdr(b1, briC, sriC, pad, mono), zeros(len - 4L))
+    // v0/v3/v4: MPEG1 L3 (0xFB) — 144·br/sr
+    val kbps0 = tbl(brV1L3, bri)
+    val sr0 = tbl(srV1, sri + 1L)
+    val len0 = idiv(kbps0 * 144000L, sr0)
+    val f0 = frame(0xfb, bri, sri, lit(0L), mono = false, len0)
+    // v1: MPEG2 L3 (0xF3) mono — 72·br/sr + per-frame padding
+    val kbps1 = tbl(brV2L3, bri)
+    val sr1 = tbl(srV2, sri + 1L)
+    val len1 = idiv(kbps1 * 72000L, sr1)
+    def f1(f: Long): Column = {
+      val pad = (id + f) % 2L
+      frame(0xf3, bri, sri, pad, mono = true, len1 + pad)
+    }
+    // v2: MPEG1 L3 mono 160 kbps @ 44100 (bri 10, sri 0) = 522 bytes;
+    // Xing at 4 + 17 (mono V1 side info), flags 1, frames field id-set
+    val xingFrames = lit(1000L) + id % 100L
+    def be4(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    val xing1 = concat(hdr(0xfb, lit(10L), lit(0L), lit(0L), mono = true),
+      zeros(lit(17L)), lit("Xing".getBytes("US-ASCII")),
+      be4(lit(1L)), be4(xingFrames), // flags, frames
+      zeros(lit(522L - 4L - 17L - 4L - 4L - 4L)))
+    val f2 = frame(0xfb, lit(10L), lit(0L), lit(0L), mono = true, lit(522L))
+    // v3: ID3v2 prefix — payload p < 128 so the syncsafe size is a
+    // single low byte
+    val p3 = lit(10L) + id % 20L
+    val id3 = concat(lit("ID3".getBytes("US-ASCII")),
+      byteC(lit(3L)), byteC(lit(0L)), byteC(lit(0L)),
+      be4(p3), zeros(p3))
+    // v4: half of a third frame (header survives; body cut)
+    val half4 = idiv(len0, lit(2L))
+    val partial = concat(hdr(0xfb, bri, sri, lit(0L), mono = false),
+      zeros(half4 - 4L))
+    // v5: MPEG1 L1 (0xFF) — (12·br/sr)·4 slot arithmetic
+    val kbps5 = tbl(brV1L1, bri)
+    val len5 = idiv(kbps5 * 12000L, sr0) * 4L
+    val f5 = frame(0xff, bri, sri, lit(0L), mono = false, len5)
+    // v6: samplerate index 3 — 4 header bytes only
+    val bad6 = hdr(0xfb, bri, lit(3L), lit(0L), mono = false)
+    val media =
+      when(variant === 0L, concat(f0, f0, f0, f0))
+        .when(variant === 1L, concat(f1(0), f1(1), f1(2), f1(3), f1(4)))
+        .when(variant === 2L, concat(xing1, f2, f2))
+        .when(variant === 3L, concat(id3, f0, f0, f0))
+        .when(variant === 4L, concat(f0, f0, partial))
+        .when(variant === 5L, concat(f5, f5, f5))
+        .otherwise(bad6)
+    spread.select(id.as("media_id"), media.as("media"))
+  }
+
   /** media table schema: (id, media binary, meta struct). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -1018,9 +1122,11 @@ object Multimodal {
     * GIF) via [[graft.expressions.ImageIoDecode]], plus — round 10 —
     * G.711 µ-law/A-law and IMA-ADPCM WAV, AU and AIFF via
     * [[graft.expressions.AudioDecode]]. The labeled hash stub now
-    * covers ONLY MP3/AAC (and video codec frames): those genuinely
-    * need codec libraries this container does not ship; swap the
-    * fallback for a JNI/FFmpeg call in production.
+    * covers ONLY MP3/AAC SAMPLE reconstruction (and video codec
+    * frames) — since round 11 the MPEG-audio metadata walk is real
+    * ([[graft.expressions.MpegProbe]], q232): samples genuinely need
+    * codec libraries this container does not ship; swap the fallback
+    * for a JNI/FFmpeg call in production.
     *
     * Feature layout (normalized to [-1, 1]):
     *  - audio (WAV/AU/AIFF, any supported codec):
@@ -1213,6 +1319,16 @@ object Multimodal {
     * own writers. */
   def audioDecode(media: Column): Column =
     graft.expressions.AudioExpressions.audio_decode(media)
+
+  /** MPEG-audio frame-header walk as a column expression — struct
+    * (valid, reason, version, layer, bitrate_kbps, sample_rate,
+    * channels, cbr, n_frames, frame_bytes, duration_ms, vbr_tag,
+    * vbr_frames, trailing_bytes); metadata census only, from the
+    * public header tables — sample reconstruction stays behind the
+    * labeled stub. See [[graft.expressions.MpegProbe]];
+    * oracle-checked (q232). */
+  def mpegProbe(media: Column): Column =
+    graft.expressions.MpegExpressions.mpeg_probe(media)
 
   /** Full PNG pixel decode as a column expression — struct (valid,
     * reason, width, height, bit_depth, color_type, channels, n_px,

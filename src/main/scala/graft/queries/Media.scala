@@ -959,6 +959,93 @@ object Media {
        |FROM v x LEFT JOIN st2 USING (doc_id) ORDER BY x.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q232
+  // MPEG-audio frame-header walk oracle (the q229 pattern applied to
+  // MP3 metadata): synthetic MPEG1/MPEG2 Layer I/III streams whose
+  // headers are pure id arithmetic, so DuckDB recomputes the expected
+  // walk — frame lengths from the published bitrate/samplerate tables
+  // and the public length arithmetic, CBR duration in exact integer
+  // ms, Xing VBR frame counts, ID3v2 skip geometry — while Spark runs
+  // the real MpegProbe expression. The truncated-frame and
+  // reserved-samplerate variants must census with the walked prefix
+  // surfaced. With this, the labeled codec stub narrows to MP3/AAC
+  // SAMPLE reconstruction: every byte of MPEG-audio METADATA this
+  // library claims is hash-checked.
+  val q232_mpeg_walk: Q = (s, dir) => {
+    val m = Multimodal.syntheticMpeg(Tables.load(s, dir, "documents"))
+    val parsed = m.select(col("media_id").as("doc_id"),
+      Multimodal.mpegProbe(col("media")).as("d"))
+    parsed.select(col("doc_id"),
+      col("d.valid").as("valid"), col("d.reason").as("reason"),
+      col("d.version").as("version"), col("d.layer").as("layer"),
+      col("d.bitrate_kbps").as("bitrate_kbps"),
+      col("d.sample_rate").as("sample_rate"),
+      col("d.channels").as("channels"), col("d.cbr").as("cbr"),
+      col("d.n_frames").as("n_frames"),
+      col("d.frame_bytes").as("frame_bytes"),
+      col("d.duration_ms").as("duration_ms"),
+      col("d.vbr_tag").as("vbr_tag"),
+      col("d.vbr_frames").as("vbr_frames"),
+      col("d.trailing_bytes").as("trailing_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val q232_sql: String =
+    """WITH v AS (SELECT doc_id, doc_id % 7 AS var,
+      |    1 + doc_id % 14 AS bri, doc_id % 3 AS sri, doc_id % 2 AS odd
+      |  FROM documents),
+      |c AS (SELECT doc_id, var, odd,
+      |    CASE WHEN var IN (0, 3, 4) THEN
+      |           [32,40,48,56,64,80,96,112,128,160,192,224,256,320][bri]
+      |         WHEN var = 1 THEN
+      |           [8,16,24,32,40,48,56,64,80,96,112,128,144,160][bri]
+      |         WHEN var = 2 THEN 160
+      |         WHEN var = 5 THEN
+      |           [32,64,96,128,160,192,224,256,288,320,352,384,416,448][bri]
+      |    END AS kbps,
+      |    CASE WHEN var = 1 THEN [22050,24000,16000][sri + 1]
+      |         WHEN var = 2 THEN 44100
+      |         WHEN var = 6 THEN NULL
+      |         ELSE [44100,48000,32000][sri + 1] END AS sr
+      |  FROM v),
+      |d AS (SELECT doc_id, var, kbps, sr, odd,
+      |    CASE WHEN var IN (0, 3, 4) THEN kbps * 144000 // sr
+      |         WHEN var = 1 THEN kbps * 72000 // sr
+      |         WHEN var = 2 THEN 522
+      |         WHEN var = 5 THEN (kbps * 12000 // sr) * 4 END AS flen
+      |  FROM c)
+      |SELECT doc_id, var IN (0, 1, 2, 3, 5) AS valid,
+      |  CASE var WHEN 4 THEN 'trunc_frame' WHEN 6 THEN 'bad_header'
+      |    END AS reason,
+      |  CASE WHEN var = 6 THEN NULL WHEN var = 1 THEN '2' ELSE '1'
+      |    END AS version,
+      |  CAST(CASE WHEN var = 6 THEN NULL WHEN var = 5 THEN 1 ELSE 3
+      |    END AS INT) AS layer,
+      |  CAST(kbps AS INT) AS bitrate_kbps,
+      |  CAST(sr AS INT) AS sample_rate,
+      |  CAST(CASE WHEN var = 6 THEN NULL WHEN var IN (1, 2) THEN 1 ELSE 2
+      |    END AS INT) AS channels,
+      |  CASE WHEN var = 6 THEN NULL ELSE TRUE END AS cbr,
+      |  CAST(CASE var WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 3
+      |    WHEN 3 THEN 3 WHEN 4 THEN 2 WHEN 5 THEN 3 END AS BIGINT)
+      |    AS n_frames,
+      |  CAST(CASE var WHEN 0 THEN 4 * flen WHEN 1 THEN 5 * flen + 2 + odd
+      |    WHEN 2 THEN 3 * 522 WHEN 3 THEN 3 * flen WHEN 4 THEN 2 * flen
+      |    WHEN 5 THEN 3 * flen END AS BIGINT) AS frame_bytes,
+      |  CAST(CASE var WHEN 0 THEN 4 * 1152 * 1000 // sr
+      |    WHEN 1 THEN 5 * 576 * 1000 // sr
+      |    WHEN 2 THEN 3 * 1152 * 1000 // 44100
+      |    WHEN 3 THEN 3 * 1152 * 1000 // sr
+      |    WHEN 4 THEN 2 * 1152 * 1000 // sr
+      |    WHEN 5 THEN 3 * 384 * 1000 // sr END AS BIGINT) AS duration_ms,
+      |  CASE WHEN var = 2 THEN 'xing' END AS vbr_tag,
+      |  CAST(CASE WHEN var = 2 THEN 1000 + doc_id % 100 END AS BIGINT)
+      |    AS vbr_frames,
+      |  CAST(CASE WHEN var = 4 THEN flen // 2
+      |    WHEN var IN (0, 1, 2, 3, 5) THEN 0 END AS BIGINT)
+      |    AS trailing_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val q217_sql: String = {
     val (wavWalk, wavLast) = wavWalkSql("mm", "cw")
     val (aviWalk, aviLast) = aviWalkSql("mm", "ca")
@@ -1424,7 +1511,8 @@ object Media {
     "q224_png_decode" -> q224_png_decode,
     "q226_g711_decode" -> q226_g711_decode,
     "q229_au_aiff_decode" -> q229_au_aiff_decode,
-    "q230_adpcm_decode" -> q230_adpcm_decode)
+    "q230_adpcm_decode" -> q230_adpcm_decode,
+    "q232_mpeg_walk" -> q232_mpeg_walk)
 
   val oracle: Map[String, String] = Map(
     "q210_ahash_canonical" -> q210_sql,
@@ -1441,5 +1529,6 @@ object Media {
     "q224_png_decode" -> q224_sql,
     "q226_g711_decode" -> q226_sql,
     "q229_au_aiff_decode" -> q229_sql,
-    "q230_adpcm_decode" -> q230_sql)
+    "q230_adpcm_decode" -> q230_sql,
+    "q232_mpeg_walk" -> q232_sql)
 }
