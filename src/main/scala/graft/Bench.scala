@@ -113,6 +113,38 @@ object Bench {
       math.max(0.0, math.round(foreign / 100.0 / wallSec * 100.0) / 100.0)
     }
 
+  /** Self-anomaly trigger: a first measurement more than 3× the
+    * query's reference median (this round's prior solo artifacts) is
+    * re-run once even when foreign CPU was quiet — BENCH_r10.json
+    * carried 3.8-8× ghosts (q220 16.2 s vs a 2.0 s median across five
+    * solo runs) that the foreign-spike gate couldn't see because the
+    * slowdown had foreign ≈ 0. Sub-0.5 s queries are exempt (pure
+    * noise band; a 3× ghost there can't distort the total). */
+  private[graft] def anomalousVsRef(sec: Double, ref: Option[Double]): Boolean =
+    ref.exists(r => r > 0 && sec > 3.0 * r && sec > 0.5)
+
+  /** Reference medians for [[anomalousVsRef]], from the JSON at `path`
+    * ({"sf": "sfX", "medians": {"q..": sec}}); empty when the file is
+    * missing, unparsable, or recorded at a DIFFERENT scale factor than
+    * this run's `sfDir` (medians don't transfer across SFs). Hand
+    * parse, same discipline as the hand-emitted artifact: the values
+    * are a flat name→number map, no nesting. */
+  private[graft] def refMedians(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
+      val refSf = sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val runSf = java.nio.file.Paths.get(sfDir).getFileName.toString
+      if (refSf != runSf) Map.empty
+      else {
+        val block = txt.substring(txt.indexOf("\"medians\""))
+        val entry = """"(q[A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        entry.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -216,7 +248,24 @@ object Bench {
     val blipped = firstPass.collect {
       case (n, m) if m._7 > SpikeBound && m._1 > 0.5 => n
     }
-    val reruns = blipped.map(n => n -> measure(selected(n), warmFirst = false)).toMap
+    // Self-anomaly re-runs: same one-extra-execution remedy, different
+    // trigger — the measurement is out of line with this round's OWN
+    // prior artifacts (see anomalousVsRef) even though foreign CPU was
+    // quiet. A genuine regression stays visible: its warm re-run is
+    // still ~3× the reference median and becomes the headline.
+    val ref = refMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_artifacts/ref_medians.json"), sfDir)
+    val anomalous = firstPass.collect {
+      case (n, m) if anomalousVsRef(m._1, ref.get(n)) => n
+    }
+    val triggered = (blipped ++ anomalous).distinct
+    val trigger = triggered.map { n =>
+      n -> Seq(
+        if (blipped.contains(n)) Some("foreign_spike") else None,
+        if (anomalous.contains(n)) Some("ref_anomaly") else None)
+        .flatten.mkString("+")
+    }.toMap
+    val reruns = triggered.map(n => n -> measure(selected(n), warmFirst = false)).toMap
     val results = firstPass.map { case (n, m) => n -> reruns.getOrElse(n, m) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
@@ -273,7 +322,8 @@ object Bench {
     val firstByName = firstPass.toMap
     val br = reruns.toSeq.sortBy(_._1).map { case (n, m) =>
       val o = firstByName(n)
-      s"""\"$n\":{"original_sec":${o._1},"original_foreign_cpu_cores":${o._7},""" +
+      s"""\"$n\":{"trigger":"${trigger(n)}",""" +
+        s""""original_sec":${o._1},"original_foreign_cpu_cores":${o._7},""" +
         s""""rerun_sec":${m._1},"rerun_foreign_cpu_cores":${m._7}}"""
     }.mkString("{", ",", "}")
     val json =
@@ -288,5 +338,13 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8")): Unit
     spark.stop()
+    // Parse contract (BENCH_r10.json landed with "parsed": null — the
+    // driver kept only a stdout tail that missed the JSON line): after
+    // the session is down and nothing can log over us, re-emit the
+    // full JSON as the penultimate line and the artifact path as the
+    // LAST line, so any tail long enough for one short line finds at
+    // least the pointer.
+    println(json)
+    println(s"BENCH_JSON=${out.toAbsolutePath}")
   }
 }
