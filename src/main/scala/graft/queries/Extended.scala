@@ -329,6 +329,32 @@ object Extended {
       |  round(quantile_cont(l_quantity, 0.75), 6) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q233
+  // Grouped exact percentiles at HIGH group cardinality — q64 runs on
+  // 3 groups (l_returnflag); this runs the same distributed-rank
+  // construction over l_partkey (~2·10⁴ groups at the driver's bench
+  // SF, scaling linearly), pinning that the groups × buckets offset
+  // frame stays tiny and no per-group skew shape hides behind the
+  // low-cardinality oracles. Same pivot/rounding discipline as q64.
+  val q233_partkey_quantiles: Q = (s, dir) =>
+    graft.analytics.Stats.groupedPercentilesExact(
+      Tables.load(s, dir, "lineitem"), col("l_partkey"),
+      col("l_extendedprice"), Seq(0.25, 0.50, 0.75))
+      .groupBy("grp")
+      .agg(
+        round(min(when(col("p") === 0.25, col("q"))), 6).as("p25"),
+        round(min(when(col("p") === 0.50, col("q"))), 6).as("p50"),
+        round(min(when(col("p") === 0.75, col("q"))), 6).as("p75"))
+      .select(col("grp").as("l_partkey"), col("p25"), col("p50"), col("p75"))
+      .orderBy("l_partkey")
+
+  val q233_sql: String =
+    """SELECT l_partkey,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
   // --------------------------------------------------------------- q228
   // Grouped IQR outlier census (A10 as an ORACLE query — previously
   // spec-only): fences within each (group × feature), both features
@@ -1118,6 +1144,7 @@ object Extended {
     "q63_salted_join" -> q63_salted_join,
     "q64_group_quantiles" -> q64_group_quantiles,
     "q228_iqr_census_by" -> q228_iqr_census_by,
+    "q233_partkey_quantiles" -> q233_partkey_quantiles,
     "q65_conditional_agg" -> q65_conditional_agg,
     "q66_dedup_first" -> q66_dedup_first,
     "q67_json_extract" -> q67_json_extract)
@@ -1158,6 +1185,7 @@ object Extended {
     "q63_salted_join" -> q63_sql,
     "q64_group_quantiles" -> q64_sql,
     "q228_iqr_census_by" -> q228_sql,
+    "q233_partkey_quantiles" -> q233_sql,
     "q65_conditional_agg" -> q65_sql,
     "q66_dedup_first" -> q66_sql,
     "q67_json_extract" -> q67_sql)
