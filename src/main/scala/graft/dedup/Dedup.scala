@@ -770,6 +770,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered EXACT containment join — [[prefixFilterJaccardJoinOn]]'s
+    * candidate scheme extended to the asymmetric containment bound:
+    * identical output to [[containmentJoinOn]] with NO df-cut (the
+    * exact-complete counterpart of q119's lossy lower-bound trade,
+    * exactly as q211 is to q96). A pair qualifies when
+    * max(|A∩B|/|A|, |A∩B|/|B|) ≥ t, i.e. |A∩B| ≥ t·min(|A|,|B|) — so
+    * only the SMALLER side's size bounds the required overlap, and the
+    * prefix argument runs one-sided: rank the contained side's items
+    * rarest-first and keep `sz − ⌈t·sz⌉ + 1` of them; if a qualifying
+    * pair shared nothing in that prefix, all shared items would sit in
+    * a suffix smaller than the required overlap — contradiction. The
+    * bigger side cannot be prefix-trimmed (its required overlap depends
+    * on the PARTNER's size, unknown at index time), so candidates come
+    * from prefix(contained) ⋈ FULL postings(container), constrained to
+    * sz_prefix ≤ sz_full. The required-overlap bound uses integer FLOOR
+    * at `tMicro − 1` micro-units (a slightly longer prefix than
+    * strictly needed), so the 6-dp rounding of the final containment
+    * check can never drop a true pair.
+    *
+    * 100 TB shape: the shuffle key is the token on both sides; the
+    * posting-list blow-up risk sits only in the JOIN OUTPUT for hot
+    * tokens, and a hot token (highest df) is by construction the LAST
+    * candidate for any doc's rarest-first prefix — it only enters when
+    * a doc is so small (or t so low) that its prefix is the whole doc.
+    * Verification touches candidate pairs only: one join back to the
+    * per-doc arrays, `array_intersect` per pair. */
+  def prefixFilterContainmentJoinOn(df: DataFrame, id: Column, items: Column,
+                                    threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .filter(col("sz") > 0)
+    val prefix = rarestFirstPrefix(toks, tMicro - 1)
+    val full = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val cand = prefix.alias("a")
+      .join(full.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
+          col("a.sz") <= col("b.sz"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("__ta"),
+        col("sz").as("__sa")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("__tb"),
+        col("sz").as("__sb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("cont_a_in_b", round(col("inter").cast("double") / col("__sa"), 6))
+      .withColumn("cont_b_in_a", round(col("inter").cast("double") / col("__sb"), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("__sa").as("sz_a"), col("__sb").as("sz_b"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** The prefix index for [[prefixFilterJaccardJoinOn]]: per doc, items
     * ranked rarest-first (global df ascending, ties on value), keeping
     * rank ≤ sz - floor(t·sz) + 1. Package-visible so specs can assert

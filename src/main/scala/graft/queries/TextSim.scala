@@ -471,6 +471,46 @@ object TextSim {
        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $PrefixJoinThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q234
+  // Prefix-filtered EXACT containment join — q211's candidate scheme
+  // extended to the asymmetric containment bound (prefix on the
+  // CONTAINED side only: sz − ⌈t·sz⌉ + 1 rarest shingles joined
+  // against the other side's full postings, constrained to
+  // sz_prefix ≤ sz_full). The exact-complete counterpart of q119's
+  // df-cut demo: same feasibility at scale, no lower-bound trade. The
+  // oracle below IS the plain uncapped all-pairs containment join —
+  // a hash match proves candidate completeness.
+  private val PrefixContainThreshold = 0.8
+
+  val q234_prefix_containment: Q = (s, dir) =>
+    Dedup.prefixFilterContainmentJoinOn(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = PrefixContainThreshold)
+      .orderBy("id_a", "id_b")
+
+  val q234_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+       |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       |  round(CAST(i AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+       |  round(CAST(i AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE greatest(round(CAST(i AS DOUBLE) / sa.sz, 6),
+       |               round(CAST(i AS DOUBLE) / sb.sz, 6))
+       |      >= $PrefixContainThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   // --------------------------------------------------------------- q212
   // Sample-calibrated LSH band planner: the q149 audit MEASURES the
   // fixed 16×4 operating point; this PLANS one — a deterministic
@@ -1953,6 +1993,7 @@ object TextSim {
     "q95_simhash_full" -> q95_simhash_full,
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q211_prefix_jaccard" -> q211_prefix_jaccard,
+    "q234_prefix_containment" -> q234_prefix_containment,
     "q212_lsh_plan" -> q212_lsh_plan,
     "q214_lsh_plan_applied" -> q214_lsh_plan_applied,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
@@ -2005,6 +2046,7 @@ object TextSim {
     "q95_simhash_full" -> q95_sql,
     "q96_jaccard_dfcut_full" -> q96_sql,
     "q211_prefix_jaccard" -> q211_sql,
+    "q234_prefix_containment" -> q234_sql,
     "q212_lsh_plan" -> q212_sql,
     "q214_lsh_plan_applied" -> q214_sql,
     "q92_minhash_bands_full" -> q92_sql,

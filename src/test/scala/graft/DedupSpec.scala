@@ -303,6 +303,42 @@ class DedupSpec extends SparkSpec {
     assert(pf === Map((0L, 1L) -> 1.0))
   }
 
+  private def contPairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+
+  test("prefix-filter containment join ≡ plain containment join (crafted + real)") {
+    val items = TextAnalysis.tokens(col("text"))
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val plain = contPairsOf(
+        Dedup.containmentJoinOn(docs, col("doc_id"), items, t))
+      val pf = contPairsOf(
+        Dedup.prefixFilterContainmentJoinOn(docs, col("doc_id"), items, t))
+      assert(pf === plain, s"threshold $t")
+    }
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val shingles = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val plain = contPairsOf(
+      Dedup.containmentJoinOn(real, col("doc_id"), shingles, 0.8))
+    val pf = contPairsOf(
+      Dedup.prefixFilterContainmentJoinOn(real, col("doc_id"), shingles, 0.8))
+    assert(pf === plain)
+    assert(pf.nonEmpty)
+  }
+
+  test("prefix-filter containment finds the subset pair plain jaccard misses") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+    ).toDF("id", "items")
+    val got = Dedup.prefixFilterContainmentJoinOn(d, col("id"), col("items"), 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got === Array((1L, 2L, 3L, 3L, 10L, 1.0, 0.3)))
+    assert(Dedup.prefixFilterJaccardJoinOn(d, col("id"), col("items"), 0.9).isEmpty)
+  }
+
   test("lsh band planner: divisor grid, monotone fp/fn, chosen = min cost") {
     val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
