@@ -246,22 +246,27 @@ object Stats {
       else bounds.map(b => when(col("v") >= b, 1).otherwise(0)).reduce(_ + _)
     val bucketed = comp.withColumn("__bkt", bktCol)
     // per-(grp,bucket) totals: groups×buckets rows — each bucket's
-    // starting offset and the group total come from a broadcast
-    // self-join prefix sum over THIS tiny frame (not a window: for a
-    // GLOBAL percentile the group key is a constant, folds out of a
-    // window's partition spec, and would read as the single-partition-
-    // window shape the fleet-wide plan audit forbids)
+    // starting offset and the group total come from a self-join prefix
+    // sum over this frame (not a window: for a GLOBAL percentile the
+    // group key is a constant, folds out of a window's partition spec,
+    // and would read as the single-partition-window shape the
+    // fleet-wide plan audit forbids). NO broadcast hint: the frame is
+    // tiny for low-cardinality groups (AQE broadcasts it from RUNTIME
+    // size) but it is groups-sized — at 10⁷ l_partkey-style groups a
+    // forced broadcast is a driver OOM, while the fallback shuffle
+    // join is keyed by grp and stays bounded per group (≤ buckets+1
+    // rows a side). q233 is the oracle that pins this shape.
     val totals = bucketed.groupBy("grp", "__bkt").agg(sum("c").as("__t"))
     val peers = totals
       .select(col("grp"), col("__bkt").as("__pb"), col("__t").as("__pt"))
-    val offsets = totals.join(broadcast(peers), "grp")
+    val offsets = totals.join(peers, "grp")
       .groupBy("grp", "__bkt")
       .agg(sum(when(col("__pb") < col("__bkt"), col("__pt")).otherwise(0L))
         .as("__off"),
         sum("__pt").as("__n"))
     val wRun = Window.partitionBy("grp", "__bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = bucketed.join(broadcast(offsets), Seq("grp", "__bkt"))
+    val run = bucketed.join(offsets, Seq("grp", "__bkt"))
       .withColumn("__e", sum("c").over(wRun) + col("__off"))
       .withColumn("__s", col("__e") - col("c") + 1)
     // Spark's Percentile: pos = p·(n−1) 0-based; ranks lo+1 / hi+1 in
