@@ -141,10 +141,20 @@ object Stats {
     * work), `v` (double, non-null) and `c` (long counts ≥ 1). Returns
     * one row per group × percentile: `(grp, p, q)`. Shuffle is
     * distinct-value-sized; the only driver-side work is the
-    * approxQuantile sketch (model-sized). */
+    * approxQuantile sketch (model-sized).
+    *
+    * Plan choice is adaptive: frames the optimizer estimates at or
+    * under `maxFoldBytes` take the single-fold small path (where
+    * `buckets` is irrelevant and ignored); larger frames take this
+    * bucketed construction. Pass `maxFoldBytes = 0` to force the
+    * bucketed scale plan regardless of estimate (q233 does, so the
+    * high-cardinality offsets shape keeps continuous oracle coverage
+    * at every SF), or a huge value to force the fold. Both paths are
+    * bit-identical to `percentile` (CleanStatsSpec). */
   def percentilesFromCounts(comp: DataFrame, ps: Seq[Double],
-                            buckets: Int = 8): DataFrame =
-    if (planBytes(comp) <= SmallPlanBytes) foldPercentilesFromCounts(comp, ps)
+                            buckets: Int = 8,
+                            maxFoldBytes: BigInt = SmallPlanBytes): DataFrame =
+    if (planBytes(comp) <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
     else fromCountsWithBounds(comp, ps, sketchBounds(comp, buckets))
 
   /** Adaptive cut-over threshold for the single-fold small path, in
@@ -305,14 +315,16 @@ object Stats {
     * collapses them to ONE shuffle, so no eager checkpoint is needed —
     * the whole construction is one job plus the sketch. */
   def groupedPercentilesExact(df: DataFrame, group: Column, value: Column,
-                              ps: Seq[Double], buckets: Int = 8): DataFrame = {
+                              ps: Seq[Double], buckets: Int = 8,
+                              maxFoldBytes: BigInt = SmallPlanBytes): DataFrame = {
     val base = df.select(group.as("grp"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
     val comp = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
     // adaptive cut-over on the RAW frame's optimizer estimate (which
     // upper-bounds the compressed frame): small inputs skip the sketch
-    // action and the bucket-offset machinery entirely
-    if (planBytes(base) <= SmallPlanBytes) foldPercentilesFromCounts(comp, ps)
+    // action and the bucket-offset machinery entirely; maxFoldBytes = 0
+    // forces the bucketed scale plan (see percentilesFromCounts)
+    if (planBytes(base) <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
     else fromCountsWithBounds(comp, ps, sketchBounds(base, buckets))
   }
 

@@ -368,13 +368,17 @@ object Dedup {
     * corpora and correct on chains the fixed form under-labels.
     *
     * `maxRounds` is a runaway backstop, not a quality knob: pointer
-    * jumping needs ~log₂(diameter) rounds, so 64 covers any graph that
-    * fits in a cluster. If the backstop ever trips before the
-    * zero-changes fixpoint, the labels are UNDER-MERGED — this method
-    * throws rather than returning them as if converged (the silent
-    * under-merge is exactly the defect of the fixed-iteration form
-    * this variant exists to close). Callers that prefer partial labels
-    * over failure use [[convergedWithRounds]] and read the flag. */
+    * jumping needs ~log₂(diameter) propagation rounds PLUS the one
+    * zero-changes round that proves the fixpoint (a graph that merges
+    * its last edge in round `maxRounds` exactly still throws — the
+    * labels may be complete, but completeness is UNPROVEN without the
+    * observing round), so 64 covers any graph that fits in a cluster
+    * with the +1 to spare. If the backstop ever trips, this method
+    * throws rather than returning possibly-under-merged labels as if
+    * converged (the silent under-merge is exactly the defect of the
+    * fixed-iteration form this variant exists to close). Callers that
+    * prefer partial labels over failure use [[convergedWithRounds]]
+    * and read the flag. */
   def connectedComponentsConverged(edges: DataFrame,
                                    maxRounds: Int = 64,
                                    checkpointer: DataFrame => DataFrame =
@@ -383,10 +387,11 @@ object Dedup {
       convergedWithRounds(edges, maxRounds, checkpointer)
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not reach the zero-changes fixpoint " +
-          s"within maxRounds=$maxRounds — labels would be under-merged; " +
-          s"raise maxRounds (log2(diameter) rounds suffice) or use " +
-          s"convergedWithRounds to accept partial labels explicitly")
+        s"connected components did not OBSERVE the zero-changes fixpoint " +
+          s"within maxRounds=$maxRounds — labels may be under-merged " +
+          s"(convergence unproven); raise maxRounds (log2(diameter) + 1 " +
+          s"rounds suffice) or use convergedWithRounds to accept " +
+          s"possibly-partial labels explicitly")
     labels
   }
 

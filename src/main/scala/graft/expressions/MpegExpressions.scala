@@ -175,8 +175,12 @@ object MpegProbe {
       }
       var pos = 0
       // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4); the
-      // size excludes the 10-byte header (footer flag adds 10 more)
-      if (tag(0, "ID3") && bytes.length >= 10) {
+      // size excludes the 10-byte header (footer flag adds 10 more).
+      // A tag cut inside its own 10-byte header is the same corruption
+      // class as one cut inside its payload — census both as trunc_tag
+      // (falling through would misread the 'I' as no_sync)
+      if (tag(0, "ID3") && bytes.length < 10) return fail("trunc_tag")
+      if (tag(0, "ID3")) {
         val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
           ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
         val footer = (bytes(5) & 0x10) != 0
@@ -199,14 +203,22 @@ object MpegProbe {
         val side =
           if (first.ver == 3) { if (first.channels == 1) 17 else 32 }
           else { if (first.channels == 1) 9 else 17 }
+        // every read stays inside the FIRST frame as well as the
+        // stream: a tag whose frames field crosses the frame boundary
+        // would otherwise read its count from the next frame's sync
+        // bytes (MPEG2 mono L3 at 8 kbps has frameLen 24 and
+        // xOff = pos + 13 — the 4-byte count ends at 25)
+        val frameEnd = pos + first.frameLen
         val xOff = pos + 4 + (if (first.crc) 2 else 0) + side
-        if (xOff + 8 <= bytes.length && xOff + 8 <= pos + first.frameLen &&
+        if (xOff + 8 <= bytes.length && xOff + 8 <= frameEnd &&
             (tag(xOff, "Xing") || tag(xOff, "Info"))) {
           vbrTag = if (tag(xOff, "Xing")) "xing" else "info"
           val flags = be(xOff + 4, 4)
-          if ((flags & 1L) != 0 && xOff + 12 <= bytes.length)
+          if ((flags & 1L) != 0 && xOff + 12 <= bytes.length &&
+              xOff + 12 <= frameEnd)
             vbrFrames = be(xOff + 8, 4)
-        } else if (tag(pos + 36, "VBRI") && pos + 54 <= bytes.length) {
+        } else if (pos + 54 <= frameEnd && pos + 54 <= bytes.length &&
+            tag(pos + 36, "VBRI")) {
           vbrTag = "vbri"
           vbrFrames = be(pos + 50, 4)
         }

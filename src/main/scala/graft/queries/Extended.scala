@@ -331,15 +331,20 @@ object Extended {
 
   // --------------------------------------------------------------- q233
   // Grouped exact percentiles at HIGH group cardinality — q64 runs on
-  // 3 groups (l_returnflag); this runs the same distributed-rank
+  // 3 groups (l_returnflag); this runs the distributed-rank BUCKETED
   // construction over l_partkey (~2·10⁴ groups at the driver's bench
   // SF, scaling linearly), pinning that the groups × buckets offset
-  // frame stays tiny and no per-group skew shape hides behind the
-  // low-cardinality oracles. Same pivot/rounding discipline as q64.
+  // machinery (incl. its AQE-sized, never-forced-broadcast joins)
+  // stays correct where the offsets frame is groups-sized.
+  // maxFoldBytes = 0 forces the scale plan past the adaptive fold
+  // cut-over, so THIS oracle covers the bucketed shape continuously
+  // at every SF — without it, small-SF gates would route to the fold
+  // path and the scale construction would only ever run unchecked at
+  // bench SFs. Same pivot/rounding discipline as q64.
   val q233_partkey_quantiles: Q = (s, dir) =>
     graft.analytics.Stats.groupedPercentilesExact(
       Tables.load(s, dir, "lineitem"), col("l_partkey"),
-      col("l_extendedprice"), Seq(0.25, 0.50, 0.75))
+      col("l_extendedprice"), Seq(0.25, 0.50, 0.75), maxFoldBytes = 0)
       .groupBy("grp")
       .agg(
         round(min(when(col("p") === 0.25, col("q"))), 6).as("p25"),
