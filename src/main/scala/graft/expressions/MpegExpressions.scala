@@ -21,7 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The walk (cf. the reference's byte-census treatment of opaque media,
   * /root/reference/scripts/etl.py — it never decodes either):
-  *  - optional ID3v2 tag skip (syncsafe size);
+  *  - optional ID3v2 tag skip (syncsafe size). Deliberate limitation:
+  *    exactly ONE leading tag is skipped and a valid frame sync must
+  *    follow immediately — stacked ID3v2 tags or junk bytes before the
+  *    first sync (both produced by real-world re-taggers) census as
+  *    no_sync/bad_header rather than being walked. That is the right
+  *    strictness for a validity census (the decode family keys on the
+  *    same gate); a forgiving real-corpus walker would loop the tag
+  *    skip and bounded-forward-scan for sync before giving up;
   *  - 11-bit sync + version/layer/bitrate-index/samplerate-index/
   *    padding/channel-mode parse per frame; frame length from the
   *    public arithmetic (L1: (12·br/sr + pad)·4, L2 & L3-V1:

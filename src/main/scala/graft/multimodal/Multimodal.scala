@@ -1048,28 +1048,65 @@ object Multimodal {
     * discipline the vector census gives embeddings. The format claims
     * are mutually exclusive by magic (PNG/JPEG/BMP/RIFF-WAVE/RIFF-AVI/
     * ftyp), so the counts sum to n_media; one map-side-combined
-    * groupBy, parsers fused into the scan. */
+    * groupBy, parsers fused into the scan.
+    *
+    * Routed sniff-then-walk: each format's cheap fixed-offset magic
+    * test runs for every row, but the expensive structural walk (the
+    * RIFF chunk / ISO-BMFF box folds) sits behind a `when(magic, …)`
+    * — CaseWhen evaluates only the matched branch per row (the
+    * [[parseImageHeader]] discipline), so a corpus row pays for
+    * exactly ONE walk instead of all six. Per-claim semantics are
+    * identical to running each full parser (every parser's validity
+    * already conjoins its own magic), so the census is hash-neutral
+    * by construction — and the claims stay INDEPENDENT booleans, not
+    * a prioritized dispatch, so even a pathological payload whose
+    * RIFF size field spells "ftyp" counts in exactly the same buckets
+    * as before. */
   def mediaValidityCensus(df: DataFrame, group: Column,
                           media: Column): DataFrame = {
     def c(x: Column) = sum(when(coalesce(x, lit(false)), 1L).otherwise(0L))
     val isNull = media.isNull
     val isEmpty = media.isNotNull && length(media) === 0
-    val img = parseImageHeader(media).getField("format")
+    val isPng = length(media) >= 26 &&
+      hex(substring(media, 1, 8)) === lit(PngMagicHex)
+    val isJpeg = length(media) >= 4 &&
+      hex(substring(media, 1, 2)) === lit("FFD8")
+    val riff = hex(substring(media, 1, 4)) === lit("52494646")    // "RIFF"
+    val isWavMagic = length(media) >= 44 && riff &&
+      hex(substring(media, 9, 4)) === lit("57415645")             // "WAVE"
+    val isAviMagic = length(media) >= 88 && riff &&
+      hex(substring(media, 9, 4)) === lit("41564920")             // "AVI "
+    val isMp4Magic = length(media) >= 16 &&
+      hex(media.substr(lit(5L), lit(4L))) === lit("66747970")     // "ftyp"
+    val isBmpMagic = length(media) >= 54 &&
+      hex(substring(media, 1, 2)) === lit("424D")                 // "BM"
+    def gated(magic: Column, walkClaim: Column): Column =
+      when(magic, walkClaim).otherwise(lit(false))
     val claims = Seq(
-      "n_png" -> (img === lit("png")),
-      "n_jpeg" -> (img === lit("jpeg")),
-      "n_bmp" -> parseBmp(media).getField("valid"),
-      "n_wav" -> (parseWavHeader(media).getField("format") === lit("wav")),
-      "n_avi" -> (parseAviHeader(media).getField("format") === lit("avi")),
-      "n_mp4" -> (parseMp4Header(media).getField("format") === lit("mp4")))
-    val claimed = claims.map(_._2)
-      .map(x => coalesce(x, lit(false))).reduce(_ || _)
-    df.groupBy(group.as("grp"))
+      "n_png" -> isPng,                 // ≡ parseImageHeader.format = png
+      "n_jpeg" -> (!isPng && isJpeg),   // ≡ parseImageHeader.format = jpeg
+      "n_bmp" -> gated(isBmpMagic, parseBmp(media).getField("valid")),
+      "n_wav" -> gated(isWavMagic,
+        parseWavHeader(media).getField("format") === lit("wav")),
+      "n_avi" -> gated(isAviMagic,
+        parseAviHeader(media).getField("format") === lit("avi")),
+      "n_mp4" -> gated(isMp4Magic,
+        parseMp4Header(media).getField("format") === lit("mp4")))
+    // Claims materialize in a Project BELOW the aggregate so each walk
+    // runs once per row — referencing the raw claim expressions from
+    // both their own sum AND n_unknown's !claimed would evaluate every
+    // walk twice per row (aggregate-input trees don't share the
+    // CodegenFallback HOF folds across expressions).
+    val projected = df.select(
+      group.as("grp") +: isNull.as("__null") +: isEmpty.as("__empty") +:
+        (media.isNotNull && length(media) > 0).as("__nonempty") +:
+        claims.map { case (n, x) => coalesce(x, lit(false)).as(s"__$n") }: _*)
+    val claimed = claims.map { case (n, _) => col(s"__$n") }.reduce(_ || _)
+    projected.groupBy("grp")
       .agg(count(lit(1)).cast("long").as("n_media"),
-        c(isNull).as("n_null") +: c(isEmpty).as("n_empty") +:
-          claims.map { case (n, x) => c(x).as(n) } :+
-          c(media.isNotNull && length(media) > 0 && !claimed)
-            .as("n_unknown"): _*)
+        c(col("__null")).as("n_null") +: c(col("__empty")).as("n_empty") +:
+          claims.map { case (n, _) => c(col(s"__$n")).as(n) } :+
+          c(col("__nonempty") && !claimed).as("n_unknown"): _*)
       .orderBy("grp")
   }
 

