@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,12 +150,25 @@ object Stats {
     * bucketed scale plan regardless of estimate (q233 does, so the
     * high-cardinality offsets shape keeps continuous oracle coverage
     * at every SF), or a huge value to force the fold. Both paths are
-    * bit-identical to `percentile` (CleanStatsSpec). */
+    * bit-identical to `percentile` (CleanStatsSpec).
+    *
+    * `buckets = 0` (the default) auto-sizes the range-bucket count and
+    * the rank sort's partition count from the frame's own estimate
+    * ([[autoBuckets]]/[[autoSortParts]]); explicit values are honored
+    * unchanged. Results are bucket-count-independent either way
+    * (CleanStatsSpec pins buckets=1 ≡ buckets=32). */
   def percentilesFromCounts(comp: DataFrame, ps: Seq[Double],
-                            buckets: Int = 8,
-                            maxFoldBytes: BigInt = SmallPlanBytes): DataFrame =
-    if (planBytes(comp) <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
-    else fromCountsWithBounds(comp, ps, sketchBounds(comp, buckets))
+                            buckets: Int = 0,
+                            maxFoldBytes: BigInt = SmallPlanBytes): DataFrame = {
+    val est = planBytes(comp)
+    if (est <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
+    else {
+      val b = if (buckets > 0) buckets
+        else autoBuckets(est, sampledGroupCount(comp))
+      fromCountsWithBounds(comp, ps, sketchBounds(comp, b),
+        autoSortParts(est, comp.sparkSession))
+    }
+  }
 
   /** Adaptive cut-over threshold for the single-fold small path, in
     * optimizer-estimated bytes — the broadcast-join sizing discipline
@@ -247,14 +260,61 @@ object Stats {
       (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
 
+  /** Range-bucket sizing for the bucketed construction, from the same
+    * bounded sample the range sketch reads: per-group compressed bytes
+    * ≈ est / (sampled approx-distinct groups). More buckets only help
+    * when single groups are BIG — for a global percentile the bucket
+    * count IS the sort parallelism — while at high group cardinality
+    * hash partitioning already spreads groups and extra buckets just
+    * multiply the groups×buckets offsets frame (the q233 shape, which
+    * this sizes down to 1 bucket). Bucket-count independence of the
+    * RESULT is pinned by CleanStatsSpec, so sizing is a pure
+    * balance/spill decision, never correctness. */
+  private[graft] def autoBuckets(est: BigInt, nGroupsSampled: Long): Int = {
+    val perGroup = est / BigInt(math.max(1L, nGroupsSampled))
+    (perGroup / BucketTargetBytes).min(BigInt(MaxAutoBuckets - 1)).toInt + 1
+  }
+
+  /** Explicit partition count for the rank sort's exchange: the
+    * optimizer estimate over ~256 KB per task (est bytes are the
+    * COMPRESSED plan estimate; in-sort UnsafeRow + sorter overhead
+    * runs an order of magnitude higher, which is why the target is
+    * small) — never below the session's shuffle partitions, capped so
+    * a mis-estimate can't explode the stage. This is the q233 sf1
+    * sort-spill shave: 32 fixed partitions put ~35 MB of rank rows in
+    * each task's sorter under a 2 GiB heap shared by 32 concurrent
+    * tasks. */
+  private[graft] def autoSortParts(est: BigInt,
+                                   spark: SparkSession): Int = {
+    val byBytes = (est / SortTargetBytes).min(BigInt(MaxSortParts)).toInt
+    math.max(spark.sessionState.conf.numShufflePartitions, byBytes)
+  }
+
+  private val BucketTargetBytes = BigInt(4L << 20)
+  private val SortTargetBytes = BigInt(256L << 10)
+  private val MaxAutoBuckets = 256
+  private val MaxSortParts = 4096
+
+  private def sampledGroupCount(base: DataFrame): Long =
+    base.limit(SketchSampleRows)
+      .agg(approx_count_distinct("grp")).head().getLong(0)
+
   private[graft] def fromCountsWithBounds(comp: DataFrame, ps: Seq[Double],
-                                   bounds: Array[Double]): DataFrame = {
+                                   bounds: Array[Double],
+                                   sortParts: Int = 0): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must be in [0, 1]")
     val bktCol =
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(col("v") >= b, 1).otherwise(0)).reduce(_ + _)
     val bucketed = comp.withColumn("__bkt", bktCol)
+    // sortParts > 0: pre-partition the rank-sort input explicitly (the
+    // window's required clustering on (grp, __bkt) is then already
+    // satisfied, so this REPLACES the window's implicit exchange
+    // rather than adding one); 0 keeps the session default
+    val ranked =
+      if (sortParts > 0) bucketed.repartition(sortParts, col("grp"), col("__bkt"))
+      else bucketed
     // per-(grp,bucket) totals: groups×buckets rows — each bucket's
     // starting offset and the group total come from a self-join prefix
     // sum over this frame (not a window: for a GLOBAL percentile the
@@ -276,7 +336,7 @@ object Stats {
         sum("__pt").as("__n"))
     val wRun = Window.partitionBy("grp", "__bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = bucketed.join(offsets, Seq("grp", "__bkt"))
+    val run = ranked.join(offsets, Seq("grp", "__bkt"))
       .withColumn("__e", sum("c").over(wRun) + col("__off"))
       .withColumn("__s", col("__e") - col("c") + 1)
     // Spark's Percentile: pos = p·(n−1) 0-based; ranks lo+1 / hi+1 in
@@ -315,7 +375,7 @@ object Stats {
     * collapses them to ONE shuffle, so no eager checkpoint is needed —
     * the whole construction is one job plus the sketch. */
   def groupedPercentilesExact(df: DataFrame, group: Column, value: Column,
-                              ps: Seq[Double], buckets: Int = 8,
+                              ps: Seq[Double], buckets: Int = 0,
                               maxFoldBytes: BigInt = SmallPlanBytes): DataFrame = {
     val base = df.select(group.as("grp"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -324,8 +384,14 @@ object Stats {
     // upper-bounds the compressed frame): small inputs skip the sketch
     // action and the bucket-offset machinery entirely; maxFoldBytes = 0
     // forces the bucketed scale plan (see percentilesFromCounts)
-    if (planBytes(base) <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
-    else fromCountsWithBounds(comp, ps, sketchBounds(base, buckets))
+    val est = planBytes(base)
+    if (est <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
+    else {
+      val b = if (buckets > 0) buckets
+        else autoBuckets(est, sampledGroupCount(base))
+      fromCountsWithBounds(comp, ps, sketchBounds(base, b),
+        autoSortParts(est, df.sparkSession))
+    }
   }
 
   /** Equi-depth (equal-frequency) histogram — the optimizer-stats

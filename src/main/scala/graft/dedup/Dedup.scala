@@ -833,6 +833,72 @@ object Dedup {
         col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
+  /** Prefix-filtered EXACT rarity-weighted overlap join —
+    * [[prefixFilterJaccardJoinOn]]'s candidate scheme extended to the
+    * WEIGHTED overlap bound: identical output to
+    * [[weightedOverlapJoinOn]] with no df-cut. The prefix argument
+    * runs on weight mass instead of item count: order every document's
+    * items by DESCENDING weight (w = 1e6 div df, ties on the item
+    * value — a total order CONSISTENT across documents because both
+    * keys are global properties of the item) and keep an item iff the
+    * weight sum from its rank to the end of the document is ≥
+    * `minWeight`. Completeness: for any qualifying pair let t* be the
+    * globally-heaviest shared item; every shared item ranks at or
+    * after t* on BOTH sides, so each side's tail sum at t* is ≥ the
+    * pair's total shared weight ≥ minWeight — t* is in both prefixes
+    * and the pair collides in the prefix⋈prefix join. All weights are
+    * exact BIGINT micro-units, so there is no rounding to guard.
+    *
+    * 100 TB shape: the candidate join's shuffle key is the prefix
+    * item, and the pruned suffix is exactly the LIGHTEST items — the
+    * high-df boilerplate whose posting lists blow up the plain
+    * inverted-index self-join ([[weightedOverlapJoinOn]]'s q122 spill
+    * shape). A hot item enters a doc's prefix only when the doc's
+    * remaining weight mass past it still clears minWeight — rare for
+    * real corpora where hot items carry micro-weights. Verification
+    * touches candidate pairs only: two keyed joins back to the
+    * weighted inverted index (per-pair cost O(|A|+|B|)), exact BIGINT
+    * sums, and the same final `w_overlap ≥ minWeight` gate as the
+    * plain join. */
+  def prefixFilterWeightedOverlapJoinOn(df: DataFrame, id: Column,
+                                        items: Column,
+                                        minWeight: Long): DataFrame = {
+    require(minWeight > 0L, s"minWeight must be positive, got $minWeight")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
+    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val wInv = inv.join(
+      inv.groupBy("tok").agg(count(lit(1)).as("__df")), "tok")
+      .select(col("id"), col("tok"),
+        expr("CAST(1000000 AS BIGINT) div __df").as("w"))
+    // heaviest-first prefix: tail sum (this item + everything lighter
+    // in the same doc) must still reach minWeight. Window partitions
+    // per doc id — bounded by doc size, never corpus-sized.
+    val byWeight = Window.partitionBy(col("id"))
+      .orderBy(col("w").desc, col("tok").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = wInv
+      .withColumn("__tail", sum(col("w")).over(byWeight))
+      .filter(col("__tail") >= minWeight)
+      .select(col("id"), col("tok"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification on candidates only: per-pair intersection via
+    // the weighted inverted index, keyed by doc id on both joins.
+    val wa = wInv.select(col("id").as("id_a"), col("tok").as("__tok"),
+      col("w").as("__w"))
+    val wb = wInv.select(col("id").as("id_b"), col("tok").as("__tok"))
+    cand.join(wa, "id_a")
+      .join(wb, Seq("id_b", "__tok"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), sum(col("__w")).as("w_overlap"))
+      .filter(col("w_overlap") >= minWeight)
+      .select(col("id_a"), col("id_b"), col("inter"), col("w_overlap"))
+  }
+
   /** The prefix index for [[prefixFilterJaccardJoinOn]]: per doc, items
     * ranked rarest-first (global df ascending, ties on value), keeping
     * rank ≤ sz - floor(t·sz) + 1. Package-visible so specs can assert

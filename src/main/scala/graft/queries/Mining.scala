@@ -274,6 +274,30 @@ object Mining {
        |  CAST(min(CASE WHEN rn = 1 THEN partner END) AS BIGINT) AS top_partner
        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q235
+  // Prefix-filtered EXACT rarity-weighted overlap join — the q234/q211
+  // completeness pattern applied to the LAST GB-spill family without a
+  // bounded twin: heaviest-first ordering keeps an item only while the
+  // doc's remaining weight mass still clears minWeight, so the
+  // candidate self-join drops exactly the high-df boilerplate items
+  // whose posting lists blow up q122's plain inverted-index join — yet
+  // the result is provably identical (for any qualifying pair, the
+  // globally-heaviest shared item sits in BOTH prefixes). The oracle
+  // IS q122's plain all-pairs join — a hash match proves candidate
+  // completeness.
+  val q235_prefix_weighted_overlap: Q = (s, dir) =>
+    graft.dedup.Dedup.prefixFilterWeightedOverlapJoinOn(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(
+        graft.text.TextAnalysis.tokens(col("text")), 3),
+      minWeight = WoMinWeight)
+      .orderBy("id_a", "id_b")
+
+  // Deliberately the SAME text as q122_sql (both select from the shared
+  // materialized `pairs` CTE): the prefix filter must reproduce the
+  // plain join exactly — completeness is the whole claim.
+  val q235_sql: String = q122_sql
+
   // --------------------------------------------------------------- q123
   // Character-class entropy per source: the gibberish / binary-noise
   // detector. Five exact BIGINT class counts from one aggregate; the
@@ -1499,6 +1523,7 @@ object Mining {
     "q121_temperature_mixture" -> q121_temperature_mixture,
     "q122_weighted_overlap" -> q122_weighted_overlap,
     "q222_overlap_census" -> q222_overlap_census,
+    "q235_prefix_weighted_overlap" -> q235_prefix_weighted_overlap,
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
@@ -1536,6 +1561,7 @@ object Mining {
     "q121_temperature_mixture" -> q121_sql,
     "q122_weighted_overlap" -> q122_sql,
     "q222_overlap_census" -> q222_sql,
+    "q235_prefix_weighted_overlap" -> q235_sql,
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,

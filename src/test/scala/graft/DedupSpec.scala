@@ -339,6 +339,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.prefixFilterJaccardJoinOn(d, col("id"), col("items"), 0.9).isEmpty)
   }
 
+  private def woPairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+
+  test("prefix-filter weighted overlap ≡ plain weighted overlap (crafted + real)") {
+    val items = TextAnalysis.tokens(col("text"))
+    // span the regimes: tiny minWeight (prefix ≈ everything), the
+    // realistic band, and one above every crafted pair's weight
+    for (mw <- Seq(1L, 500000L, 2000000L, 50000000L)) {
+      val plain = woPairsOf(
+        Dedup.weightedOverlapJoinOn(docs, col("doc_id"), items, mw))
+      val pf = woPairsOf(
+        Dedup.prefixFilterWeightedOverlapJoinOn(docs, col("doc_id"), items, mw))
+      assert(pf === plain, s"minWeight $mw")
+    }
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val shingles = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val plain = woPairsOf(
+      Dedup.weightedOverlapJoinOn(real, col("doc_id"), shingles, 3000000L))
+    val pf = woPairsOf(
+      Dedup.prefixFilterWeightedOverlapJoinOn(real, col("doc_id"), shingles, 3000000L))
+    assert(pf === plain)
+    assert(pf.nonEmpty) // the synthetic corpus has rare-shingle overlaps
+  }
+
+  test("weighted prefix prunes the hot item but still finds the rare-overlap pair") {
+    import spark.implicits._
+    // "hot" appears in all 4 docs (w = 250000); "rare1"/"rare2" appear
+    // in 2 docs each (w = 500000). At minWeight 900000 a qualifying
+    // pair needs both rares (1000000) — the hot item alone (250000)
+    // can never finish a pair, and each doc's tail sum at the hot
+    // item's rank is 250000 < 900000, so hot is OUTSIDE every prefix:
+    // the candidate join never touches the corpus-wide posting list.
+    val d = Seq(
+      (1L, Seq("hot", "rare1", "rare2")),
+      (2L, Seq("hot", "rare1", "rare2")),
+      (3L, Seq("hot", "only3")),
+      (4L, Seq("hot", "only4"))
+    ).toDF("id", "items")
+    val got = Dedup.prefixFilterWeightedOverlapJoinOn(d, col("id"), col("items"), 900000L)
+      .as[(Long, Long, Long, Long)].collect()
+    // inter counts ALL shared items (incl. hot): 3 shared, weight
+    // 500000 + 500000 + 250000 = 1250000
+    assert(got === Array((1L, 2L, 3L, 1250000L)))
+  }
+
   test("lsh band planner: divisor grid, monotone fp/fn, chosen = min cost") {
     val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val items = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
