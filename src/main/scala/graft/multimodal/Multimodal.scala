@@ -34,11 +34,17 @@ import org.apache.spark.sql.types._
   *    and G.711 µ-law/A-law, IMA-ADPCM WAV, AU and AIFF through the
   *    spec-exact audio decoder ([[graft.expressions.AudioDecode]]).
   *    Only genuinely-codec-requiring SAMPLE reconstruction (MP3/AAC
-  *    audio, H.264 video frames) still falls back to the labeled hash
-  *    stub ([[stubDecodeFeatures]]) — MPEG-audio METADATA (headers,
-  *    frame walk, duration, VBR tags) is real and oracle-checked via
-  *    [[graft.expressions.MpegProbe]] (q232): this container ships no
-  *    codec libraries; swap the fallback for a JNI/FFmpeg call in
+  *    audio, compressed video codecs OTHER than Motion-JPEG, e.g.
+  *    H.264) still falls back to the labeled hash stub
+  *    ([[stubDecodeFeatures]]) — MPEG-audio METADATA (headers, frame
+  *    walk, duration, VBR tags) is real and oracle-checked via
+  *    [[graft.expressions.MpegProbe]] (q232), UNCOMPRESSED DIB/RGB
+  *    video frames inside AVI decode for real via
+  *    [[graft.expressions.AviDibProbe]] (q236), and Motion-JPEG
+  *    frames decode through the JDK registry via
+  *    [[graft.expressions.AviMjpegProbe]] + [[imageIoDecode]]
+  *    (q237 geometry oracle + MjpegSpec pixels): this container ships
+  *    no codec libraries; swap the fallback for a JNI/FFmpeg call in
   *    production.
   *
   * Scale design: payloads never pass through a shuffle — decode is a
@@ -338,6 +344,259 @@ object Multimodal {
       hdrlList, moviList)
     spread.select(id.as("media_id"),
       when(id % 83L === 0L, body).otherwise(avi).as("media"))
+  }
+
+  /** Full uncompressed-DIB AVI frame decode as a column expression —
+    * struct (valid, reason, width, height, bit_count, compression,
+    * n_frames, n_px, sum_b, sum_g, sum_r, sq_b, sq_g, sq_r); see
+    * [[graft.expressions.AviDibProbe]] for the walk and the census-row
+    * rejection semantics. Real pixel statistics for the one video
+    * payload that needs no codec (biCompression = 0 '##db' frames);
+    * compressed codecs census `compressed` and remain the labeled
+    * stub's boundary. */
+  def aviDibDecode(media: Column): Column =
+    graft.expressions.AviDibExpressions.avi_dib_probe(media)
+
+  /** Deterministic synthetic AVI corpus WITH uncompressed-DIB video
+    * frames — the [[syntheticPngDecodable]] discipline for q236: every
+    * pixel byte is pure id arithmetic
+    * (`(id + 23·frame + 7·j) mod 256` for j the logical byte index
+    * inside a frame), so a cross-engine oracle can recompute the
+    * per-channel statistics WITHOUT byte access, while the Spark side
+    * must run the real container walk. Load-bearing properties:
+    *  - widths 1..4 → strides 4/8/12/12 with 0–3 pad bytes per row,
+    *    and pads carry POISON (0xAB), so a contiguous reader cannot
+    *    hash-match;
+    *  - an odd-length JUNK chunk before movi (id even) and an
+    *    odd-length '01wb' audio chunk inside movi (id % 3 = 0)
+    *    exercise the even-padding rule on both walks;
+    *  - defect variants by id % 9: 5 = biCompression 1 with '00dc'
+    *    chunks (the codec boundary), 6 = last frame payload cut in
+    *    half (trunc_frame, walked-prefix count surfaced), 7 = the only
+    *    stream is 'auds' (no_strf), 8 = raw md5 bytes (not_avi). */
+  def syntheticAviDib(docs: DataFrame,
+                      idCol: Column = col("doc_id"),
+                      textCol: Column = col("text")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    def leH(v: Column, n: Int): Column = {
+      val h = lpad(hex(v), 2 * n, "0")
+      concat((n - 1 to 0 by -1).map(i => h.substr(lit(2 * i + 1), lit(2))): _*)
+    }
+    def hx(s: String): Column = lit(s)
+    val variant = id % 9L
+    val w = lit(1L) + id % 4L
+    val h = lit(1L) + id % 3L
+    val nf = lit(1L) + id % 5L
+    val rb = w * 3L
+    val stride = ((rb + lit(3L)) / lit(4L)).cast("long") * 4L
+    val fb = stride * h
+    val comp = when(variant === 5L, 1L).otherwise(0L)
+    // BITMAPINFOHEADER: size 40, w, h, planes 1, bits 24, compression,
+    // sizeImage, 16 reserved-class zero bytes
+    val strfHex = concat(hx("73747266"), leH(lit(40L), 4),
+      leH(lit(40L), 4), leH(w, 4), leH(h, 4), leH(lit(1L), 2),
+      leH(lit(24L), 2), leH(comp, 4), leH(fb, 4),
+      leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4))
+    // AVISTREAMHEADER: fccType ('auds' for the no-vids variant),
+    // fccHandler 'DIB ', dwLength = nf at its published offset
+    val fccType = when(variant === 7L, hx("61756473")).otherwise(hx("76696473"))
+    val strhHex = concat(hx("73747268"), leH(lit(56L), 4),
+      fccType, hx("44494220"),
+      leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(1L), 4),
+      leH(lit(30L), 4), leH(lit(0L), 4), leH(nf, 4),
+      leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 8))
+    val strlHex = concat(hx("4C495354"), leH(lit(116L), 4), hx("7374726C"),
+      strhHex, strfHex)
+    val avihHex = concat(hx("61766968"), leH(lit(56L), 4),
+      leH(lit(33333L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(16L), 4),
+      leH(nf, 4), leH(lit(0L), 4), leH(lit(1L), 4), leH(lit(0L), 4),
+      leH(w, 4), leH(h, 4), leH(lit(0L), 16))
+    val hdrlHex = concat(hx("4C495354"), leH(lit(192L), 4), hx("6864726C"),
+      avihHex, strlHex)
+    val junkLen = id % 11L + 1L
+    val junkHex = concat(hx("4A554E4B"), leH(junkLen, 4),
+      upper(md5(textCol)).substr(lit(1L), junkLen * 2L),
+      when(junkLen % 2L === 1L, hx("00")).otherwise(hx("")))
+    // physical frame bytes: row r = b div stride, in-row k; pixel bytes
+    // carry the formula value at logical j = r·3w + k, pads the poison
+    def frameHex(f: Column): Column =
+      array_join(transform(sequence(lit(0L), fb - 1L), b => {
+        val r = (b / stride).cast("long")
+        val k = b - r * stride
+        val j = r * rb + k
+        when(k < rb, lpad(hex((id + f * 23L + j * 7L) % 256L), 2, "0"))
+          .otherwise(lit("AB"))
+      }), "")
+    val dibId = when(variant === 5L, hx("30306463")).otherwise(hx("30306462"))
+    val fullFramesHex = array_join(transform(sequence(lit(0L), nf - 1L),
+      f => concat(dibId, leH(fb, 4), frameHex(f))), "")
+    val truncFramesHex = concat(
+      when(nf > 1L, array_join(transform(sequence(lit(0L), nf - lit(2L)),
+        f => concat(dibId, leH(fb, 4), frameHex(f))), "")).otherwise(lit("")),
+      dibId, leH(fb, 4),
+      frameHex(nf - 1L).substr(lit(1L), (fb / lit(2L)).cast("long") * 2L))
+    val hasAud = id % 3L === 0L
+    val audHex = concat(hx("30317762"), leH(lit(5L), 4),
+      upper(md5(concat(textCol, lit("x")))).substr(lit(1L), lit(10L)), hx("00"))
+    val framesHex = when(variant === 6L, truncFramesHex).otherwise(fullFramesHex)
+    val framesBytes = when(variant === 6L,
+        (nf - 1L) * (fb + 8L) + 8L + (fb / lit(2L)).cast("long"))
+      .otherwise(nf * (fb + 8L))
+    val audBytes = when(hasAud, lit(14L)).otherwise(lit(0L))
+    val moviSize = audBytes + framesBytes + 4L
+    val moviHex = concat(hx("4C495354"), leH(moviSize, 4), hx("6D6F7669"),
+      when(hasAud, audHex).otherwise(lit("")), framesHex)
+    val hasJunk = id % 2L === 0L
+    val junkBytes = when(hasJunk, junkLen + junkLen % 2L + 8L).otherwise(lit(0L))
+    val riffSize = junkBytes + moviSize + lit(4L) + 200L + 8L
+    val aviHex = concat(hx("52494646"), leH(riffSize, 4), hx("41564920"),
+      hdrlHex, when(hasJunk, junkHex).otherwise(lit("")), moviHex)
+    val media = when(variant === 8L, unhex(upper(md5(textCol))))
+      .otherwise(unhex(aviHex))
+    spread.select(id.as("media_id"), media.as("media"))
+  }
+
+  /** MJPEG frame extraction from an AVI container as a column
+    * expression — struct (valid, reason, n_frames, frames); see
+    * [[graft.expressions.AviMjpegProbe]]. The container walk (chunk
+    * geometry, counts, sizes) is exactly oracle-checkable (q237); the
+    * frame PAYLOADS are complete baseline JPEGs that decode through
+    * the already-shipped JDK registry path ([[imageIoDecode]]),
+    * spec-pinned like baseline JPEG. */
+  def aviMjpegFrames(media: Column): Column =
+    graft.expressions.AviDibExpressions.avi_mjpeg_probe(media)
+
+  /** Per-media Motion-JPEG pixel statistics: extract every '##dc'
+    * frame ([[aviMjpegFrames]]) and decode each through the JDK JPEG
+    * path ([[imageIoDecode]]) — one narrow explode, no shuffle until
+    * the per-media aggregate, decode fused into the projection. Counts
+    * both walked and successfully-decoded frames (a frame the JDK
+    * rejects lowers `n_decoded`, never poisons the sums) plus exact
+    * BIGINT pixel and per-channel sums over the decoded frames.
+    * Spec-pinned (MjpegSpec) against the JDK's own per-image decode of
+    * the identical frame bytes: JPEG IDCT rounding is
+    * implementation-defined, so this is deliberately NOT an
+    * ANSI-oracle surface — the oracle-checkable half is q237's
+    * geometry census. */
+  def mjpegFrameStats(df: DataFrame, id: Column, media: Column): DataFrame = {
+    val d = aviMjpegFrames(media)
+    df.select(id.as("id"), d.as("__d"))
+      .filter(col("__d.valid"))
+      .select(col("id"), explode(col("__d.frames")).as("__f"))
+      .select(col("id"), imageIoDecode(col("__f")).as("__r"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(when(col("__r.valid"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("__r.valid"), col("__r.n_px"))).as("n_px"),
+        sum(when(col("__r.valid"),
+          element_at(col("__r.chan_sum"), 1))).as("sum_c0"),
+        sum(when(col("__r.valid"),
+          element_at(col("__r.chan_sum"), 2))).as("sum_c1"),
+        sum(when(col("__r.valid"),
+          element_at(col("__r.chan_sum"), 3))).as("sum_c2"))
+  }
+
+  /** Deterministic synthetic Motion-JPEG AVI corpus — the geometry
+    * half of MJPEG support, built so q237's oracle can replay the walk
+    * WITHOUT byte access: frame count, each frame's declared size, and
+    * each frame's 2-byte magic are pure id arithmetic (`nf = 1+id%6`,
+    * `len(f) = 40 + (7·id + 13·f) mod 59` — odd and even sizes, so
+    * the movi walk's pad rule is exercised; frame f carries FFD8 iff
+    * `(id+f) mod 5 ≠ 0`, so the magic census is non-trivial). Payload
+    * interiors are md5-derived (the oracle never reads them). Defect
+    * variants by id % 7: 4 = biCompression 0 (not_mjpeg — that's the
+    * DIB twin's claim), 5 = last frame payload cut in half
+    * (trunc_frame with the walked prefix surfaced), 6 = raw md5 bytes
+    * (not_avi). The odd '01wb' audio chunk (id % 3 = 0) and odd JUNK
+    * before movi (id even) ride along as in [[syntheticAviDib]]. */
+  def syntheticAviMjpeg(docs: DataFrame,
+                        idCol: Column = col("doc_id"),
+                        textCol: Column = col("text")): DataFrame = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val id = idCol.cast("long")
+    def leH(v: Column, n: Int): Column = {
+      val h = lpad(hex(v), 2 * n, "0")
+      concat((n - 1 to 0 by -1).map(i => h.substr(lit(2 * i + 1), lit(2))): _*)
+    }
+    def hx(s: String): Column = lit(s)
+    val variant = id % 7L
+    val w = lit(1L) + id % 4L
+    val h = lit(1L) + id % 3L
+    val nf = lit(1L) + id % 6L
+    // biCompression: the 'MJPG' fourcc bytes, or 0 for the defect
+    val compHex = when(variant === 4L, hx("00000000")).otherwise(hx("4D4A5047"))
+    val strfHex = concat(hx("73747266"), leH(lit(40L), 4),
+      leH(lit(40L), 4), leH(w, 4), leH(h, 4), leH(lit(1L), 2),
+      leH(lit(24L), 2), compHex, leH(lit(0L), 4),
+      leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4))
+    val strhHex = concat(hx("73747268"), leH(lit(56L), 4),
+      hx("76696473"), hx("4D4A5047"),
+      leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(1L), 4),
+      leH(lit(30L), 4), leH(lit(0L), 4), leH(nf, 4),
+      leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(0L), 8))
+    val strlHex = concat(hx("4C495354"), leH(lit(116L), 4), hx("7374726C"),
+      strhHex, strfHex)
+    val avihHex = concat(hx("61766968"), leH(lit(56L), 4),
+      leH(lit(33333L), 4), leH(lit(0L), 4), leH(lit(0L), 4), leH(lit(16L), 4),
+      leH(nf, 4), leH(lit(0L), 4), leH(lit(1L), 4), leH(lit(0L), 4),
+      leH(w, 4), leH(h, 4), leH(lit(0L), 16))
+    val hdrlHex = concat(hx("4C495354"), leH(lit(192L), 4), hx("6864726C"),
+      avihHex, strlHex)
+    val junkLen = id % 11L + 1L
+    val junkHex = concat(hx("4A554E4B"), leH(junkLen, 4),
+      upper(md5(textCol)).substr(lit(1L), junkLen * 2L),
+      when(junkLen % 2L === 1L, hx("00")).otherwise(hx("")))
+    def fLen(f: Column): Column = lit(40L) + (id * 7L + f * 13L) % 59L
+    def frameHex(f: Column): Column = {
+      val len = fLen(f)
+      val magic = when((id + f) % 5L === 0L, hx("4142")).otherwise(hx("FFD8"))
+      concat(magic,
+        repeat(upper(md5(concat(textCol, f.cast("string")))), 7)
+          .substr(lit(1L), (len - 4L) * 2L),
+        hx("FFD9"))
+    }
+    def chunkHex(f: Column): Column = {
+      val len = fLen(f)
+      concat(hx("30306463"), leH(len, 4), frameHex(f),
+        when(len % 2L === 1L, hx("00")).otherwise(hx("")))
+    }
+    val fullFramesHex = array_join(transform(sequence(lit(0L), nf - 1L),
+      f => chunkHex(f)), "")
+    val lastLen = fLen(nf - 1L)
+    val truncFramesHex = concat(
+      when(nf > 1L, array_join(transform(sequence(lit(0L), nf - lit(2L)),
+        f => chunkHex(f)), "")).otherwise(lit("")),
+      hx("30306463"), leH(lastLen, 4),
+      frameHex(nf - 1L).substr(lit(1L), (lastLen / lit(2L)).cast("long") * 2L))
+    val hasAud = id % 3L === 0L
+    val audHex = concat(hx("30317762"), leH(lit(5L), 4),
+      upper(md5(concat(textCol, lit("x")))).substr(lit(1L), lit(10L)), hx("00"))
+    def chunkBytes(f: Column): Column = {
+      val len = fLen(f)
+      len + len % 2L + 8L
+    }
+    val fullFramesBytes = aggregate(sequence(lit(0L), nf - 1L), lit(0L),
+      (acc, f) => acc + chunkBytes(f))
+    val truncFramesBytes =
+      when(nf > 1L, aggregate(sequence(lit(0L), nf - lit(2L)), lit(0L),
+        (acc, f) => acc + chunkBytes(f))).otherwise(lit(0L)) +
+        lit(8L) + (lastLen / lit(2L)).cast("long")
+    val framesHex = when(variant === 5L, truncFramesHex).otherwise(fullFramesHex)
+    val framesBytes = when(variant === 5L, truncFramesBytes)
+      .otherwise(fullFramesBytes)
+    val audBytes = when(hasAud, lit(14L)).otherwise(lit(0L))
+    val moviSize = audBytes + framesBytes + 4L
+    val moviHex = concat(hx("4C495354"), leH(moviSize, 4), hx("6D6F7669"),
+      when(hasAud, audHex).otherwise(lit("")), framesHex)
+    val hasJunk = id % 2L === 0L
+    val junkBytes = when(hasJunk, junkLen + junkLen % 2L + 8L).otherwise(lit(0L))
+    val riffSize = junkBytes + moviSize + lit(4L) + 200L + 8L
+    val aviHex = concat(hx("52494646"), leH(riffSize, 4), hx("41564920"),
+      hdrlHex, when(hasJunk, junkHex).otherwise(lit("")), moviHex)
+    val media = when(variant === 6L, unhex(upper(md5(textCol))))
+      .otherwise(unhex(aviHex))
+    spread.select(id.as("media_id"), media.as("media"))
   }
 
   /** Bounded depth of the ISO-BMFF top-level box walk (ftyp, optional
@@ -1159,11 +1418,17 @@ object Multimodal {
     * GIF) via [[graft.expressions.ImageIoDecode]], plus — round 10 —
     * G.711 µ-law/A-law and IMA-ADPCM WAV, AU and AIFF via
     * [[graft.expressions.AudioDecode]]. The labeled hash stub now
-    * covers ONLY MP3/AAC SAMPLE reconstruction (and video codec
-    * frames) — since round 11 the MPEG-audio metadata walk is real
-    * ([[graft.expressions.MpegProbe]], q232): samples genuinely need
-    * codec libraries this container does not ship; swap the fallback
-    * for a JNI/FFmpeg call in production.
+    * covers ONLY MP3/AAC SAMPLE reconstruction and compressed video
+    * codec frames OTHER than Motion-JPEG — since round 11 the
+    * MPEG-audio metadata walk is real
+    * ([[graft.expressions.MpegProbe]], q232); since round 12
+    * uncompressed DIB/RGB frames inside AVI decode for real
+    * ([[graft.expressions.AviDibProbe]], q236) and MJPEG frames
+    * decode through the JDK registry
+    * ([[graft.expressions.AviMjpegProbe]] + imageIoDecode, q237 +
+    * MjpegSpec): what remains genuinely needs codec libraries this
+    * container does not ship; swap the fallback for a JNI/FFmpeg call
+    * in production.
     *
     * Feature layout (normalized to [-1, 1]):
     *  - audio (WAV/AU/AIFF, any supported codec):

@@ -1496,7 +1496,126 @@ object Media {
        |FROM q ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q236
+  // Oracle-checked REAL uncompressed-DIB video frame decode — the q224
+  // playbook applied to the one video payload that needs no codec:
+  // '##db' chunks under biCompression = 0 are raw bottom-up 24-bit
+  // rows with 4-byte stride padding, so the Spark side must run the
+  // real container walk (hdrl → vids strl → strf, then every movi
+  // frame chunk, stride-aware so the POISONED pad bytes never enter
+  // the statistics) while DuckDB recomputes the expected per-channel
+  // sums straight from the pixel formula — it never sees the bytes.
+  // The defect variants (id mod 9 = 5..8) must land in their census
+  // buckets with the header fields still surfaced; with this, the
+  // labeled decode stub narrows to COMPRESSED video codecs + MP3/AAC
+  // samples.
+  val q236_avi_dib_decode: Q = (s, dir) => {
+    val m = Multimodal.syntheticAviDib(Tables.load(s, dir, "documents"))
+    val d = Multimodal.aviDibDecode(col("media"))
+    m.select(col("media_id").as("doc_id"), d.as("d"))
+      .select(col("doc_id"),
+        col("d.valid").as("valid"), col("d.reason").as("reason"),
+        col("d.width").cast("long").as("width"),
+        col("d.height").cast("long").as("height"),
+        col("d.bit_count").cast("long").as("bit_count"),
+        col("d.compression").cast("long").as("compression"),
+        col("d.n_frames").as("n_frames"), col("d.n_px").as("n_px"),
+        col("d.sum_b").as("sum_b"), col("d.sum_g").as("sum_g"),
+        col("d.sum_r").as("sum_r"),
+        col("d.sq_b").as("sq_b"), col("d.sq_g").as("sq_g"),
+        col("d.sq_r").as("sq_r"))
+      .orderBy("doc_id")
+  }
+
+  val q236_sql: String =
+    """WITH v AS (SELECT doc_id, doc_id % 9 AS var,
+      |    1 + doc_id % 4 AS w, 1 + doc_id % 3 AS h, 1 + doc_id % 5 AS nf
+      |  FROM documents),
+      |px AS (SELECT doc_id,
+      |    (doc_id + 23 * f.f + 7 * j.j) % 256 AS p, j.j % 3 AS c
+      |  FROM v, generate_series(0, 4) AS f(f),
+      |       generate_series(0, 35) AS j(j)
+      |  WHERE var <= 4 AND f.f < nf AND j.j < 3 * w * h),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(p) FILTER (WHERE c = 0) AS BIGINT) AS sum_b,
+      |    CAST(sum(p) FILTER (WHERE c = 1) AS BIGINT) AS sum_g,
+      |    CAST(sum(p) FILTER (WHERE c = 2) AS BIGINT) AS sum_r,
+      |    CAST(sum(p * p) FILTER (WHERE c = 0) AS BIGINT) AS sq_b,
+      |    CAST(sum(p * p) FILTER (WHERE c = 1) AS BIGINT) AS sq_g,
+      |    CAST(sum(p * p) FILTER (WHERE c = 2) AS BIGINT) AS sq_r
+      |  FROM px GROUP BY 1)
+      |SELECT d.doc_id, d.var <= 4 AS valid,
+      |  CASE d.var WHEN 5 THEN 'compressed' WHEN 6 THEN 'trunc_frame'
+      |             WHEN 7 THEN 'no_strf' WHEN 8 THEN 'not_avi'
+      |  END AS reason,
+      |  CASE WHEN d.var <= 6 THEN CAST(d.w AS BIGINT) END AS width,
+      |  CASE WHEN d.var <= 6 THEN CAST(d.h AS BIGINT) END AS height,
+      |  CASE WHEN d.var <= 6 THEN CAST(24 AS BIGINT) END AS bit_count,
+      |  CASE WHEN d.var <= 6 THEN
+      |    CAST(CASE WHEN d.var = 5 THEN 1 ELSE 0 END AS BIGINT)
+      |  END AS compression,
+      |  CASE WHEN d.var <= 4 THEN CAST(d.nf AS BIGINT)
+      |       WHEN d.var = 6 THEN CAST(d.nf - 1 AS BIGINT) END AS n_frames,
+      |  CASE WHEN d.var <= 4 THEN CAST(d.w * d.h * d.nf AS BIGINT) END AS n_px,
+      |  st.sum_b, st.sum_g, st.sum_r, st.sq_b, st.sq_g, st.sq_r
+      |FROM v d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q237
+  // Motion-JPEG geometry census — the exactly-oracle-checkable HALF of
+  // MJPEG support: when strf declares biCompression 'MJPG', every
+  // '##dc' movi chunk is one complete baseline JPEG. The walk's
+  // geometry (frame count, each frame's size, each frame's 2-byte
+  // magic, truncation prefix) is pure id arithmetic in the synthetic
+  // corpus, so DuckDB replays it without byte access while Spark runs
+  // the real AviMjpegProbe extraction. The frame PAYLOADS decode
+  // through the already-shipped JDK JPEG path — spec-pinned
+  // (MjpegSpec) because JPEG IDCT rounding is implementation-defined,
+  // not ANSI-replayable.
+  val q237_mjpeg_census: Q = (s, dir) => {
+    val m = Multimodal.syntheticAviMjpeg(Tables.load(s, dir, "documents"))
+    val d = Multimodal.aviMjpegFrames(col("media"))
+    val flat = m.select(col("media_id").as("doc_id"), d.as("d"))
+      .select(col("doc_id"), col("d.valid").as("valid"),
+        col("d.reason").as("reason"), col("d.n_frames").as("n_frames"),
+        col("d.frames").as("frames"))
+    val lens = transform(col("frames"), f => length(f).cast("long"))
+    flat.select(col("doc_id"), col("valid"), col("reason"), col("n_frames"),
+      when(size(col("frames")) > 0,
+        aggregate(lens, lit(0L), _ + _)).as("total_bytes"),
+      when(size(col("frames")) > 0, array_min(lens)).as("min_bytes"),
+      when(size(col("frames")) > 0, array_max(lens)).as("max_bytes"),
+      when(size(col("frames")) > 0,
+        size(filter(col("frames"),
+          f => hex(substring(f, 1, 2)) === lit("FFD8"))).cast("long"))
+        .as("n_jpeg_magic"))
+      .orderBy("doc_id")
+  }
+
+  val q237_sql: String =
+    """WITH v AS (SELECT doc_id, doc_id % 7 AS var, 1 + doc_id % 6 AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id,
+      |    40 + (7 * doc_id + 13 * f.f) % 59 AS len,
+      |    (doc_id + f.f) % 5 <> 0 AS magic
+      |  FROM v, generate_series(0, 5) AS f(f)
+      |  WHERE (var <= 3 AND f.f < nf) OR (var = 5 AND f.f < nf - 1)),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(len) AS BIGINT) AS total_bytes,
+      |    CAST(min(len) AS BIGINT) AS min_bytes,
+      |    CAST(max(len) AS BIGINT) AS max_bytes,
+      |    CAST(count(*) FILTER (WHERE magic) AS BIGINT) AS n_jpeg_magic
+      |  FROM fr GROUP BY 1)
+      |SELECT d.doc_id, d.var <= 3 AS valid,
+      |  CASE d.var WHEN 4 THEN 'not_mjpeg' WHEN 5 THEN 'trunc_frame'
+      |             WHEN 6 THEN 'not_avi' END AS reason,
+      |  CASE WHEN d.var <= 3 THEN CAST(d.nf AS BIGINT)
+      |       WHEN d.var = 5 THEN CAST(d.nf - 1 AS BIGINT) END AS n_frames,
+      |  st.total_bytes, st.min_bytes, st.max_bytes, st.n_jpeg_magic
+      |FROM v d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q236_avi_dib_decode" -> q236_avi_dib_decode,
+    "q237_mjpeg_census" -> q237_mjpeg_census,
     "q210_ahash_canonical" -> q210_ahash_canonical,
     "q195_image_ahash" -> q195_image_ahash,
     "q196_audio_quality" -> q196_audio_quality,
@@ -1515,6 +1634,8 @@ object Media {
     "q232_mpeg_walk" -> q232_mpeg_walk)
 
   val oracle: Map[String, String] = Map(
+    "q236_avi_dib_decode" -> q236_sql,
+    "q237_mjpeg_census" -> q237_sql,
     "q210_ahash_canonical" -> q210_sql,
     "q195_image_ahash" -> q195_sql,
     "q196_audio_quality" -> q196_sql,
