@@ -162,11 +162,12 @@ object Stats {
                             maxFoldBytes: BigInt = SmallPlanBytes): DataFrame = {
     val est = planBytes(comp)
     if (est <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
+    else if (buckets > 0)
+      fromCountsWithBounds(comp, ps, sketchBounds(comp, buckets),
+        sortPartsFor(est, comp.sparkSession))
     else {
-      val b = if (buckets > 0) buckets
-        else autoBuckets(est, sampledGroupCount(comp))
-      fromCountsWithBounds(comp, ps, sketchBounds(comp, b),
-        autoSortParts(est, comp.sparkSession))
+      val (bounds, parts) = autoSketch(comp, est)
+      fromCountsWithBounds(comp, ps, bounds, parts)
     }
   }
 
@@ -262,17 +263,26 @@ object Stats {
 
   /** Range-bucket sizing for the bucketed construction, from the same
     * bounded sample the range sketch reads: per-group compressed bytes
-    * ≈ est / (sampled approx-distinct groups). More buckets only help
-    * when single groups are BIG — for a global percentile the bucket
-    * count IS the sort parallelism — while at high group cardinality
-    * hash partitioning already spreads groups and extra buckets just
-    * multiply the groups×buckets offsets frame (the q233 shape, which
-    * this sizes down to 1 bucket). Bucket-count independence of the
-    * RESULT is pinned by CleanStatsSpec, so sizing is a pure
-    * balance/spill decision, never correctness. */
-  private[graft] def autoBuckets(est: BigInt, nGroupsSampled: Long): Int = {
-    val perGroup = est / BigInt(math.max(1L, nGroupsSampled))
-    (perGroup / BucketTargetBytes).min(BigInt(MaxAutoBuckets - 1)).toInt + 1
+    * ≈ est / (sampled distinct groups), floored so that
+    * groups × buckets keeps the rank sort at ≥ 2× the session's
+    * shuffle parallelism — more buckets only help when single groups
+    * are BIG (for a global percentile the bucket count IS the sort
+    * parallelism, and a LOW-cardinality grouped percentile without the
+    * floor would collapse a 32-core sort onto n_groups tasks), while
+    * at high group cardinality hash partitioning already spreads
+    * groups and extra buckets just multiply the groups×buckets offsets
+    * frame (the q233 shape, which this sizes down to 1 bucket).
+    * Bucket-count independence of the RESULT is pinned by
+    * CleanStatsSpec, so sizing is a pure balance/spill decision, never
+    * correctness. */
+  private[graft] def autoBuckets(est: BigInt, nGroupsSampled: Long,
+                                 shuffleParts: Int): Int = {
+    val n = math.max(1L, nGroupsSampled)
+    val perGroup = est / BigInt(n)
+    val byBytes =
+      (perGroup / BucketTargetBytes).min(BigInt(MaxAutoBuckets - 1)).toInt + 1
+    val byCores = ((2L * shuffleParts + n - 1) / n).toInt
+    math.min(MaxAutoBuckets, math.max(byBytes, byCores))
   }
 
   /** Explicit partition count for the rank sort's exchange: the
@@ -290,24 +300,86 @@ object Stats {
     math.max(spark.sessionState.conf.numShufflePartitions, byBytes)
   }
 
+  /** [[autoSortParts]] behind the [[EstSanityCap]] gate: a garbage
+    * estimate keeps the session's own partitioning (0 = default). */
+  private def sortPartsFor(est: BigInt, spark: SparkSession): Int =
+    if (est <= EstSanityCap) autoSortParts(est, spark) else 0
+
   private val BucketTargetBytes = BigInt(4L << 20)
   private val SortTargetBytes = BigInt(256L << 10)
   private val MaxAutoBuckets = 256
   private val MaxSortParts = 4096
 
-  private def sampledGroupCount(base: DataFrame): Long =
-    base.limit(SketchSampleRows)
-      .agg(approx_count_distinct("grp")).head().getLong(0)
+  /** Estimates beyond any physical plausibility are cardinality-
+    * explosion garbage, not sizes — q221's deviation frame reports
+    * ~10²² bytes because `localCheckpoint` preserves the ORIGIN plan's
+    * stats and a percentile-join lineage multiplies cardinalities.
+    * Auto-sizing on such a number would buy the maximum caps (256
+    * buckets × 4096 sort partitions) for a frame that is actually a
+    * few dozen MB. Past this cap the estimate is ignored: buckets fall
+    * back to the parallelism floor and the rank sort keeps the
+    * SESSION's partitioning — i.e. exactly the knobs a real deployment
+    * states explicitly. */
+  private val EstSanityCap = BigInt(1L << 40)
+
+  /** Range-bucket assignment `|{i : bounds(i) ≤ v}|` as a BALANCED
+    * `when` tree over the sorted distinct bounds — log₂(b) comparisons
+    * per row where the naive summed-indicator chain costs b (measured:
+    * the 255-bound chain put 1.5G extra comparisons on q221's sf1
+    * deviation frame — 67 s vs 10 s). CaseWhen evaluates only the
+    * taken branch, so the tree IS the binary search; NaN compares
+    * false at every node and lands in bucket 0, exactly like the
+    * chain. */
+  private def bucketOf(bounds: Array[Double]): Column = {
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2 // bucket mid starts at bounds(mid-1)
+        when(col("v") >= bounds(mid - 1), tree(mid, hi))
+          .otherwise(tree(lo, mid - 1))
+      }
+    tree(0, bounds.length)
+  }
+
+  /** The auto path's ONE sizing action — the same bounded sample the
+    * round-11 sketch read, but collected once so it prices everything:
+    * sampled distinct-group count → bucket count ([[autoBuckets]]),
+    * exact sample quantiles → the range split points (split placement
+    * only balances the sort — results are bounds-independent, pinned
+    * by CleanStatsSpec), and the estimate → the rank sort's explicit
+    * partition count ([[autoSortParts]]). One action, not a sketch
+    * action PLUS a distinct-count action: on derived frames every
+    * extra action re-runs the compressed-frame lineage (`Clean.mad`
+    * calls this twice per query). The sample is ≤ [[SketchSampleRows]]
+    * (grp-as-string, v) rows — bounded, model-sized driver state. */
+  private def autoSketch(df: DataFrame,
+                         est: BigInt): (Array[Double], Int) = {
+    val spark = df.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val rows = df.select(col("grp").cast("string").as("g"), col("v"))
+      .limit(SketchSampleRows).collect()
+    val nGroups = rows.iterator.map(r => String.valueOf(r.getString(0)))
+      .toSet.size.toLong
+    val sane = est <= EstSanityCap
+    val b =
+      if (sane) autoBuckets(est, nGroups, shuffleParts)
+      else math.min(MaxAutoBuckets,
+        ((2L * shuffleParts + nGroups - 1) / nGroups).toInt)
+    val vs = rows.map(_.getDouble(1)).sorted
+    val bounds =
+      if (b <= 1 || vs.isEmpty) Array.empty[Double]
+      else (1 until b).map { i =>
+        vs(math.min(vs.length - 1, (i.toLong * vs.length / b).toInt))
+      }.toArray.distinct.sorted
+    (bounds, if (sane) autoSortParts(est, spark) else 0)
+  }
 
   private[graft] def fromCountsWithBounds(comp: DataFrame, ps: Seq[Double],
                                    bounds: Array[Double],
                                    sortParts: Int = 0): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must be in [0, 1]")
-    val bktCol =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(col("v") >= b, 1).otherwise(0)).reduce(_ + _)
-    val bucketed = comp.withColumn("__bkt", bktCol)
+    val bucketed = comp.withColumn("__bkt", bucketOf(bounds))
     // sortParts > 0: pre-partition the rank-sort input explicitly (the
     // window's required clustering on (grp, __bkt) is then already
     // satisfied, so this REPLACES the window's implicit exchange
@@ -386,11 +458,14 @@ object Stats {
     // forces the bucketed scale plan (see percentilesFromCounts)
     val est = planBytes(base)
     if (est <= maxFoldBytes) foldPercentilesFromCounts(comp, ps)
+    else if (buckets > 0)
+      fromCountsWithBounds(comp, ps, sketchBounds(base, buckets),
+        sortPartsFor(est, df.sparkSession))
     else {
-      val b = if (buckets > 0) buckets
-        else autoBuckets(est, sampledGroupCount(base))
-      fromCountsWithBounds(comp, ps, sketchBounds(base, b),
-        autoSortParts(est, df.sparkSession))
+      // the sizing sample reads the RAW frame — a narrow scan
+      // projection, not the compressed aggregate's lineage
+      val (bounds, parts) = autoSketch(base, est)
+      fromCountsWithBounds(comp, ps, bounds, parts)
     }
   }
 

@@ -178,6 +178,29 @@ class CleanStatsSpec extends SparkSpec {
     assert(rf === r32)
   }
 
+  test("bucket-tree plan ≡ unbucketed plan on values AT every boundary (+NaN)") {
+    import spark.implicits._
+    // fromCountsWithBounds assigns buckets through a balanced when-tree
+    // (|{i : bounds(i) <= v}| in log(b) comparisons). Its one risk is an
+    // off-by-one at a boundary: pin result equality against the
+    // single-bucket plan over values sitting exactly ON each bound,
+    // just around them, at the extremes, and NaN (compares false at
+    // every node -> bucket 0, same as the old summed-indicator chain)
+    val bounds = Array(10.0, 20.0, 30.0, 40.0, 55.0, 70.0, 85.0)
+    val vs = Seq(Double.NaN, -5.0, 0.0, 9.999, 10.0, 10.001, 19.9, 20.0,
+      25.0, 30.0, 39.0, 40.0, 41.0, 55.0, 69.0, 70.0, 84.0, 85.0, 1e9)
+    val comp = vs.toDF("v").select(lit("g").as("grp"), col("v"), lit(1L).as("c"))
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    def run(bs: Array[Double]) =
+      Stats.fromCountsWithBounds(comp, ps, bs)
+        .collect()
+        // bit-compare so the NaN the max-rank percentile inherits from
+        // the input still counts as equal (NaN != NaN under ===)
+        .map(r => r.getDouble(1) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    assert(run(bounds) === run(Array.empty))
+  }
+
   test("equi-depth histogram: ntile semantics with ties straddling boundaries") {
     import spark.implicits._
     // 11 values, 3 buckets -> sizes 4,4,3 (first N mod b take the extra);
