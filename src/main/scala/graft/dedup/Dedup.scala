@@ -623,10 +623,30 @@ object Dedup {
     * partner count, never corpus-sized). */
   def containmentCensus(df: DataFrame, id: Column, items: Column,
                         threshold: Double,
-                        maxDocFrequency: Double = 1.0): DataFrame = {
-    val pairs = containmentJoinOn(df, id, items, threshold, maxDocFrequency)
-    // both directions via ONE explode — a unionAll of two selects over
-    // `pairs` would duplicate the whole token-self-join lineage
+                        maxDocFrequency: Double = 1.0): DataFrame =
+    containmentCensusReduce(
+      containmentJoinOn(df, id, items, threshold, maxDocFrequency))
+
+  /** [[containmentCensus]] over the EXACT prefix-filtered join — the
+    * count-first scale path whose pair source is
+    * [[prefixFilterContainmentJoinOn]] (provably ≡ the plain uncapped
+    * join), so the census inherits the prefix scheme's zero-GB-spill
+    * candidate plan instead of the df-cut demo's intersection
+    * aggregation. Same census semantics and reduction, shared by
+    * construction. */
+  def prefixFilterContainmentCensus(df: DataFrame, id: Column,
+                                    items: Column,
+                                    threshold: Double): DataFrame =
+    containmentCensusReduce(
+      prefixFilterContainmentJoinOn(df, id, items, threshold))
+
+  /** The census reduction shared by [[containmentCensus]] and
+    * [[prefixFilterContainmentCensus]] — factored so the demo and its
+    * scale twin cannot drift. Both directions via ONE explode (a
+    * unionAll of two selects over `pairs` would duplicate the whole
+    * pair-building lineage); the window partitions per doc, bounded by
+    * partner count, never corpus-sized. */
+  private def containmentCensusReduce(pairs: DataFrame): DataFrame = {
     val perDir = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("partner"),
           col("cont_a_in_b").as("c_in_partner")),
@@ -691,10 +711,30 @@ object Dedup {
     * partner count, never corpus-sized). */
   def weightedOverlapCensus(df: DataFrame, id: Column, items: Column,
                             minWeight: Long,
-                            maxDocFrequency: Double = 1.0): DataFrame = {
-    val pairs = weightedOverlapJoinOn(df, id, items, minWeight, maxDocFrequency)
-    // both directions via ONE explode — a unionAll of two selects over
-    // `pairs` would duplicate the whole token-self-join lineage
+                            maxDocFrequency: Double = 1.0): DataFrame =
+    overlapCensusReduce(
+      weightedOverlapJoinOn(df, id, items, minWeight, maxDocFrequency))
+
+  /** [[weightedOverlapCensus]] over the EXACT prefix-filtered join —
+    * the count-first scale path whose pair source is
+    * [[prefixFilterWeightedOverlapJoinOn]] (provably ≡ the plain
+    * join), so the census inherits the prefix scheme's near-zero-spill
+    * candidate plan instead of the plain join's hot-posting-list
+    * intersection aggregation (q222's 2.1 GB sf1 spill shape). Same
+    * census semantics and reduction, shared by construction. */
+  def prefixFilterWeightedOverlapCensus(df: DataFrame, id: Column,
+                                        items: Column,
+                                        minWeight: Long): DataFrame =
+    overlapCensusReduce(
+      prefixFilterWeightedOverlapJoinOn(df, id, items, minWeight))
+
+  /** The census reduction shared by [[weightedOverlapCensus]] and
+    * [[prefixFilterWeightedOverlapCensus]] — factored so the demo and
+    * its scale twin cannot drift. Both directions via ONE explode (a
+    * unionAll of two selects over `pairs` would duplicate the whole
+    * pair-building lineage); the window partitions per doc, bounded by
+    * partner count, never corpus-sized. */
+  private def overlapCensusReduce(pairs: DataFrame): DataFrame = {
     val perDir = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("partner"),
           col("w_overlap")),

@@ -298,6 +298,25 @@ object Mining {
   // plain join exactly — completeness is the whole claim.
   val q235_sql: String = q122_sql
 
+  // --------------------------------------------------------------- q238
+  // Weighted-overlap census over the PREFIX-FILTERED exact join — the
+  // count-first scale path (q222) re-based on q235's candidate scheme,
+  // so the census stops paying the plain join's hot-posting-list
+  // aggregation spill. Because the prefix join is provably identical
+  // to the plain join, the census is too: the oracle IS q222's own SQL
+  // (same shared pairs CTE) — a hash match proves the whole composed
+  // path end to end.
+  val q238_prefix_overlap_census: Q = (s, dir) =>
+    graft.dedup.Dedup.prefixFilterWeightedOverlapCensus(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(
+        graft.text.TextAnalysis.tokens(col("text")), 3),
+      minWeight = WoMinWeight)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q238_sql: String = q222_sql
+
   // --------------------------------------------------------------- q123
   // Character-class entropy per source: the gibberish / binary-noise
   // detector. Five exact BIGINT class counts from one aggregate; the
@@ -1524,6 +1543,7 @@ object Mining {
     "q122_weighted_overlap" -> q122_weighted_overlap,
     "q222_overlap_census" -> q222_overlap_census,
     "q235_prefix_weighted_overlap" -> q235_prefix_weighted_overlap,
+    "q238_prefix_overlap_census" -> q238_prefix_overlap_census,
     "q123_char_entropy" -> q123_char_entropy,
     "q124_winnow_candidates" -> q124_winnow_candidates,
     "q125_quality_canonical" -> q125_quality_canonical,
@@ -1562,6 +1582,7 @@ object Mining {
     "q122_weighted_overlap" -> q122_sql,
     "q222_overlap_census" -> q222_sql,
     "q235_prefix_weighted_overlap" -> q235_sql,
+    "q238_prefix_overlap_census" -> q238_sql,
     "q123_char_entropy" -> q123_sql,
     "q124_winnow_candidates" -> q124_sql,
     "q125_quality_canonical" -> q125_sql,

@@ -511,6 +511,53 @@ object TextSim {
        |      >= $PrefixContainThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q239
+  // Containment census over the PREFIX-FILTERED exact join — q231's
+  // count-first semantics re-based on q234's candidate scheme (and at
+  // q234's threshold): one row per doc with partner count, strongest
+  // containment inside a partner, deterministic top partner. The
+  // oracle replays the census over the PLAIN uncapped all-pairs
+  // containment pair table — a hash match proves candidate
+  // completeness through the whole composed path.
+  val q239_prefix_containment_census: Q = (s, dir) =>
+    Dedup.prefixFilterContainmentCensus(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = PrefixContainThreshold)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q239_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b,
+       |    round(CAST(i AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+       |    round(CAST(i AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+       |  FROM inter
+       |  JOIN sz sa ON id_a = sa.doc_id
+       |  JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE greatest(round(CAST(i AS DOUBLE) / sa.sz, 6),
+       |                 round(CAST(i AS DOUBLE) / sb.sz, 6))
+       |        >= $PrefixContainThreshold),
+       |perdir AS (SELECT id_a AS id, id_b AS partner, cont_a_in_b AS c FROM pairs
+       |           UNION ALL
+       |           SELECT id_b AS id, id_a AS partner, cont_b_in_a AS c FROM pairs),
+       |r AS (SELECT id, partner, c,
+       |        row_number() OVER (PARTITION BY id ORDER BY c DESC, partner ASC) AS rn
+       |      FROM perdir)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+       |  max(c) AS c_max,
+       |  CAST(min(CASE WHEN rn = 1 THEN partner END) AS BIGINT) AS top_partner
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q212
   // Sample-calibrated LSH band planner: the q149 audit MEASURES the
   // fixed 16×4 operating point; this PLANS one — a deterministic
@@ -1994,6 +2041,7 @@ object TextSim {
     "q96_jaccard_dfcut_full" -> q96_jaccard_dfcut_full,
     "q211_prefix_jaccard" -> q211_prefix_jaccard,
     "q234_prefix_containment" -> q234_prefix_containment,
+    "q239_prefix_containment_census" -> q239_prefix_containment_census,
     "q212_lsh_plan" -> q212_lsh_plan,
     "q214_lsh_plan_applied" -> q214_lsh_plan_applied,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
@@ -2047,6 +2095,7 @@ object TextSim {
     "q96_jaccard_dfcut_full" -> q96_sql,
     "q211_prefix_jaccard" -> q211_sql,
     "q234_prefix_containment" -> q234_sql,
+    "q239_prefix_containment_census" -> q239_sql,
     "q212_lsh_plan" -> q212_sql,
     "q214_lsh_plan_applied" -> q214_sql,
     "q92_minhash_bands_full" -> q92_sql,
