@@ -38,6 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )
+// Diagnostics passthrough for profiling runs (e.g. -Xlog:gc* while
+// reproducing a driver-config anomaly). Unset in normal/driver runs.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+  .getOrElse(Seq.empty)
 
 // Live-integration mode (`sbt -Dgraft.it=1 …`, see it/README.md): adds
 // the Kafka connector + Postgres JDBC driver so the two endpoint-gated

@@ -327,9 +327,10 @@ object Stats {
     * per row where the naive summed-indicator chain costs b (measured:
     * the 255-bound chain put 1.5G extra comparisons on q221's sf1
     * deviation frame — 67 s vs 10 s). CaseWhen evaluates only the
-    * taken branch, so the tree IS the binary search; NaN compares
-    * false at every node and lands in bucket 0, exactly like the
-    * chain. */
+    * taken branch, so the tree IS the binary search; NaN is GREATER
+    * than every other double under Spark's SQL ordering, so `v ≥
+    * bound` holds at every node and NaN lands in the LAST bucket —
+    * exactly like the chain, where all b indicators fire. */
   private def bucketOf(bounds: Array[Double]): Column = {
     def tree(lo: Int, hi: Int): Column =
       if (lo == hi) lit(lo)

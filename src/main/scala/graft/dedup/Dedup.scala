@@ -620,12 +620,28 @@ object Dedup {
     * shuffle, map-side combine); what disappears is the answer-sized
     * sorted pair output — the census reduces per doc id in one more
     * keyed shuffle, and its window partitions per doc (bounded by
-    * partner count, never corpus-sized). */
+    * partner count, never corpus-sized).
+    *
+    * DEFAULT PAIR SOURCE: when no df-cut is requested
+    * (`maxDocFrequency ≥ 1.0`), the pairs come from
+    * [[prefixFilterContainmentJoinOn]] — provably identical output,
+    * but the candidate plan prunes with the exact-complete prefix
+    * filter instead of aggregating every hot posting list (the
+    * zero-GB-spill shape; the plain path's intersection aggregation
+    * spilled 3.8 GB at sf1/2 GiB). At 100× a census caller should get
+    * that plan without opting in. `plainPairs = true` forces the plain
+    * inverted-index join (the adjudicated q119/q122-class demo path);
+    * a df-cut (`maxDocFrequency < 1.0`) also keeps the plain path,
+    * because the cut is SEMANTIC — it changes which pairs exist, and
+    * the prefix filter reproduces the UNCUT join only. */
   def containmentCensus(df: DataFrame, id: Column, items: Column,
                         threshold: Double,
-                        maxDocFrequency: Double = 1.0): DataFrame =
+                        maxDocFrequency: Double = 1.0,
+                        plainPairs: Boolean = false): DataFrame =
     containmentCensusReduce(
-      containmentJoinOn(df, id, items, threshold, maxDocFrequency))
+      if (!plainPairs && maxDocFrequency >= 1.0)
+        prefixFilterContainmentJoinOn(df, id, items, threshold)
+      else containmentJoinOn(df, id, items, threshold, maxDocFrequency))
 
   /** [[containmentCensus]] over the EXACT prefix-filtered join — the
     * count-first scale path whose pair source is
@@ -708,12 +724,28 @@ object Dedup {
     * shuffle, map-side combine); what disappears is the answer-sized
     * sorted pair output — the census reduces per doc id in one more
     * keyed shuffle, and its window partitions per doc (bounded by
-    * partner count, never corpus-sized). */
+    * partner count, never corpus-sized).
+    *
+    * DEFAULT PAIR SOURCE: when no df-cut is requested
+    * (`maxDocFrequency ≥ 1.0`), the pairs come from
+    * [[prefixFilterWeightedOverlapJoinOn]] — provably identical
+    * output, but the candidate plan prunes on weight mass instead of
+    * aggregating every hot posting list (sf1/2 GiB: 24 MB spill vs the
+    * plain join's 3.5 GB). At 100× a census caller should get that
+    * plan without opting in. `plainPairs = true` forces the plain
+    * inverted-index join (the adjudicated q122-class demo path); a
+    * df-cut (`maxDocFrequency < 1.0`) also keeps the plain path,
+    * because the cut is SEMANTIC — it changes which pairs exist (and
+    * re-prices df on the survivors), and the prefix filter reproduces
+    * the UNCUT join only. */
   def weightedOverlapCensus(df: DataFrame, id: Column, items: Column,
                             minWeight: Long,
-                            maxDocFrequency: Double = 1.0): DataFrame =
+                            maxDocFrequency: Double = 1.0,
+                            plainPairs: Boolean = false): DataFrame =
     overlapCensusReduce(
-      weightedOverlapJoinOn(df, id, items, minWeight, maxDocFrequency))
+      if (!plainPairs && maxDocFrequency >= 1.0)
+        prefixFilterWeightedOverlapJoinOn(df, id, items, minWeight)
+      else weightedOverlapJoinOn(df, id, items, minWeight, maxDocFrequency))
 
   /** [[weightedOverlapCensus]] over the EXACT prefix-filtered join —
     * the count-first scale path whose pair source is

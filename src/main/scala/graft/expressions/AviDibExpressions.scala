@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * in a RIFF chunk stream. Everything here is pure public spec
   * (OpenDML / MSDN AVIMAINHEADER, AVISTREAMHEADER, BITMAPINFOHEADER
   * and the RIFF even-padding rule — cf. the reference's byte-census
-  * treatment of opaque media, /root/reference/scripts/etl.py, which
+  * treatment of opaque media, /root/reference/src/etl.py, which
   * never decodes at all), so the labeled decode stub shrinks to
   * genuinely COMPRESSED video codecs plus MP3/AAC samples.
   *
@@ -67,11 +67,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * BITMAPINFOHEADER. Pure bounds-checked byte reads; every loop
   * advances ≥ 8 bytes, so cost is O(buffer). */
 private[expressions] object AviWalk {
-  /** Parsed header: strf fields (w/h/bits/comp; w = -1 when no 'vids'
-    * strf was found) and the movi payload span (movi = -1 when
-    * absent). */
-  final case class Hdr(w: Int, h: Int, bits: Int, comp: Int,
-                       movi: Long, moviEnd: Long)
+  /** Parsed header: strf fields (w/h/bits/comp, meaningful only when
+    * `hasStrf`) and the movi payload span (movi = -1 when absent).
+    * Presence is a SEPARATE boolean, not a w-sentinel: biWidth is a
+    * signed-truncated le32, so a header declaring biWidth ≥ 2³¹ reads
+    * NEGATIVE — it must census `bad_dims` (the dims gate), never
+    * masquerade as "no 'vids' strf". */
+  final case class Hdr(hasStrf: Boolean, w: Int, h: Int, bits: Int,
+                       comp: Int, movi: Long, moviEnd: Long)
 
   /** None = not a RIFF/'AVI ' stream at all. */
   def header(bytes: Array[Byte]): Option[Hdr] = {
@@ -97,11 +100,12 @@ private[expressions] object AviWalk {
       }
       pos += 8 + csize + (csize & 1)
     }
+    var found = false
     var w = -1; var h = -1; var bits = -1; var comp = -1
     if (hdrl >= 0) {
       // inside hdrl: find LIST/strl with strh fccType 'vids', read strf
       var p = hdrl
-      while (w < 0 && p + 8 <= hdrlEnd) {
+      while (!found && p + 8 <= hdrlEnd) {
         val csize = le32(p.toInt + 4)
         if (fourcc(p.toInt, "LIST") && p + 12 <= hdrlEnd &&
           fourcc(p.toInt + 8, "strl")) {
@@ -109,12 +113,13 @@ private[expressions] object AviWalk {
           var q = p + 12
           var isVids = false
           val strlEnd = math.min(hdrlEnd, p + 8 + csize)
-          while (w < 0 && q + 8 <= strlEnd) {
+          while (!found && q + 8 <= strlEnd) {
             val qsize = le32(q.toInt + 4)
             if (fourcc(q.toInt, "strh") && q + 12 <= strlEnd)
               isVids = fourcc(q.toInt + 8, "vids")
             if (fourcc(q.toInt, "strf") && isVids && qsize >= 40 &&
               q + 8 + 40 <= strlEnd) {
+              found = true
               val base = (q + 8).toInt
               w = le32(base + 4).toInt
               h = le32(base + 8).toInt
@@ -127,7 +132,7 @@ private[expressions] object AviWalk {
         p += 8 + csize + (csize & 1)
       }
     }
-    Some(Hdr(w, h, bits, comp, movi, moviEnd))
+    Some(Hdr(found, w, h, bits, comp, movi, moviEnd))
   }
 }
 
@@ -186,7 +191,10 @@ object AviDibProbe {
       }
       val w = hdr.w; val h = hdr.h; val bits = hdr.bits; val comp = hdr.comp
       val movi = hdr.movi; val moviEnd = hdr.moviEnd
-      if (w < 0) return fail("no_strf")
+      // presence gate, NOT a w-sentinel: an oversized biWidth (≥ 2³¹)
+      // reads negative through the signed-truncated le32 and must fall
+      // through to the bad_dims gate below, not census no_strf
+      if (!hdr.hasStrf) return fail("no_strf")
       if (comp != 0) return fail("compressed", w, h, bits, comp)
       if (bits != 24) return fail("unsupported_depth", w, h, bits, comp)
       if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
@@ -323,7 +331,10 @@ object AviMjpegProbe {
         case None => return fail("not_avi")
         case Some(x) => x
       }
-      if (hdr.w < 0) return fail("no_strf")
+      // presence boolean, not the w-sentinel (see [[AviWalk.Hdr]]):
+      // MJPEG extraction never reads dims, but the census label must
+      // agree with the DIB twin's on the same malformed header
+      if (!hdr.hasStrf) return fail("no_strf")
       if (hdr.comp != MjpgFourcc) return fail("not_mjpeg")
       if (hdr.movi < 0) return fail("no_movi")
       val frames = Seq.newBuilder[Array[Byte]]

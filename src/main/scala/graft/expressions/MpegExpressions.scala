@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * a codec the JDK doesn't ship.
   *
   * The walk (cf. the reference's byte-census treatment of opaque media,
-  * /root/reference/scripts/etl.py — it never decodes either):
+  * /root/reference/src/etl.py — it never decodes either):
   *  - optional ID3v2 tag skip (syncsafe size). Deliberate limitation:
   *    exactly ONE leading tag is skipped and a valid frame sync must
   *    follow immediately — stacked ID3v2 tags or junk bytes before the

@@ -474,6 +474,13 @@ object Multimodal {
     * both walked and successfully-decoded frames (a frame the JDK
     * rejects lowers `n_decoded`, never poisons the sums) plus exact
     * BIGINT pixel and per-channel sums over the decoded frames.
+    * Media are kept whenever the walk surfaced ≥ 1 frame — NOT only
+    * when `valid`: [[graft.expressions.AviMjpegProbe]] deliberately
+    * returns the walked-prefix frames of a `trunc_frame` container as
+    * usable, and this reader honors that (a truncated tail lowers
+    * `n_frames`, it does not discard the media). Failure modes that
+    * surface no frames (not_avi, no_strf, not_mjpeg, no_movi) drop
+    * here — `size(null) IS NULL` filters false.
     * Spec-pinned (MjpegSpec) against the JDK's own per-image decode of
     * the identical frame bytes: JPEG IDCT rounding is
     * implementation-defined, so this is deliberately NOT an
@@ -482,7 +489,7 @@ object Multimodal {
   def mjpegFrameStats(df: DataFrame, id: Column, media: Column): DataFrame = {
     val d = aviMjpegFrames(media)
     df.select(id.as("id"), d.as("__d"))
-      .filter(col("__d.valid"))
+      .filter(size(col("__d.frames")) > 0)
       .select(col("id"), explode(col("__d.frames")).as("__f"))
       .select(col("id"), imageIoDecode(col("__f")).as("__r"))
       .groupBy("id")

@@ -251,12 +251,16 @@ object Mining {
   // so the shipping form is one row per document with its partner
   // count, strongest weight, and deterministic top partner. The sorted
   // corpus-sized pair output disappears; only the census shuffles.
+  // plainPairs = true: q222 stays the adjudicated PLAIN-join census
+  // demo (the q122 pair source). The library default now routes
+  // uncut censuses through the prefix-filtered candidate scheme —
+  // that default path is q238's claim, measured there.
   val q222_overlap_census: Q = (s, dir) =>
     graft.dedup.Dedup.weightedOverlapCensus(
       Tables.load(s, dir, "documents"), col("doc_id"),
       graft.text.TextAnalysis.ngrams(
         graft.text.TextAnalysis.tokens(col("text")), 3),
-      minWeight = WoMinWeight)
+      minWeight = WoMinWeight, plainPairs = true)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 

@@ -184,8 +184,10 @@ class CleanStatsSpec extends SparkSpec {
     // (|{i : bounds(i) <= v}| in log(b) comparisons). Its one risk is an
     // off-by-one at a boundary: pin result equality against the
     // single-bucket plan over values sitting exactly ON each bound,
-    // just around them, at the extremes, and NaN (compares false at
-    // every node -> bucket 0, same as the old summed-indicator chain)
+    // just around them, at the extremes, and NaN (GREATER than every
+    // other double under Spark's SQL ordering, so `v >= bound` holds
+    // at every node -> the LAST bucket, same as the old
+    // summed-indicator chain where all b indicators fire)
     val bounds = Array(10.0, 20.0, 30.0, 40.0, 55.0, 70.0, 85.0)
     val vs = Seq(Double.NaN, -5.0, 0.0, 9.999, 10.0, 10.001, 19.9, 20.0,
       25.0, 30.0, 39.0, 40.0, 41.0, 55.0, 69.0, 70.0, 84.0, 85.0, 1e9)

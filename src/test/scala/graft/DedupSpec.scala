@@ -364,6 +364,52 @@ class DedupSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus has rare-shingle overlaps
   }
 
+  private def censusOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.get(2), r.getLong(3))).toMap
+
+  test("prefix census ≡ demo census (q238/q239 pin); uncut default routes to prefix") {
+    // The census reduction is SHARED code (overlapCensusReduce /
+    // containmentCensusReduce), so this pin is really about the pair
+    // sources agreeing — and about the library DEFAULT: an uncut
+    // census call must produce the demo's rows through the
+    // prefix-filtered candidate scheme without opting in.
+    val items = TextAnalysis.tokens(col("text"))
+    for (mw <- Seq(500000L, 2000000L)) {
+      val demo = censusOf(Dedup.weightedOverlapCensus(
+        docs, col("doc_id"), items, mw, plainPairs = true))
+      val pf = censusOf(Dedup.prefixFilterWeightedOverlapCensus(
+        docs, col("doc_id"), items, mw))
+      val dflt = censusOf(Dedup.weightedOverlapCensus(
+        docs, col("doc_id"), items, mw))
+      assert(pf === demo, s"wo minWeight $mw")
+      assert(dflt === demo, s"wo default minWeight $mw")
+    }
+    for (t <- Seq(0.5, 0.8)) {
+      val demo = censusOf(Dedup.containmentCensus(
+        docs, col("doc_id"), items, t, plainPairs = true))
+      val pf = censusOf(Dedup.prefixFilterContainmentCensus(
+        docs, col("doc_id"), items, t))
+      val dflt = censusOf(Dedup.containmentCensus(docs, col("doc_id"), items, t))
+      assert(pf === demo, s"ct threshold $t")
+      assert(dflt === demo, s"ct default threshold $t")
+    }
+    // real shingles at the shipped operating points (q222/q238 = uncut
+    // weighted overlap; containment uncut — q239's point, NOT q231's
+    // df-cut, which the default deliberately leaves on the plain path)
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val shingles = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val woDemo = censusOf(Dedup.weightedOverlapCensus(
+      real, col("doc_id"), shingles, 3000000L, plainPairs = true))
+    assert(woDemo.nonEmpty)
+    assert(censusOf(Dedup.prefixFilterWeightedOverlapCensus(
+      real, col("doc_id"), shingles, 3000000L)) === woDemo)
+    val ctDemo = censusOf(Dedup.containmentCensus(
+      real, col("doc_id"), shingles, 0.8, plainPairs = true))
+    assert(ctDemo.nonEmpty)
+    assert(censusOf(Dedup.prefixFilterContainmentCensus(
+      real, col("doc_id"), shingles, 0.8)) === ctDemo)
+  }
+
   test("weighted prefix prunes the hot item but still finds the rare-overlap pair") {
     import spark.implicits._
     // "hot" appears in all 4 docs (w = 250000); "rare1"/"rare2" appear

@@ -99,6 +99,26 @@ class MjpegSpec extends SparkSpec {
     assert(got(1) === ((2L, 3L, 3L, e2._1, e2._2, e2._3, e2._4)))
   }
 
+  test("truncated media keep their walked-prefix frames; frameless failures drop") {
+    import spark.implicits._
+    val f0 = jpeg(7); val f1 = jpeg(8)
+    val whole = mjpegAvi(Seq(f0, f1))
+    val cut = whole.dropRight(f1.length / 2) // trunc_frame, f0 surfaced
+    val media = Seq(
+      (1L, cut),                               // invalid BUT 1 usable frame
+      (2L, mjpegAvi(Seq(f0), comp = le(0, 4))), // not_mjpeg: no frames
+      (3L, "junkjunkjunk".getBytes)             // not_avi: frames null
+    ).toDF("doc_id", "media")
+    val got = Multimodal.mjpegFrameStats(media, col("doc_id"), col("media"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val g = ImageIoDecode.decodeToRow(f0)
+    // AviMjpegProbe surfaces trunc_frame prefixes as usable — the
+    // stats reader must honor that, not silently drop the media
+    assert(got.toSeq === Seq((1L, 1L, 1L, g.getLong(6),
+      g.getArray(7).getLong(0), g.getArray(7).getLong(1),
+      g.getArray(7).getLong(2))))
+  }
+
   test("a frame the JDK rejects lowers n_decoded without poisoning the sums") {
     import spark.implicits._
     val good = jpeg(5)
