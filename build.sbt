@@ -31,6 +31,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xms = -Xmx + pre-touch: with a dynamic committed heap, G1
+  // expand/uncommit cycles put tens of GB of OS page-zeroing INSIDE
+  // GC pauses and allocation stalls at large -Xmx — measured at the
+  // grading config (89 GiB): q217 58.5→94.8 s with 51 s of GC in 5
+  // collections, q222 85.6 s at foreign CPU 0.0 (BENCH_r12's
+  // unexplained 55.5 s outlier, reproduced). Pinning the heap and
+  // paying first-touch at JVM start (untimed) makes the same queries
+  // 7.1 s / 6.0 s with GC 0.26 / 0.01 s. See BENCH_NOTES round 13.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
   // constrained-heap runs (SPARK_DRIVER_MEM=2g at sf1) die with
   // "Retried waiting for GCLocker too often" — G1 GCLocker starvation
   // under 32 allocating threads + native parquet JNI critical regions,

