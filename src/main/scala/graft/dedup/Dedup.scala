@@ -928,10 +928,12 @@ object Dedup {
     * shape). A hot item enters a doc's prefix only when the doc's
     * remaining weight mass past it still clears minWeight — rare for
     * real corpora where hot items carry micro-weights. Verification
-    * touches candidate pairs only: two keyed joins back to the
-    * weighted inverted index (per-pair cost O(|A|+|B|)), exact BIGINT
-    * sums, and the same final `w_overlap ≥ minWeight` gate as the
-    * plain join. */
+    * touches candidate pairs only: one row per pair through two
+    * doc-keyed joins (side A a map<item,weight>, side B its item
+    * array — the weight is a global property of the item, so one
+    * side's map prices the whole intersection), exact BIGINT sums,
+    * and the same final `w_overlap ≥ minWeight` gate as the plain
+    * join. */
   def prefixFilterWeightedOverlapJoinOn(df: DataFrame, id: Column,
                                         items: Column,
                                         minWeight: Long): DataFrame = {
@@ -958,15 +960,29 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verification on candidates only: per-pair intersection via
-    // the weighted inverted index, keyed by doc id on both joins.
-    val wa = wInv.select(col("id").as("id_a"), col("tok").as("__tok"),
-      col("w").as("__w"))
-    val wb = wInv.select(col("id").as("id_b"), col("tok").as("__tok"))
+    // Exact verification on candidates only, PER-PAIR (the q234
+    // containment-verification shape, weighted): side A carries a
+    // map<item,weight>, side B only its item array — the weight is a
+    // GLOBAL property of the item (1e6 div df), so one side's map
+    // prices the whole intersection. Each candidate is ONE row through
+    // two doc-keyed joins and a codegen'd aggregate() over
+    // array_intersect — no exploded candidates×|doc| fan-out and no
+    // pair-keyed hash aggregate (the old form's third shuffle, which
+    // at sf1 pushed hundreds of millions of (pair, item) rows and was
+    // most of q235's runtime; A/B in BENCH_NOTES round 13). Exactness
+    // unchanged: BIGINT micro-unit sums, map keys unique per doc
+    // (array_distinct upstream).
+    val wa = wInv.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("w"))))
+        .as("__wm"))
+      .select(col("id").as("id_a"), col("__wm"))
+    val wb = toks.select(col("id").as("id_b"), col("toks").as("__tb"))
     cand.join(wa, "id_a")
-      .join(wb, Seq("id_b", "__tok"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"), sum(col("__w")).as("w_overlap"))
+      .join(wb, "id_b")
+      .withColumn("__shared", array_intersect(map_keys(col("__wm")), col("__tb")))
+      .withColumn("inter", size(col("__shared")).cast("long"))
+      .withColumn("w_overlap", expr(
+        "aggregate(__shared, CAST(0 AS BIGINT), (acc, t) -> acc + element_at(__wm, t))"))
       .filter(col("w_overlap") >= minWeight)
       .select(col("id_a"), col("id_b"), col("inter"), col("w_overlap"))
   }
