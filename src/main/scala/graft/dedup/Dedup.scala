@@ -607,6 +607,60 @@ object Dedup {
         col("sz_b").cast("long").as("sz_b"),
         col("cont_a_in_b"), col("cont_b_in_a"))
 
+  /** Per-document census over the Jaccard sim-join — the count-first
+    * scale path next to [[jaccardSimJoinOn]]'s pair list, completing
+    * the census symmetry with [[containmentCensus]] and
+    * [[weightedOverlapCensus]]: one row per document having ≥1 partner
+    * at `threshold`, carrying the partner count, the strongest Jaccard
+    * and the deterministic top partner (highest Jaccard, ties to the
+    * lower id). Same default-pair-source contract as the siblings:
+    * with no df-cut the pairs come from [[prefixFilterJaccardJoinOn]]
+    * (provably identical output, the zero-GB-spill AllPairs candidate
+    * plan); `plainPairs = true` forces the plain inverted-index join
+    * (the q96-class demo path), and a df-cut keeps the plain path
+    * because the cut is SEMANTIC — it changes which pairs exist, and
+    * the prefix filter reproduces the UNCUT join only. */
+  def jaccardCensus(df: DataFrame, id: Column, items: Column,
+                    threshold: Double,
+                    maxDocFrequency: Double = 1.0,
+                    plainPairs: Boolean = false): DataFrame =
+    jaccardCensusReduce(
+      if (!plainPairs && maxDocFrequency >= 1.0)
+        prefixFilterJaccardJoinOn(df, id, items, threshold)
+      else jaccardSimJoinOn(df, id, items, threshold, maxDocFrequency))
+
+  /** [[jaccardCensus]] over the EXACT prefix-filtered join — the
+    * explicit scale-twin entry point, mirroring
+    * [[prefixFilterContainmentCensus]] / [[prefixFilterWeightedOverlapCensus]].
+    * Same census semantics and reduction, shared by construction. */
+  def prefixFilterJaccardCensus(df: DataFrame, id: Column,
+                                items: Column,
+                                threshold: Double): DataFrame =
+    jaccardCensusReduce(prefixFilterJaccardJoinOn(df, id, items, threshold))
+
+  /** The census reduction shared by [[jaccardCensus]] and
+    * [[prefixFilterJaccardCensus]] — factored so the demo and its
+    * scale twin cannot drift (the overlapCensusReduce discipline).
+    * Both directions via ONE explode; the window partitions per doc,
+    * bounded by partner count, never corpus-sized. Jaccard is already
+    * rounded to 6 dp by the pair join, so max() is replayable. */
+  private def jaccardCensusReduce(pairs: DataFrame): DataFrame = {
+    val perDir = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("partner"),
+          col("jaccard")),
+        struct(col("id_b").as("id"), col("id_a").as("partner"),
+          col("jaccard")))).as("e"))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"),
+        col("e.jaccard").as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("jaccard").desc, col("partner").asc)
+    perDir.withColumn("rn", row_number().over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_partners"),
+        max("jaccard").as("j_max"),
+        min(when(col("rn") === 1, col("partner"))).as("top_partner"))
+  }
+
   /** Per-document census over the containment join — the count-first
     * scale path next to [[containmentJoinOn]]'s pair list (the
     * q195→q210 / [[weightedOverlapCensus]] pattern): the pair list's

@@ -558,6 +558,52 @@ object TextSim {
        |  CAST(min(CASE WHEN rn = 1 THEN partner END) AS BIGINT) AS top_partner
        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q240
+  // Jaccard census over the PREFIX-FILTERED exact sim-join — the
+  // count-first symmetry completer: containment and weighted overlap
+  // each have a census twin (q239/q238); this is the Jaccard family's,
+  // at q211's threshold. One row per doc with partner count, strongest
+  // Jaccard, deterministic top partner. The oracle replays the census
+  // over the PLAIN uncapped all-pairs Jaccard pair table — a hash
+  // match proves candidate completeness through the composed path.
+  val q240_jaccard_census: Q = (s, dir) =>
+    Dedup.jaccardCensus(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
+      threshold = PrefixJoinThreshold)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q240_sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs FROM d),
+       |w AS (SELECT DISTINCT doc_id, UNNEST(gs) AS tok FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b,
+       |    round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON id_a = sa.doc_id
+       |  JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6)
+       |        >= $PrefixJoinThreshold),
+       |perdir AS (SELECT id_a AS id, id_b AS partner, jaccard FROM pairs
+       |           UNION ALL
+       |           SELECT id_b AS id, id_a AS partner, jaccard FROM pairs),
+       |r AS (SELECT id, partner, jaccard,
+       |        row_number() OVER (PARTITION BY id
+       |                           ORDER BY jaccard DESC, partner ASC) AS rn
+       |      FROM perdir)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+       |  max(jaccard) AS j_max,
+       |  CAST(min(CASE WHEN rn = 1 THEN partner END) AS BIGINT) AS top_partner
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q212
   // Sample-calibrated LSH band planner: the q149 audit MEASURES the
   // fixed 16×4 operating point; this PLANS one — a deterministic
@@ -2042,6 +2088,7 @@ object TextSim {
     "q211_prefix_jaccard" -> q211_prefix_jaccard,
     "q234_prefix_containment" -> q234_prefix_containment,
     "q239_prefix_containment_census" -> q239_prefix_containment_census,
+    "q240_jaccard_census" -> q240_jaccard_census,
     "q212_lsh_plan" -> q212_lsh_plan,
     "q214_lsh_plan_applied" -> q214_lsh_plan_applied,
     "q92_minhash_bands_full" -> q92_minhash_bands_full,
@@ -2096,6 +2143,7 @@ object TextSim {
     "q211_prefix_jaccard" -> q211_sql,
     "q234_prefix_containment" -> q234_sql,
     "q239_prefix_containment_census" -> q239_sql,
+    "q240_jaccard_census" -> q240_sql,
     "q212_lsh_plan" -> q212_sql,
     "q214_lsh_plan_applied" -> q214_sql,
     "q92_minhash_bands_full" -> q92_sql,

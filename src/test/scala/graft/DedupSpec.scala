@@ -410,6 +410,30 @@ class DedupSpec extends SparkSpec {
       real, col("doc_id"), shingles, 0.8)) === ctDemo)
   }
 
+  test("jaccard census ≡ demo census (q240 pin); uncut default routes to prefix") {
+    // Same contract as the q238/q239 pin, for the family that lacked a
+    // census: jaccardCensusReduce is shared code, so the pin is about
+    // the pair sources agreeing and the uncut default taking the
+    // prefix-filtered scheme.
+    val items = TextAnalysis.tokens(col("text"))
+    for (t <- Seq(0.5, 0.8)) {
+      val demo = censusOf(Dedup.jaccardCensus(
+        docs, col("doc_id"), items, t, plainPairs = true))
+      val pf = censusOf(Dedup.prefixFilterJaccardCensus(
+        docs, col("doc_id"), items, t))
+      val dflt = censusOf(Dedup.jaccardCensus(docs, col("doc_id"), items, t))
+      assert(pf === demo, s"jc threshold $t")
+      assert(dflt === demo, s"jc default threshold $t")
+    }
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val shingles = TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3)
+    val jcDemo = censusOf(Dedup.jaccardCensus(
+      real, col("doc_id"), shingles, 0.8, plainPairs = true))
+    assert(jcDemo.nonEmpty)
+    assert(censusOf(Dedup.prefixFilterJaccardCensus(
+      real, col("doc_id"), shingles, 0.8)) === jcDemo)
+  }
+
   test("weighted prefix prunes the hot item but still finds the rare-overlap pair") {
     import spark.implicits._
     // "hot" appears in all 4 docs (w = 250000); "rare1"/"rare2" appear
