@@ -641,9 +641,13 @@ object Dedup {
   /** The census reduction shared by [[jaccardCensus]] and
     * [[prefixFilterJaccardCensus]] — factored so the demo and its
     * scale twin cannot drift (the overlapCensusReduce discipline).
-    * Both directions via ONE explode; the window partitions per doc,
-    * bounded by partner count, never corpus-sized. Jaccard is already
-    * rounded to 6 dp by the pair join, so max() is replayable. */
+    * Both directions via ONE explode; the reduction is ONE
+    * ObjectHashAggregate with map-side combine — top partner via
+    * [[graft.expressions.TopKAgg.top_k_ids]] k=1, whose (score DESC,
+    * id ASC) order IS the census tiebreak (see
+    * [[overlapCensusReduce]] for the rejected window / max_by shapes).
+    * Jaccard is already rounded to 6 dp by the pair join, so max() is
+    * replayable. */
   private def jaccardCensusReduce(pairs: DataFrame): DataFrame = {
     val perDir = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("partner"),
@@ -652,13 +656,12 @@ object Dedup {
           col("jaccard")))).as("e"))
       .select(col("e.id").as("id"), col("e.partner").as("partner"),
         col("e.jaccard").as("jaccard"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("jaccard").desc, col("partner").asc)
-    perDir.withColumn("rn", row_number().over(w))
-      .groupBy("id")
+    perDir.groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_partners"),
         max("jaccard").as("j_max"),
-        min(when(col("rn") === 1, col("partner"))).as("top_partner"))
+        graft.expressions.TopKAgg.top_k_ids(
+          col("jaccard"), col("partner").cast("long"), 1)
+          .getItem(0).getField("id").as("top_partner"))
   }
 
   /** Per-document census over the containment join — the count-first
@@ -714,8 +717,12 @@ object Dedup {
     * [[prefixFilterContainmentCensus]] — factored so the demo and its
     * scale twin cannot drift. Both directions via ONE explode (a
     * unionAll of two selects over `pairs` would duplicate the whole
-    * pair-building lineage); the window partitions per doc, bounded by
-    * partner count, never corpus-sized. */
+    * pair-building lineage); the reduction is ONE ObjectHashAggregate
+    * with map-side combine — top partner via
+    * [[graft.expressions.TopKAgg.top_k_ids]] k=1, whose (score DESC,
+    * id ASC) order IS the census tiebreak (see
+    * [[overlapCensusReduce]] for the rejected window / max_by
+    * shapes). */
   private def containmentCensusReduce(pairs: DataFrame): DataFrame = {
     val perDir = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("partner"),
@@ -724,13 +731,12 @@ object Dedup {
           col("cont_b_in_a").as("c_in_partner")))).as("e"))
       .select(col("e.id").as("id"), col("e.partner").as("partner"),
         col("e.c_in_partner").as("c_in_partner"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("c_in_partner").desc, col("partner").asc)
-    perDir.withColumn("rn", row_number().over(w))
-      .groupBy("id")
+    perDir.groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_partners"),
         max("c_in_partner").as("c_max"),
-        min(when(col("rn") === 1, col("partner"))).as("top_partner"))
+        graft.expressions.TopKAgg.top_k_ids(
+          col("c_in_partner"), col("partner").cast("long"), 1)
+          .getItem(0).getField("id").as("top_partner"))
   }
 
   /** Rarity-weighted set-overlap join (IDF-style without the libm
@@ -818,8 +824,20 @@ object Dedup {
     * [[prefixFilterWeightedOverlapCensus]] — factored so the demo and
     * its scale twin cannot drift. Both directions via ONE explode (a
     * unionAll of two selects over `pairs` would duplicate the whole
-    * pair-building lineage); the window partitions per doc, bounded by
-    * partner count, never corpus-sized. */
+    * pair-building lineage); the reduction is ONE hash aggregate —
+    * the top partner rides [[graft.expressions.TopKAgg.top_k_ids]]
+    * with k=1 (score DESC, id ASC: exactly the census tiebreak), a
+    * TypedImperativeAggregate so the whole node plans as
+    * ObjectHashAggregate WITH map-side partial aggregation. The two
+    * rejected shapes, both measured (BENCH_NOTES r13 census-reduce
+    * A/B): a per-id row_number window (exchange + full sort, NO
+    * map-side combine), and `max_by` over a (metric, -partner) struct
+    * (partial-aggregable but the struct buffer forces SortAggregate,
+    * whose local sort pipelines into the verification stage and
+    * squeezes its joins into spill at tight heaps). The BIGINT
+    * w_overlap is scored as double: exact to 2^53 micro-units — item
+    * weights are ≤ 1e6 each, so an intersection would need 9e9 items
+    * before two distinct overlaps could collide. */
   private def overlapCensusReduce(pairs: DataFrame): DataFrame = {
     val perDir = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("partner"),
@@ -828,13 +846,12 @@ object Dedup {
           col("w_overlap")))).as("e"))
       .select(col("e.id").as("id"), col("e.partner").as("partner"),
         col("e.w_overlap").as("w_overlap"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("w_overlap").desc, col("partner").asc)
-    perDir.withColumn("rn", row_number().over(w))
-      .groupBy("id")
+    perDir.groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_partners"),
         max("w_overlap").as("w_max"),
-        min(when(col("rn") === 1, col("partner"))).as("top_partner"))
+        graft.expressions.TopKAgg.top_k_ids(
+          col("w_overlap").cast("double"), col("partner").cast("long"), 1)
+          .getItem(0).getField("id").as("top_partner"))
   }
 
   /** Shared inverted-index candidate builder: (id_a, id_b, inter,
