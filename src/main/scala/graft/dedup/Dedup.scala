@@ -892,7 +892,10 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tMicro = math.round(threshold * 1e6)
-    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
+    // sort_array once per DOC buys the allocation-free merge-intersect
+    // once per candidate PAIR (SortedIntersectAtLeast's precondition;
+    // sort_array's StringType order IS UTF8String's binary comparator).
+    val toks = df.select(id.as("id"), sort_array(array_distinct(items)).as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
       .filter(col("sz") > 0)
     val prefix = rarestFirstPrefix(toks, tMicro)
@@ -905,13 +908,22 @@ object Dedup {
             lit(tMicro - 1L) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verification on candidates only.
+    // Exact verification on candidates only: merge-intersect with the
+    // early-exit lower bound. A pair passes the final 6-dp check only
+    // if round(i/(sa+sb−i), 6) ≥ t, which needs i/(sa+sb−i) ≥
+    // (tMicro−1)/1e6, i.e. i·(1e6+tMicro−1) ≥ (tMicro−1)·(sa+sb) — so
+    // i < ⌊(tMicro−1)(sa+sb)/(1e6+tMicro)⌋ cannot pass (the divisor is
+    // rounded UP to 1e6+tMicro, weakening the bound: FLOOR-safe, the
+    // sentinel −1 never drops a true pair).
     cand
       .join(toks.select(col("id").as("id_a"), col("toks").as("__ta"),
         col("sz").as("__sa")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("__tb"),
         col("sz").as("__sb")), "id_b")
-      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("__i", graft.expressions.SortedIntersect.sorted_intersect_at_least(
+        col("__ta"), col("__tb"),
+        expr(s"(CAST(${tMicro - 1L} AS BIGINT) * (__sa + __sb)) div ${1000000L + tMicro}")))
+      .filter(col("__i") >= 0L)
       .withColumn("jaccard",
         round(col("__i").cast("double") / (col("__sa") + col("__sb") - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
@@ -949,7 +961,10 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tMicro = math.round(threshold * 1e6)
-    val toks = df.select(id.as("id"), array_distinct(items).as("toks"))
+    // sort_array once per DOC buys the allocation-free merge-intersect
+    // once per candidate PAIR (SortedIntersectAtLeast's precondition;
+    // sort_array's StringType order IS UTF8String's binary comparator).
+    val toks = df.select(id.as("id"), sort_array(array_distinct(items)).as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
       .filter(col("sz") > 0)
     val prefix = rarestFirstPrefix(toks, tMicro - 1)
@@ -961,13 +976,23 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
+    // Exact verification on candidates only: merge-intersect with the
+    // early-exit lower bound. A pair passes the final 6-dp check only
+    // if max(round(i/sa,6), round(i/sb,6)) ≥ t, which needs
+    // i/min(sa,sb) ≥ (tMicro−1)/1e6 — so i <
+    // ⌊(tMicro−1)·min(sa,sb)/1e6⌋ cannot pass (FLOOR-safe: the
+    // sentinel −1 only ever removes provably-failing pairs; the 2.33M
+    // sf1 candidates for an 1,800-pair answer abort their merges after
+    // ~(1−t)·min(sz) comparisons instead of hashing the full arrays).
     cand
       .join(toks.select(col("id").as("id_a"), col("toks").as("__ta"),
         col("sz").as("__sa")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("__tb"),
         col("sz").as("__sb")), "id_b")
-      .withColumn("inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("inter", graft.expressions.SortedIntersect.sorted_intersect_at_least(
+        col("__ta"), col("__tb"),
+        expr(s"(CAST(${tMicro - 1L} AS BIGINT) * least(__sa, __sb)) div 1000000")))
+      .filter(col("inter") >= 0L)
       .withColumn("cont_a_in_b", round(col("inter").cast("double") / col("__sa"), 6))
       .withColumn("cont_b_in_a", round(col("inter").cast("double") / col("__sb"), 6))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
