@@ -1304,7 +1304,15 @@ object TextSim {
   // at 100 TB. One row: candidate/truth/intersection counts + rates.
   val q149_lsh_recall: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val truth = Dedup.jaccardSimJoinOn(docs, col("doc_id"),
+    // Truth set through the prefix-filtered EXACT join — provably the
+    // same pairs as the plain inverted-index join (the audit's oracle
+    // still replays the plain join in DuckDB), but the candidate
+    // shuffle is keyed on rarest-first prefix shingles instead of
+    // every posting list: the full-audit truth was the last uncut
+    // corpus² pair producer outside the adjudicated demos (262 MB of
+    // sf1 spill in the r7 note). Same default-flip discipline as the
+    // census family (round 13).
+    val truth = Dedup.prefixFilterJaccardJoinOn(docs, col("doc_id"),
         graft.text.TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
         threshold = 0.5)
       .select("id_a", "id_b")
@@ -1338,7 +1346,9 @@ object TextSim {
 
   val q214_lsh_plan_applied: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val truth = Dedup.jaccardSimJoinOn(docs, col("doc_id"),
+    // Same exact-truth-through-prefix-filter swap as q149 (identical
+    // pairs by the AllPairs completeness proof; oracle unchanged).
+    val truth = Dedup.prefixFilterJaccardJoinOn(docs, col("doc_id"),
         graft.text.TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
         threshold = 0.5)
       .select("id_a", "id_b")
