@@ -139,7 +139,14 @@ object Integrity {
   // q48) instead of the brute-force broadcast.
   val q142_nn_label_agreement: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
-    val nn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 10 === 0), k = 1)
+    // 1-NN through the map-side-combinable packed argmax (the scale
+    // path q223 established): bruteForceTopK's rank window materializes
+    // and sorts every (query, candidate) sim row — 1.4 GB of sf1 / 2 GiB
+    // spill for rows the top-1 filter immediately drops — while
+    // bruteForce1NN reduces each candidate to one packed BIGINT whose
+    // max() partial-aggregates map-side (bit-identical rank-1 row; the
+    // DuckDB oracle still replays the window form).
+    val nn = Similarity.bruteForce1NN(e, e.filter(col("vec_id") % 10 === 0))
     val lbl = e.select(col("vec_id"), col("label"))
     nn.join(lbl.withColumnsRenamed(Map("vec_id" -> "query_id", "label" -> "q_label")),
         "query_id")

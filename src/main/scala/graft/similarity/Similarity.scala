@@ -412,13 +412,25 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, SRP-candidate
-    * generation + exact verify (id_a < id_b). */
+    * generation + exact verify (id_a < id_b).
+    *
+    * The candidate dedup runs AFTER the cosine filter, not before: a
+    * pair sharing k bands is verified k times (k ≤ bands, a few extra
+    * codegen'd dot products), but the distinct then aggregates only
+    * ANSWER-sized (id_a, id_b, sim) rows instead of hash-mapping the
+    * full exploded candidate join output — at sf1 / 2 GiB the
+    * pre-verify distinct spilled 2.6 GB across three stages, twice
+    * over because the final orderBy's RangePartitioner re-executes its
+    * child to sample range boundaries; post-filter the distinct's
+    * exchange is answer-sized AND gives the sampler a cheap shuffle
+    * boundary to re-read. `sim` is a pure function of the pair, so the
+    * post-filter distinct yields exactly the pre-distinct row set. */
   def embeddingNearDups(df: DataFrame, threshold: Double, dim: Int,
                         planes: Int = 24, bands: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dfF = df.filter(finiteVec(col(vecCol)))
-    // band keys only — the self-join and candidate dedup shuffle just
-    // (band, bh, id); vectors rejoin once for the exact verify.
+    // band keys only — the self-join shuffles just (band, bh, id);
+    // vectors rejoin once for the exact verify.
     val keyed = dfF
       .select(col(idCol).as("id"),
         explode(srpBandKeys(col(vecCol), dim, planes, bands)).as("bk"))
@@ -427,7 +439,6 @@ object Similarity {
       .join(keyed.alias("b"), col("a.band") === col("b.band") &&
         col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     val va = dfF.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = dfF.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     cand
@@ -435,6 +446,7 @@ object Similarity {
       .join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 
   /** Embedding-space decontamination: for every corpus vector, the

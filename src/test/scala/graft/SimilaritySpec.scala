@@ -42,12 +42,18 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("embeddingNearDups finds the near-identical pairs only") {
-    val pairs = Similarity.embeddingNearDups(vecs, threshold = 0.95, dim = 4,
+    val rows = Similarity.embeddingNearDups(vecs, threshold = 0.95, dim = 4,
       planes = 8, bands = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = rows.toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 2L)))
     assert(!pairs.contains((0L, 3L)))
+    // the candidate dedup moved AFTER the cosine verify (r13: the
+    // pre-verify distinct was the 2.6 GB sf1 spiller) — a near-identical
+    // pair collides in EVERY band and must still emit exactly one row
+    assert(rows.length === pairs.size,
+      s"duplicate pair rows: ${rows.mkString(",")}")
   }
 
   test("semDedup: within-cell pruning with EXISTS-vs-lower-id semantics") {
