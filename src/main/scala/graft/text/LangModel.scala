@@ -224,13 +224,26 @@ object LangModel {
       round(log2((c12.cast("double") + lit(addK)) /
           (c1.cast("double") + lit(addK) * v.cast("double"))) *
         lit(MicroScale), 0).cast("long")
-    // the GENERALIST counts are the domain counts re-aggregated — the
-    // corpus is scanned/exploded exactly once for each of the bigram
-    // and token streams, and both LMs fall out of the same partials
-    // (distinct-token V does not sum across domains, so it gets its
-    // own aggregate over the shared token stream)
+    // the GENERALIST counts are the domain counts re-aggregated, and
+    // EVERY count table derives from ONE materialized (domain, gram)
+    // aggregate: without the pin, each of the seven consumers below
+    // re-tokenized and re-exploded the corpus (Catalyst has no
+    // subtree-level CTE materialization — r13's StageProbe counted
+    // eight full corpus scans, 24 s at sf1). c12d is
+    // vocabulary-bounded (domains × distinct bigrams — model-sized at
+    // any corpus scale), so the eager localCheckpoint stores an
+    // LM-table, never corpus-scale data; c1d is the w1-marginal of
+    // c12d (sum of exact counts — identical to counting the stream).
+    // The corpus itself is scanned exactly 3×: c12d, the distinct
+    // (domain, token) vocabulary, and perDoc's scoring stream.
     val c12d = o.groupBy("domain", "gram", "w1").agg(count(lit(1)).as("c12"))
-    val c1d = o.groupBy("domain", "w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    val c1d = c12d.groupBy("domain", "w1").agg(sum("c12").as("c1"))
+    // distinct-token V keeps its own (cheap, two-scan) aggregates: a
+    // second eager checkpoint of the distinct (domain, token) pairs
+    // measured as a net LOSS at sf0.1 — the extra job's fixed cost
+    // exceeds the one saved scan (V does not sum across domains, so
+    // vd/vg cannot derive from c12d)
     val tokStream = docs.select(col("domain"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
     val vd = tokStream.groupBy("domain").agg(countDistinct("tok").as("v"))
