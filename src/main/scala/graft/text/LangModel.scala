@@ -126,6 +126,12 @@ object LangModel {
     val train = corpus.select(id.as("id"), text.as("text"))
     val t3 = grams(train, col("id"), col("text"))
       .groupBy("g3").agg(count(lit(1)).as("c123"))
+    // t2 feeds the scorer twice (cctx, c23) and t1 three times (cw2,
+    // cw3, N) — without a pin each consumer re-tokenizes the corpus
+    // (the q197 lesson; StageProbe counted 8 scans, 13 s at sf1).
+    // Both tables are vocabulary-bounded (distinct bigrams / tokens),
+    // so the eager localCheckpoint stores LM tables, never corpus
+    // data; N derives from t1 as an exact count-sum.
     val t2 = train.select(toks(col("text")).as("tk"))
       .select(explode(
         zip_with(
@@ -133,10 +139,11 @@ object LangModel {
           slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
           (a, b) => concat_ws(" ", a, b))).as("g2"))
       .groupBy("g2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val t1 = train.select(explode(toks(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
-    val nTot = train.select(explode(toks(col("text"))).as("tok"))
-      .agg(count(lit(1)).as("n_tot"))
+      .localCheckpoint(true)
+    val nTot = t1.agg(sum("c1").as("n_tot"))
     val occ = grams(df.select(id.as("id"), text.as("text")),
       col("id"), col("text"))
     // one score row per trigram TYPE appearing in the scoring stream
