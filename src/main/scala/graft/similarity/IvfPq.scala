@@ -92,7 +92,12 @@ object IvfPq {
                       k: Int, rerank: Int, nprobe: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val cm = centroidsMicro(index, vecCol)
+    // eager pin (the Sq.fit / LangModel discipline): cm feeds the
+    // corpus-side residuals (rv → trainer AND codes) and the
+    // query-side residuals (qres broadcast) — unpinned, each of those
+    // consumers replays the full-corpus centroid aggregation. nlist
+    // rows of dim longs: model-sized at any corpus scale.
+    val cm = centroidsMicro(index, vecCol).localCheckpoint(true)
     val rv = index.assigned
       .select(col(idCol).as("id"), col("cell"),
         Sq.micronize(col(vecCol)).as("mv0"))

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar quantization (SQ) for approximate nearest-neighbor search —
@@ -50,7 +49,22 @@ object Sq {
     * `mns[dim]`, `ws[dim]` (bin range width = mx−mn+1) and the dense
     * position-major centroid array `cents[dim·bins]` where
     * `cents[d·bins + c]` = mn_d + floor-avg of (v−mn_d) in bucket c
-    * (empty buckets fall back to mn_d; no vector maps to them). */
+    * (empty buckets fall back to mn_d; no vector maps to them).
+    *
+    * The returned row is EAGERLY localCheckpoint'ed: the codebook
+    * feeds every downstream broadcast (`mns`/`ws` in [[encode]],
+    * `cents` in [[adcTopK]]), and without the pin each broadcast
+    * replays the whole fit — two full corpus aggregations per
+    * reference (q107's executed plan carried FIVE inlined copies of
+    * the fit subtree, each single-task at bench SFs). One row of
+    * model-sized arrays, the [[Pq.trainChecked]] collect discipline
+    * kept on-executor. Caveat (shared with the LM-table pins in
+    * [[graft.text.LangModel]]): eager + unreplicated — merely
+    * CONSTRUCTING a plan over the result runs the fit jobs, and in a
+    * multi-executor deployment executor loss makes the checkpointed
+    * row unrecoverable (job failure, not wrong results); cluster
+    * callers that need fault tolerance should persist the codebook to
+    * storage instead. */
   def fit(corpus: DataFrame, bins: Int, vecCol: String = "embedding"): DataFrame = {
     val flat = corpus.filter(Similarity.finiteVec(col(vecCol)))
       .select(posexplode(micronize(col(vecCol))).as(Seq("pos", "v")))
@@ -76,7 +90,7 @@ object Sq {
       .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("w")))).as("r"))
       .select(transform(col("r"), x => x.getField("mn")).as("mns"),
         transform(col("r"), x => x.getField("w")).as("ws"))
-    rangeArrays.crossJoin(cents)
+    rangeArrays.crossJoin(cents).localCheckpoint(true)
   }
 
   /** Encode the corpus: (idCol, codes[dim]) — the compressed index. */
@@ -95,7 +109,17 @@ object Sq {
     * `excludeSelf` (default true) drops the corpus row whose id equals
     * the query id — correct when querying the corpus BY its own rows;
     * pass false when the query table is external and ids are an
-    * unrelated numbering that may coincidentally collide. */
+    * unrelated numbering that may coincidentally collide.
+    *
+    * The shortlist + exact re-rank is [[Pq.rerankTail]] — shared with
+    * the PQ/IVF-PQ tiers so all three quantization paths keep one
+    * tail. Besides the reuse, the shared tail carries ONLY
+    * (query_id, neighbor_id, adist) through the shortlist shuffle and
+    * re-attaches `qmv` from the broadcast query table afterwards —
+    * the previous Sq-local tail shipped the dim-long `qmv` array on
+    * every scanned candidate row through the per-query window
+    * (guide §2.3: shuffle keys and metadata, not payloads; `qmv` is a
+    * pure function of query_id, so the row set is unchanged). */
   def adcTopK(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
               queries: DataFrame, k: Int, rerank: Int, dim: Int, bins: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -110,25 +134,9 @@ object Sq {
     val approx = (if (excludeSelf)
       scanned.filter(col("query_id") =!= col("neighbor_id"))
     else scanned)
-      .select(col("query_id"), col("neighbor_id"), col("qmv"),
+      .select(col("query_id"), col("neighbor_id"),
         expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), " +
           s"(acc, d) -> acc + $sqDiff * $sqDiff)").as("adist"))
-    val wa = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    val shortlist = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerank)
-    val store = corpus.filter(Similarity.finiteVec(col(vecCol)))
-      .select(col(idCol).as("neighbor_id"),
-        micronize(col(vecCol)).as("mv"))
-    val exact = store.join(broadcast(shortlist), Seq("neighbor_id"))
-      .withColumn("edist",
-        expr("aggregate(zip_with(qmv, mv, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-    val we = Window.partitionBy("query_id")
-      .orderBy(col("edist").asc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(we).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("adist"), col("edist"))
+    Pq.rerankTail(approx, corpus, q, k, rerank, idCol, vecCol)
   }
 }
