@@ -1124,10 +1124,12 @@ object Dedup {
     * less than one banding round of the join it tunes. */
   def lshBandPlan(df: DataFrame, id: Column, items: Column,
                   threshold: Double, sampleSize: Int = 48,
-                  fnWeight: Long = 3L, seed: Long = 42L): DataFrame = {
+                  fnWeight: Long = 3L, seed: Long = 42L,
+                  itemsNonEmpty: Option[Column] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    planFromPairSims(samplePairSims(df, id, items, sampleSize, seed),
+    planFromPairSims(samplePairSims(df, id, items, sampleSize, seed,
+        itemsNonEmpty),
       math.round(threshold * 1e6), fnWeight)
   }
 
@@ -1137,14 +1139,21 @@ object Dedup {
     * [[lshBandPlan]] (one corpus) and [[lshPlanDrift]] (corpus vs
     * ingest batch, each priced on its OWN distribution). */
   private def samplePairSims(df: DataFrame, id: Column, items: Column,
-                             sampleSize: Int, seed: Long): DataFrame = {
+                             sampleSize: Int, seed: Long,
+                             itemsNonEmpty: Option[Column] = None): DataFrame = {
     val key = conv(substring(md5(concat(id.cast("string"), lit("|" + seed))),
       1, 8), 16, 10).cast("long")
     // two-phase sample: the corpus-wide pass carries only (id, key) —
     // the distinct-item arrays are built AFTER the 48-row cut, behind
     // the broadcast semi-join, so nothing array-sized rides the
-    // TakeOrdered (size(items) > 0 ⇔ the distinct array is non-empty)
-    val sampleIds = df.filter(size(items) > 0)
+    // TakeOrdered (size(items) > 0 ⇔ the distinct array is non-empty).
+    // `itemsNonEmpty`, when given, is a caller-proved CHEAP equivalent
+    // of that predicate (e.g. size(tokens) >= 3 for word-3-gram items):
+    // the corpus-wide eligibility pass then never builds the item
+    // arrays at all — at 100 TB this pass is a full corpus scan and the
+    // gram-array construction roughly doubles its per-row cost. The
+    // default stays the exact array predicate.
+    val sampleIds = df.filter(itemsNonEmpty.getOrElse(size(items) > 0))
       .select(id.as("__sid"), key.as("__k"))
       .orderBy(col("__k"), col("__sid")).limit(sampleSize)
       .select("__sid")
@@ -1203,10 +1212,13 @@ object Dedup {
     val sums = gridSumCols(tMicro)
     val agg = pairs.agg(sums.head, sums.tail: _*)
     val rows = agg.select(gridExplode(fnWeight).as("c")).select("c.*")
-    val best = rows.agg(min("cost_micro").as("__mc"))
-    rows.crossJoin(broadcast(best))
-      .withColumn("chosen", col("cost_micro") === col("__mc"))
-      .drop("__mc")
+    // chosen via a global window over the 7-row grid — one operator on
+    // an already-single-partition frame, replacing a separate min
+    // aggregate + broadcast cross-join (one fewer broadcast exchange
+    // and its build job in every planner call)
+    rows.withColumn("chosen", col("cost_micro") ===
+      min(col("cost_micro")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
   }
 
   /** Re-price the banding choice against an ingest batch — the
@@ -1234,7 +1246,8 @@ object Dedup {
     * round of the join it tunes, so it can run on every batch. */
   def lshPlanDrift(corpus: DataFrame, batch: DataFrame, id: Column,
                    items: Column, threshold: Double, sampleSize: Int = 48,
-                   fnWeight: Long = 3L, seed: Long = 42L): DataFrame = {
+                   fnWeight: Long = 3L, seed: Long = 42L,
+                   itemsNonEmpty: Option[Column] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tMicro = math.round(threshold * 1e6)
@@ -1247,7 +1260,7 @@ object Dedup {
     // identical by construction — the same gridSumCols price both
     // forms.
     def tagged(df: DataFrame, side: String): DataFrame =
-      samplePairSims(df, id, items, sampleSize, seed)
+      samplePairSims(df, id, items, sampleSize, seed, itemsNonEmpty)
         .withColumn("__side", lit(side))
     val pairs = tagged(corpus, "corpus").unionByName(tagged(batch, "batch"))
     val sums = gridSumCols(tMicro) ++ Seq(
@@ -1272,26 +1285,33 @@ object Dedup {
       .select(col("__side"), col("__pairs"), col("__pairs_ge_t"),
         gridExplode(fnWeight).as("c"))
       .select(col("__side"), col("c.*"), col("__pairs"), col("__pairs_ge_t"))
-    val best = rows.groupBy("__side").agg(min("cost_micro").as("__mc"))
-    val flagged = rows.join(broadcast(best), "__side")
-      .withColumn("chosen", col("cost_micro") === col("__mc"))
-    def sideCols(p: String): DataFrame =
-      flagged.filter(col("__side") === p).select(
-        col("bands"), col("rows_per_band"),
-        col("fp_micro").as(s"${p}_fp_micro"),
-        col("fn_micro").as(s"${p}_fn_micro"),
-        col("cost_micro").as(s"${p}_cost_micro"),
-        col("chosen").as(s"${p}_chosen"),
-        col("__pairs").as(s"${p}_pairs"),
-        col("__pairs_ge_t").as(s"${p}_pairs_ge_t"))
-    val joined = sideCols("corpus").join(sideCols("batch"),
-      Seq("bands", "rows_per_band"))
-    val still = joined.agg(
-      coalesce(max(when(col("corpus_chosen") && col("batch_chosen"), 1L)
-        .otherwise(0L)), lit(0L)).as("__still"))
-    joined.crossJoin(broadcast(still))
-      .withColumn("plan_changed", col("__still") === 0L)
-      .drop("__still")
+    // 14-row tail, restructured from agg+broadcast-join+filter+self-
+    // join+agg+cross-join (r13) to window → grouped pivot → window:
+    // `chosen` is a per-side window min, the side split is ONE pivot
+    // aggregate over (bands, rows_per_band) — each (side, split) holds
+    // exactly one row, so min(when(side=..)) IS that row's value — and
+    // `plan_changed` is a global window max. Same values by
+    // construction; the r13 tail planned ~10 extra single-row stages
+    // (two broadcast builds, a self-join, a cross-join) per call.
+    val wSide = org.apache.spark.sql.expressions.Window.partitionBy("__side")
+    val flagged = rows.withColumn("chosen",
+      col("cost_micro") === min(col("cost_micro")).over(wSide))
+    def sideAggs(p: String): Seq[Column] = Seq(
+      min(when(col("__side") === p, col("fp_micro"))).as(s"${p}_fp_micro"),
+      min(when(col("__side") === p, col("fn_micro"))).as(s"${p}_fn_micro"),
+      min(when(col("__side") === p, col("cost_micro"))).as(s"${p}_cost_micro"),
+      min(when(col("__side") === p, col("chosen"))).as(s"${p}_chosen"),
+      min(when(col("__side") === p, col("__pairs"))).as(s"${p}_pairs"),
+      min(when(col("__side") === p, col("__pairs_ge_t")))
+        .as(s"${p}_pairs_ge_t"))
+    val aggs = sideAggs("corpus") ++ sideAggs("batch")
+    val joined = flagged.groupBy(col("bands"), col("rows_per_band"))
+      .agg(aggs.head, aggs.tail: _*)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    joined
+      .withColumn("plan_changed",
+        coalesce(max(when(col("corpus_chosen") && col("batch_chosen"), 1L)
+          .otherwise(0L)).over(wAll), lit(0L)) === 0L)
       // round-8 column order, so the frame is a drop-in
       .select(col("bands"), col("rows_per_band"),
         col("corpus_fp_micro"), col("corpus_fn_micro"),

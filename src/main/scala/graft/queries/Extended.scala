@@ -909,15 +909,45 @@ object Extended {
       .selectExpr(stackExpr)
       .groupBy(col("col"), col("val")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("col")).orderBy(col("val"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("col"))
-    // inclusive/exclusive cumulative counts locate the 1-based rank
-    // positions floor(h)/ceil(h) for h = p(n−1)+1 inside value runs
-    val ranked = grouped
-      .withColumn("cum", sum(col("c")).over(w))
+    // Range-bucketed cumulative counts (the percentilesFromCounts /
+    // withRunningTotal construction, inlined): the r13 form computed
+    // `cum` with a window partitioned by `col` alone — 4 partitions,
+    // which AQE coalesces into ONE task that sorts every column's
+    // distinct values back-to-back (l_extendedprice is ~97% distinct,
+    // so that task sorts nearly the whole compressed frame; StageProbe
+    // showed the whole 5.1 MB exchange read by a single task). Split
+    // each column's value axis into ~32 sketch-placed ranges: the
+    // per-(col, bucket) totals make a tiny offsets frame, and the full
+    // cumulative count is offset + running-sum-within-bucket — every
+    // sort partition is a value slice, never a whole column. Counts
+    // are exact BIGINTs, bucket boundaries only move WHERE the sums
+    // are computed, and values are distinct per (col, val) group, so
+    // cum/prev/n are bit-identical to the window form; the quartile
+    // interpolation expressions below are untouched.
+    val bounds = grouped.select(col("val"))
+      .limit(1 << 17).stat
+      .approxQuantile("val", (1 until 32).map(_ / 32.0).toArray, 0.01)
+      .distinct.sorted
+    val bktCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("val") >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucketed = grouped
+      .withColumn("bkt", when(col("val").isNull, lit(-1)).otherwise(bktCol))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("col"), col("bkt"))
+      .agg(sum(col("c")).as("__bt"))
+      .withColumn("off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("__bt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("col"))))
+      .select(col("col"), col("bkt"), col("off"), col("n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col"), col("bkt")).orderBy(col("val"))
+    val ranked = bucketed
+      .join(broadcast(offsets), Seq("col", "bkt"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
       .withColumn("prev", col("cum") - col("c"))
-      .withColumn("n", sum(col("c")).over(wAll))
     def h(p: Double) = lit(p) * (col("n") - 1) + 1
     def pick(pos: org.apache.spark.sql.Column) =
       max(when(col("prev") < pos && pos <= col("cum"), col("val")))

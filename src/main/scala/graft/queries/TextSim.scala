@@ -617,10 +617,17 @@ object TextSim {
   private val PlanThreshold = 0.5
   private val PlanFnWeight = 3L
 
+  // itemsNonEmpty: size(ngrams(toks, 3)) > 0 ⇔ size(toks) >= 3 (the
+  // zip_with chain emits exactly max(len−2, 0) non-null grams; null
+  // text fails both predicates) — the corpus-wide eligibility pass
+  // then skips building the 3-gram arrays entirely (guide §2.3:
+  // project early; the arrays are only needed for the 48 sampled docs)
   val q212_lsh_plan: Q = (s, dir) =>
     Dedup.lshBandPlan(Tables.load(s, dir, "documents"), col("doc_id"),
       graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
-      threshold = PlanThreshold, fnWeight = PlanFnWeight)
+      threshold = PlanThreshold, fnWeight = PlanFnWeight,
+      itemsNonEmpty =
+        Some(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3))
       .orderBy("bands")
 
   /** The q212 planner chain over a (doc_id, text) source: CTE list
@@ -717,7 +724,9 @@ object TextSim {
         concat(col("text"), lit(" q216shift")).as("text")))
     Dedup.lshPlanDrift(docs, batch, col("doc_id"),
       graft.text.TextAnalysis.ngrams(graft.text.TextAnalysis.tokens(col("text")), 3),
-      threshold = PlanThreshold, fnWeight = PlanFnWeight)
+      threshold = PlanThreshold, fnWeight = PlanFnWeight,
+      itemsNonEmpty = // ⇔ size(ngrams) > 0, proven at q212's declaration
+        Some(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3))
       .orderBy("bands")
   }
 

@@ -203,13 +203,24 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.filter(finiteVec(col(vecCol)))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // total micronize: a zero-norm vector makes cosine 0/0 = NaN, which
-    // ANSI cast-to-long THROWS on — the when-guard turns it into a null
-    // packed key that max() ignores, so zero vectors simply have no
-    // defined neighbor (bruteForceTopK's NaN-sorts-first rank-1 row is
-    // arbitrary there anyway; the paths agree wherever sims are finite)
+    // the packed key derives from the SAME expression bruteForceTopK
+    // sorts on — round(cos, 6), then scaled to an exact integer (the
+    // outer round snaps the one-ulp representation error of
+    // round6 × 10⁶ back onto the integer) — so the two paths round
+    // half-way cases identically BY CONSTRUCTION (r13 ADVICE: the old
+    // round(cos·10⁶) binary multiply could in principle flip a
+    // half-way tie the decimal setScale(6) path rounds the other way).
+    // A zero-norm vector makes cosine 0/0 = NaN; no SF contains one
+    // (checked r13), and instead of silently dropping such a query
+    // from the answer (the old null-packed behavior, which would
+    // diverge from the oracle's NaN-sorts-first rank-1 row), fail
+    // LOUDLY so a future dataset breaks the job, not the audit
+    // (r13 ADVICE item 2).
     val cosRaw = cosine(col("qv"), col("cv"))
-    val simMicro = when(!isnan(cosRaw), round(cosRaw * lit(1e6)).cast("long"))
+    val simMicro = when(!isnan(cosRaw),
+      round(round(cosRaw, 6) * lit(1e6)).cast("long"))
+      .otherwise(raise_error(lit(
+        "bruteForce1NN: NaN cosine (zero-norm vector) — rank undefined")))
     val guarded = when(col("neighbor_id").between(0L, Shift - 1L),
       col("neighbor_id")).otherwise(raise_error(
       lit(s"bruteForce1NN: neighbor id outside [0, 2^40) packing range")))

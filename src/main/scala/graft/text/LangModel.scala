@@ -131,7 +131,12 @@ object LangModel {
     // (the q197 lesson; StageProbe counted 8 scans, 13 s at sf1).
     // Both tables are vocabulary-bounded (distinct bigrams / tokens),
     // so the eager localCheckpoint stores LM tables, never corpus
-    // data; N derives from t1 as an exact count-sum.
+    // data; N derives from t1 as an exact count-sum. Cluster-mode
+    // caveat (applies to every eager localCheckpoint in this file):
+    // it is eager and UNREPLICATED — constructing the DataFrame runs
+    // the LM-count jobs, and executor loss makes the pinned partitions
+    // unrecoverable (job failure, not wrong results); a cluster
+    // deployment should persist the LM tables to storage instead.
     val t2 = train.select(toks(col("text")).as("tk"))
       .select(explode(
         zip_with(
@@ -147,15 +152,27 @@ object LangModel {
     val occ = grams(df.select(id.as("id"), text.as("text")),
       col("id"), col("text"))
     // one score row per trigram TYPE appearing in the scoring stream
+    // explicit broadcast on every checkpointed-table join: the tables
+    // are vocabulary-bounded (the size class the planner already
+    // auto-broadcasts here — all 12 joins plan BHJ with or without the
+    // hint at sf1), but a localCheckpoint'ed frame carries RDD-derived
+    // statistics the planner is free to mistrust on other
+    // configurations, and a silent demotion to sort-merge would
+    // shuffle the type stream four times. The hint pins the strategy
+    // the stats currently earn. r14 A/B (sf0.1 + sf1 at 8g/2g, 2 runs
+    // each, pinned vs unpinned vs hinted): all variants within the
+    // epoch's noise band — the pin is kept for its scan-count shape
+    // (t2/t1 computed once instead of twice each), not a measured
+    // local win.
     val types = occ.select("g3", "gctx", "g23", "w2", "w3").distinct()
       .join(t3, Seq("g3"), "left")
-      .join(t2.select(col("g2").as("gctx"), col("c2").as("cctx")),
+      .join(broadcast(t2.select(col("g2").as("gctx"), col("c2").as("cctx"))),
         Seq("gctx"), "left")
-      .join(t2.select(col("g2").as("g23"), col("c2").as("c23")),
+      .join(broadcast(t2.select(col("g2").as("g23"), col("c2").as("c23"))),
         Seq("g23"), "left")
-      .join(t1.select(col("tok").as("w2"), col("c1").as("cw2")),
+      .join(broadcast(t1.select(col("tok").as("w2"), col("c1").as("cw2"))),
         Seq("w2"), "left")
-      .join(t1.select(col("tok").as("w3"), col("c1").as("cw3")),
+      .join(broadcast(t1.select(col("tok").as("w3"), col("c1").as("cw3"))),
         Seq("w3"), "left")
       .crossJoin(broadcast(nTot))
     val s =
